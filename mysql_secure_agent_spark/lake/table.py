@@ -1,0 +1,565 @@
+"""LakeTable — a bucketed merge-on-read Parquet table with an atomic commit log.
+
+This is the engine's MERGE INTO target. The north-star design calls for an
+Iceberg table; no Iceberg runtime jar exists in this sandbox, so this module
+implements the required subset of Iceberg v2 semantics from scratch, Spark-
+first:
+
+  * **Keyed upsert/delete application** — the destination-side contract of the
+    reference agent (every emitted event is keyed by the table PK,
+    ``output/ColumnDefinition.java:10-11``, ``output/Event.java:14-43``):
+    replaying the changelog in log order reproduces the source table.
+  * **Merge-on-read**: a merge appends per-bucket *delta* files (upsert rows +
+    delete tombstones, each carrying its ``source_lsn``); reads reconcile
+    base+delta with a last-image-wins reduction. This is the scale path — a
+    10^10-event feed cannot afford copy-on-write amplification per micro-batch.
+  * **Bucket partitioning** on the conversation key (``bucket(N, conv_id)``
+    layout): merges and compactions touch only the buckets present in the
+    batch (partition pruning), and a hot conversation hashes to one bucket
+    whose reconcile is still bounded by that conversation's size.
+  * **Atomic commits**: each merge writes data files, then a versioned
+    manifest JSON, then atomically swings the CURRENT pointer
+    (``os.replace``). A crash mid-merge leaves orphan files that no manifest
+    references — the analog of the reference's flush-data-then-state ordering
+    (``output/BucketOutput.java:127-138``) which yields at-least-once delivery
+    with exactly-once *effect*.
+  * **Exactly-once batch application**: commits record applied ``batch_id``s;
+    a replayed micro-batch (Structured Streaming retry after a successful
+    commit) is skipped. This is the batch-id high-water-mark from SURVEY §7.
+  * **Schema evolution**: ``add_column`` / ``modify_column_type`` create a new
+    schema version; readers project old files through the current schema
+    (missing columns read as NULL), mirroring Iceberg add-column semantics and
+    replacing the reference's re-infer-on-arity-mismatch loop
+    (``Updater.java:188-217``).
+  * **Time travel**: any committed version can be read back.
+
+Single-writer (one streaming driver), many-reader — same operational model as
+the reference agent (one ``Updater`` loop, ``Updater.java:48-60``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..operators.dedup_changelog import last_image_wins
+
+# System columns stored in every data file (never exposed by read()).
+SYS_DELETED = "_deleted"
+SYS_LSN = "source_lsn"
+
+
+def _type_from_ddl(ddl: str) -> T.DataType:
+    return T._parse_datatype_string(ddl)  # public-ish helper used by schema= strings
+
+
+@dataclass
+class Commit:
+    version: int
+    schema: list[tuple[str, str]]  # (name, spark ddl type) in order
+    key_cols: list[str]
+    bucket_cols: list[str]
+    n_buckets: int
+    # bucket (as str) -> list of file entries {path, kind: base|delta, rows}
+    files: dict[str, list[dict[str, Any]]]
+    applied_batches: dict[str, int] = field(default_factory=dict)  # batch_id -> version
+    parent: int | None = None
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema": self.schema,
+                "key_cols": self.key_cols,
+                "bucket_cols": self.bucket_cols,
+                "n_buckets": self.n_buckets,
+                "files": self.files,
+                "applied_batches": self.applied_batches,
+                "parent": self.parent,
+                "summary": self.summary,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Commit":
+        d = json.loads(s)
+        return Commit(
+            version=d["version"],
+            schema=[tuple(x) for x in d["schema"]],
+            key_cols=d["key_cols"],
+            bucket_cols=d["bucket_cols"],
+            n_buckets=d["n_buckets"],
+            files=d["files"],
+            applied_batches=d["applied_batches"],
+            parent=d.get("parent"),
+            summary=d.get("summary", {}),
+        )
+
+
+class LakeTable:
+    """Bucketed merge-on-read table; see module docstring."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---------------------------------------------------------------- layout
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    @property
+    def _metrics_dir(self) -> str:
+        return os.path.join(self.root, "_metrics")
+
+    def _current_path(self) -> str:
+        return os.path.join(self._commits_dir, "CURRENT")
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        bucket_cols: list[str] | None = None,
+        n_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(root, "_commits")):
+            if not overwrite:
+                raise FileExistsError(f"table already exists at {root}")
+            shutil.rmtree(root)
+        t = cls(root)
+        os.makedirs(t._commits_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        os.makedirs(t._metrics_dir, exist_ok=True)
+        commit = Commit(
+            version=0,
+            schema=[(f.name, f.dataType.simpleString()) for f in schema.fields],
+            key_cols=list(key_cols),
+            bucket_cols=list(bucket_cols or key_cols[:1]),
+            n_buckets=n_buckets,
+            files={},
+            summary={"operation": "create"},
+        )
+        t._write_commit(commit)
+        return t
+
+    # -------------------------------------------------------------- metadata
+    def current_version(self) -> int:
+        with open(self._current_path()) as f:
+            return int(f.read().strip())
+
+    def commit_at(self, version: int | None = None) -> Commit:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self._commits_dir, f"v{v:08d}.json")) as f:
+            return Commit.from_json(f.read())
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        c = self.commit_at(version)
+        return T.StructType(
+            [T.StructField(n, _type_from_ddl(dt), True) for n, dt in c.schema]
+        )
+
+    def _stored_schema(self, commit: Commit) -> T.StructType:
+        fields = [T.StructField(n, _type_from_ddl(dt), True) for n, dt in commit.schema]
+        fields.append(T.StructField(SYS_LSN, T.LongType(), True))
+        fields.append(T.StructField(SYS_DELETED, T.BooleanType(), True))
+        return T.StructType(fields)
+
+    def _write_commit(self, commit: Commit) -> None:
+        path = os.path.join(self._commits_dir, f"v{commit.version:08d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(commit.to_json())
+        os.replace(tmp, path)
+        cur_tmp = self._current_path() + ".tmp"
+        with open(cur_tmp, "w") as f:
+            f.write(str(commit.version))
+        os.replace(cur_tmp, self._current_path())  # atomic pointer swing
+
+    # ------------------------------------------------------------- bucketing
+    def _bucket_expr(self, commit: Commit) -> F.Column:
+        # Stable hash bucketing, computed JVM-side (xxhash64 is codegen'd).
+        return F.pmod(F.xxhash64(*commit.bucket_cols), F.lit(commit.n_buckets)).cast(
+            "int"
+        )
+
+    # ------------------------------------------------------------------ read
+    def _read_files(
+        self, spark: SparkSession, commit: Commit, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """Raw base+delta rows (with system columns) for the given buckets."""
+        paths: list[str] = []
+        for b, entries in commit.files.items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            paths.extend(os.path.join(self.root, e["path"]) for e in entries)
+        if not paths:
+            return None
+        # Explicit schema → files written before an ADD COLUMN project the new
+        # column as NULL (Iceberg-style schema evolution on read).
+        return spark.read.schema(self._stored_schema(commit)).parquet(*paths)
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        strategy: str = "max_by",
+    ) -> DataFrame:
+        """Reconciled current state: last image per key, tombstones dropped.
+
+        ``strategy='max_by'`` (default) reduces via ``groupBy(key).agg(max_by)``
+        — partial map-side combine, so the shuffle moves one row per key per
+        map partition instead of every row image; this is what survives a
+        hot-key (Zipf conv_id) distribution at 10^10 events.
+        ``strategy='window'`` is the row_number-over-lsn formulation from the
+        north star; both are tested equivalent (lsn is globally unique).
+        """
+        commit = self.commit_at(version)
+        raw = self._read_files(spark, commit, buckets)
+        cols = [n for n, _ in commit.schema]
+        if raw is None:
+            return spark.createDataFrame([], self.schema(version))
+        reconciled = last_image_wins(
+            raw, key_cols=commit.key_cols, order_col=SYS_LSN, strategy=strategy
+        )
+        return reconciled.filter(~F.col(SYS_DELETED)).select(*cols)
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: str | int,
+        dedup_strategy: str = "window",
+        op_col: str = "op",
+    ) -> dict[str, Any]:
+        """Apply one micro-batch of changelog rows (MERGE INTO equivalent).
+
+        ``batch_df`` columns: ``op`` (I/U/D) + payload columns (subset of the
+        table schema; missing ones null-filled) + ``source_lsn``. Upserts keep
+        the new image; deletes become tombstones. Within the batch the max-LSN
+        image per key wins (the reference applies events strictly in log
+        order on one thread, ``Updater.java:148-186`` — this window re-creates
+        that total-order semantics under parallelism).
+
+        Returns merge metrics. Idempotent per ``batch_id``: a replayed batch
+        is skipped (exactly-once effect).
+        """
+        t0 = time.time()
+        batch_id = str(batch_id)
+        commit = self.commit_at()
+        if batch_id in commit.applied_batches:
+            return {"skipped": True, "batch_id": batch_id}
+
+        from pyspark.sql import Observation
+
+        # Observations piggyback on the write job — merge is a single pass
+        # over the batch (no separate count()/agg() jobs).
+        obs_in = Observation()
+        obs_out = Observation()
+        projected = batch_df.select(
+            *[
+                (F.col(c) if c in batch_df.columns else F.lit(None)).cast(dt).alias(c)
+                for c, dt in commit.schema
+            ],
+            F.col(SYS_LSN).cast("long").alias(SYS_LSN),
+            (F.col(op_col) == F.lit("D")).alias(SYS_DELETED),
+        ).observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        deduped = last_image_wins(
+            projected,
+            key_cols=commit.key_cols,
+            order_col=SYS_LSN,
+            strategy=dedup_strategy,
+        ).observe(
+            obs_out,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col(SYS_DELETED).cast("int")).alias("deletes"),
+            F.min(SYS_LSN).alias("lsn_min"),
+            F.max(SYS_LSN).alias("lsn_max"),
+        )
+        with_bucket = deduped.withColumn("_bucket", self._bucket_expr(commit))
+
+        version = commit.version + 1
+        rel_dir = os.path.join("data", f"v{version:08d}")
+        out_dir = os.path.join(self.root, rel_dir)
+        # One shuffle, partitioned by bucket → each bucket's delta lands in a
+        # single file per commit (no small-file explosion at scale).
+        n_parts = max(1, min(commit.n_buckets, spark.sparkContext.defaultParallelism))
+        (
+            with_bucket.repartition(n_parts, "_bucket")
+            .sortWithinPartitions(*commit.key_cols, SYS_LSN)
+            .write.partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+
+        files = {b: list(entries) for b, entries in commit.files.items()}
+        n_files = 0
+        touched: list[int] = []
+        for d in sorted(os.listdir(out_dir)):
+            if not d.startswith("_bucket="):
+                continue
+            b = str(int(d.split("=")[1]))
+            touched.append(int(b))
+            for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                if fn.endswith(".parquet"):
+                    files.setdefault(b, []).append(
+                        {"path": os.path.join(rel_dir, d, fn), "kind": "delta"}
+                    )
+                    n_files += 1
+
+        stats = obs_out.get
+        n_in = obs_in.get["rows_in"]
+        metrics = {
+            "batch_id": batch_id,
+            "version": version,
+            "rows_in": n_in,
+            "rows_after_dedup": stats["rows"] or 0,
+            "dedup_dropped": n_in - (stats["rows"] or 0),
+            "deletes": stats["deletes"] or 0,
+            "upserts": (stats["rows"] or 0) - (stats["deletes"] or 0),
+            "lsn_min": stats["lsn_min"],
+            "lsn_max": stats["lsn_max"],
+            "buckets_touched": sorted(touched),
+            "files_written": n_files,
+            "wall_ms": None,  # filled below
+            "skipped": False,
+        }
+
+        applied = dict(commit.applied_batches)
+        applied[batch_id] = version
+        new_commit = Commit(
+            version=version,
+            schema=commit.schema,
+            key_cols=commit.key_cols,
+            bucket_cols=commit.bucket_cols,
+            n_buckets=commit.n_buckets,
+            files=files,
+            applied_batches=applied,
+            parent=commit.version,
+            summary={"operation": "merge", **{k: metrics[k] for k in ("batch_id", "rows_in", "deletes", "upserts")}},
+        )
+        self._write_commit(new_commit)
+        metrics["wall_ms"] = int((time.time() - t0) * 1000)
+        self._append_metrics(metrics)
+        return metrics
+
+    # ------------------------------------------------------------ compaction
+    def delta_file_counts(self) -> dict[int, int]:
+        c = self.commit_at()
+        return {
+            int(b): sum(1 for e in entries if e["kind"] == "delta")
+            for b, entries in c.files.items()
+        }
+
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        min_deltas: int = 1,
+    ) -> dict[str, Any]:
+        """Rewrite buckets with >= min_deltas delta files into a reconciled
+        base file; tombstones are dropped (full-bucket rewrite ⇒ nothing older
+        survives for them to mask)."""
+        t0 = time.time()
+        commit = self.commit_at()
+        counts = {
+            int(b): sum(1 for e in entries if e["kind"] == "delta")
+            for b, entries in commit.files.items()
+        }
+        todo = sorted(
+            b
+            for b, n in counts.items()
+            if n >= min_deltas and (buckets is None or b in buckets)
+        )
+        if not todo:
+            return {"compacted_buckets": [], "skipped": True}
+
+        raw = self._read_files(spark, commit, todo)
+        reconciled = (
+            last_image_wins(
+                raw, key_cols=commit.key_cols, order_col=SYS_LSN, strategy="max_by"
+            )
+            .filter(~F.col(SYS_DELETED))
+            .withColumn("_bucket", self._bucket_expr(commit))
+        )
+        version = commit.version + 1
+        rel_dir = os.path.join("data", f"v{version:08d}")
+        out_dir = os.path.join(self.root, rel_dir)
+        n_parts = max(1, min(len(todo), spark.sparkContext.defaultParallelism))
+        (
+            reconciled.repartition(n_parts, "_bucket")
+            .sortWithinPartitions(*commit.key_cols)
+            .write.partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+
+        files = {
+            b: list(entries)
+            for b, entries in commit.files.items()
+            if int(b) not in todo
+        }
+        for d in sorted(os.listdir(out_dir)):
+            if not d.startswith("_bucket="):
+                continue
+            b = str(int(d.split("=")[1]))
+            for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                if fn.endswith(".parquet"):
+                    files.setdefault(b, []).append(
+                        {"path": os.path.join(rel_dir, d, fn), "kind": "base"}
+                    )
+        new_commit = Commit(
+            version=version,
+            schema=commit.schema,
+            key_cols=commit.key_cols,
+            bucket_cols=commit.bucket_cols,
+            n_buckets=commit.n_buckets,
+            files=files,
+            applied_batches=dict(commit.applied_batches),
+            parent=commit.version,
+            summary={"operation": "compact", "buckets": todo},
+        )
+        self._write_commit(new_commit)
+        return {
+            "compacted_buckets": todo,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "skipped": False,
+        }
+
+    # ------------------------------------------------------ schema evolution
+    def add_column(self, name: str, ddl_type: str) -> int:
+        """ADD COLUMN: metadata-only commit; old files read the column as NULL."""
+        commit = self.commit_at()
+        if name in {n for n, _ in commit.schema}:
+            return commit.version  # idempotent
+        new_commit = Commit(
+            version=commit.version + 1,
+            schema=commit.schema + [(name, ddl_type)],
+            key_cols=commit.key_cols,
+            bucket_cols=commit.bucket_cols,
+            n_buckets=commit.n_buckets,
+            files=commit.files,
+            applied_batches=dict(commit.applied_batches),
+            parent=commit.version,
+            summary={"operation": "add_column", "column": name, "type": ddl_type},
+        )
+        self._write_commit(new_commit)
+        return new_commit.version
+
+    def modify_column_type(self, spark: SparkSession, name: str, ddl_type: str) -> int:
+        """MODIFY COLUMN: schema change + full rewrite casting existing data
+        (DDL events are rare; correctness over cleverness)."""
+        commit = self.commit_at()
+        names = [n for n, _ in commit.schema]
+        if name not in names:
+            raise KeyError(name)
+        cur = dict(commit.schema)
+        if cur[name] == ddl_type:
+            return commit.version
+        raw = self._read_files(spark, commit)
+        new_schema = [(n, ddl_type if n == name else dt) for n, dt in commit.schema]
+        version = commit.version + 1
+        files: dict[str, list[dict[str, Any]]] = {}
+        if raw is not None:
+            casted = raw.withColumn(name, F.col(name).cast(ddl_type)).withColumn(
+                "_bucket", self._bucket_expr(commit)
+            )
+            rel_dir = os.path.join("data", f"v{version:08d}")
+            out_dir = os.path.join(self.root, rel_dir)
+            casted.repartition(
+                max(1, min(commit.n_buckets, spark.sparkContext.defaultParallelism)),
+                "_bucket",
+            ).write.partitionBy("_bucket").parquet(out_dir)
+            for d in sorted(os.listdir(out_dir)):
+                if not d.startswith("_bucket="):
+                    continue
+                b = str(int(d.split("=")[1]))
+                for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                    if fn.endswith(".parquet"):
+                        files.setdefault(b, []).append(
+                            {"path": os.path.join(rel_dir, d, fn), "kind": "delta"}
+                        )
+        new_commit = Commit(
+            version=version,
+            schema=new_schema,
+            key_cols=commit.key_cols,
+            bucket_cols=commit.bucket_cols,
+            n_buckets=commit.n_buckets,
+            files=files,
+            applied_batches=dict(commit.applied_batches),
+            parent=commit.version,
+            summary={"operation": "modify_column", "column": name, "type": ddl_type},
+        )
+        self._write_commit(new_commit)
+        return version
+
+    # --------------------------------------------------------------- lineage
+    def _append_metrics(self, metrics: dict[str, Any]) -> None:
+        """Per-batch lineage row (offset range, counts, merge stats) — the
+        engine's replacement for the reference's structured JSON log
+        (``log/Logger.java:25-40``), queryable as a table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        row = {
+            k: [metrics.get(k)]
+            for k in (
+                "batch_id",
+                "version",
+                "rows_in",
+                "rows_after_dedup",
+                "dedup_dropped",
+                "upserts",
+                "deletes",
+                "lsn_min",
+                "lsn_max",
+                "files_written",
+                "wall_ms",
+            )
+        }
+        row["buckets_touched"] = [json.dumps(metrics.get("buckets_touched"))]
+        table = pa.table(row)
+        pq.write_table(
+            table,
+            os.path.join(
+                self._metrics_dir, f"m{metrics['version']:08d}-{uuid.uuid4().hex[:8]}.parquet"
+            ),
+        )
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        if not os.listdir(self._metrics_dir):
+            return None
+        return spark.read.parquet(self._metrics_dir)
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the current commit (orphans
+        from crashes + files superseded by compaction). Returns count."""
+        commit = self.commit_at()
+        live = {
+            os.path.normpath(os.path.join(self.root, e["path"]))
+            for entries in commit.files.values()
+            for e in entries
+        }
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(self._data_dir):
+            for fn in filenames:
+                p = os.path.normpath(os.path.join(dirpath, fn))
+                if p.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed += 1
+        return removed

@@ -1,0 +1,58 @@
+"""Sequential replay oracle — the reference's semantics as executable truth.
+
+Replays a changelog exactly the way the reference's single-threaded loop does
+(``Updater.java:148-186``): strictly in log (``source_lsn``) order, one event
+at a time, keyed by the primary key (conv_id, turn_idx):
+
+  * INSERT / UPDATE → the row image becomes the state for its key (upsert;
+    UPDATE is delete(old)+upsert(new) in the reference, ``Updater.java:198-207``,
+    which on a fixed key is equivalent to replacement).
+  * DELETE → the key is removed (delete images arrive in the newRows slot,
+    ``BinlogClient.java:285-291``).
+  * DDL ADD_COLUMN at lsn L → rows applied before L have NULL for the column.
+
+Pure pandas, ~O(n) dict replay. Ground truth for every snapshot-diff test.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+BASE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def replay(
+    changelog: pd.DataFrame,
+    ddl: pd.DataFrame | None = None,
+    base_columns: list[str] | None = None,
+) -> pd.DataFrame:
+    """Apply the changelog sequentially; return the final table state sorted
+    by (conv_id, turn_idx) — the stable turn ordering of the correctness
+    invariant (per-turn text equality)."""
+    cols = list(base_columns or BASE_COLUMNS)
+    ddl = ddl if ddl is not None else pd.DataFrame(columns=["source_lsn", "action", "column_name", "column_type"])
+    ddl_sorted = ddl.sort_values("source_lsn").to_dict("records")
+
+    # columns present from the start (before any ADD_COLUMN events)
+    added = {d["column_name"] for d in ddl_sorted if d["action"] == "ADD_COLUMN"}
+    active = [c for c in cols if c not in added]
+
+    log = changelog.sort_values("source_lsn")
+    state: dict[tuple, dict] = {}
+    ddl_i = 0
+    for rec in log.to_dict("records"):
+        lsn = rec["source_lsn"]
+        while ddl_i < len(ddl_sorted) and ddl_sorted[ddl_i]["source_lsn"] <= lsn:
+            d = ddl_sorted[ddl_i]
+            if d["action"] == "ADD_COLUMN" and d["column_name"] not in active:
+                active.append(d["column_name"])
+            ddl_i += 1
+        key = (rec["conv_id"], rec["turn_idx"])
+        if rec["op"] == "D":
+            state.pop(key, None)
+        else:
+            state[key] = {c: rec.get(c) if c in active else None for c in cols}
+    out = pd.DataFrame(list(state.values()), columns=cols)
+    if out.empty:
+        return out
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -1,0 +1,164 @@
+"""Golden final-table-state tests: engine replay vs sequential oracle.
+
+The reference's correctness contract: replaying the changelog in log order
+reproduces the source table (PK-keyed upserts/deletes). Each scenario from
+FIXTURES.md §5 is replayed through the engine (batch or streaming) and
+snapshot-diffed against the pandas oracle (per-turn text equality under
+ORDER BY conv_id, turn_idx).
+"""
+
+import shutil
+
+import pandas as pd
+import pytest
+import pyspark.sql.types as T
+
+from mysql_secure_agent_spark import oracle
+from mysql_secure_agent_spark.lake.table import LakeTable
+from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+from mysql_secure_agent_spark.sources.changelog import (
+    FeedSpec,
+    generate_changelog,
+    write_feed,
+)
+from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
+
+
+def _make_table(root, with_tool=True, n_buckets=16):
+    fields = [f for f in TRANSCRIPT_SCHEMA.fields if with_tool or f.name != "tool"]
+    return LakeTable.create(
+        root, T.StructType(fields), PRIMARY_KEY, n_buckets=n_buckets, overwrite=True
+    )
+
+
+def _assert_matches_oracle(spark, table, spec):
+    result = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    cl, ddl = generate_changelog(spec)
+    expected = oracle.replay(cl, ddl)
+    expected = expected[result.columns.tolist()].reset_index(drop=True)
+    assert len(result) == len(expected)
+    pd.testing.assert_frame_equal(result, expected, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # insert-only (UpdaterSpec binlogSync_allInserts analog)
+        FeedSpec(n_events=3000, n_convs=400, delete_frac=0.0, seed=7),
+        # update-heavy: few keys, many re-edits → last-image-wins
+        FeedSpec(n_events=5000, n_convs=20, max_turns=8, delete_frac=0.02, seed=11),
+        # delete mix incl. delete-then-reinsert
+        FeedSpec(n_events=5000, n_convs=100, delete_frac=0.3, seed=13),
+        # hot-key skew (Zipf s=1.5)
+        FeedSpec(n_events=8000, n_convs=500, zipf_s=1.5, seed=17),
+    ],
+    ids=["insert_only", "update_heavy", "delete_mix", "hot_skew"],
+)
+def test_backfill_matches_oracle(spark, tmp_path, spec):
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=4)
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed)
+    pipe.run_backfill(spark)
+    _assert_matches_oracle(spark, table, spec)
+
+
+@pytest.mark.parametrize("dedup_strategy", ["window", "max_by"])
+def test_stream_matches_oracle(spark, tmp_path, dedup_strategy):
+    spec = FeedSpec(n_events=6000, n_convs=200, seed=23)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=5)
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed, dedup_strategy=dedup_strategy)
+    pipe.run_stream(spark, str(tmp_path / "ckpt"))
+    _assert_matches_oracle(spark, table, spec)
+
+
+def test_late_schema_ddl(spark, tmp_path):
+    """'tool' column added mid-stream; table starts without it."""
+    spec = FeedSpec(n_events=6000, n_convs=200, seed=29, ddl_add_tool_at_frac=0.5)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=4)
+    table = _make_table(str(tmp_path / "tbl"), with_tool=False)
+    pipe = CdcPipeline(table, feed)
+    pipe.run_stream(spark, str(tmp_path / "ckpt"))
+    assert "tool" in [n for n, _ in table.commit_at().schema]
+    _assert_matches_oracle(spark, table, spec)
+
+
+def test_kill_resume_exactly_once(spark, tmp_path):
+    """rotation+resume fixture: crash mid-stream, resume from checkpoint,
+    final state equals the uninterrupted run (exactly-once effect, T1/T3)."""
+    spec = FeedSpec(n_events=6000, n_convs=150, seed=31, rotate_every=1500)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=6)
+    table = _make_table(str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+    pipe = CdcPipeline(table, feed)
+    with pytest.raises(Exception, match="injected crash"):
+        pipe.run_stream(spark, ckpt, fail_after_batches=2)
+    v_crash = table.current_version()
+    assert v_crash >= 1  # some batches landed before the crash
+    # resume from the same checkpoint
+    pipe2 = CdcPipeline(table, feed)
+    pipe2.run_stream(spark, ckpt)
+    _assert_matches_oracle(spark, table, spec)
+
+
+def test_replayed_batch_skipped(spark, tmp_path):
+    """A batch re-applied under the same batch_id is a no-op (idempotence)."""
+    spec = FeedSpec(n_events=2000, n_convs=50, seed=37)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=1)
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed)
+    r1 = pipe.run_backfill(spark, batch_id="b0")
+    assert not r1[0]["skipped"]
+    v1 = table.current_version()
+    r2 = pipe.run_backfill(spark, batch_id="b0")
+    assert r2[0]["skipped"]
+    assert table.current_version() == v1
+    _assert_matches_oracle(spark, table, spec)
+
+
+def test_compaction_preserves_state_and_drops_tombstones(spark, tmp_path):
+    spec = FeedSpec(n_events=5000, n_convs=100, delete_frac=0.25, seed=41)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=5)
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed)
+    pipe.run_stream(spark, str(tmp_path / "ckpt"))
+    before = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    res = table.compact(spark, min_deltas=1)
+    assert res["compacted_buckets"]
+    assert all(n == 0 for n in table.delta_file_counts().values())
+    after = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+    _assert_matches_oracle(spark, table, spec)
+    # vacuum removes superseded delta files without breaking reads
+    removed = table.vacuum()
+    assert removed > 0
+    _assert_matches_oracle(spark, table, spec)
+
+
+def test_time_travel(spark, tmp_path):
+    spec = FeedSpec(n_events=3000, n_convs=80, seed=43)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=3)
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed)
+    pipe.run_stream(spark, str(tmp_path / "ckpt"))
+    v = table.current_version()
+    n_final = table.read(spark).count()
+    n_v1 = table.read(spark, version=1).count()
+    assert v >= 3 and n_v1 <= n_final
+    # oracle on the prefix covered by version 1
+    lsn_hi = table.commit_at(1).summary.get("batch_id")
+    cl, _ = generate_changelog(spec)
+    m = table.metrics(spark).filter(f"version = 1").collect()[0]
+    prefix = cl[cl.source_lsn <= m["lsn_max"]]
+    assert n_v1 == len(oracle.replay(prefix))

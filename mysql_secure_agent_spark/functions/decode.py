@@ -1,0 +1,220 @@
+"""Arrow-vectorized binary row-image decode — SURVEY §2.1 S9/S10.
+
+The reference decodes binlog row images one column at a time, one row at a
+time, honoring a per-row null bitmap and length-prefixed variable fields
+(``parser/shyiko/RowParser.java:46-93`` framing, ``:115-168`` type dispatch,
+``:171-457`` codecs; null bitmap ``RowParser.java:57,65``). Our engine keeps
+the *format concepts* — null bitmap, fixed scalar slots, length-prefixed
+strings — but decodes a whole Arrow batch columnar-ly: no per-row Python
+(mandated by the north star). The trick is that a batch of length-prefixed
+rows is exactly an Arrow binary column; headers are gathered with numpy fancy
+indexing, and the string fields are *rebuilt as Arrow StringArrays straight
+from (offsets, values) buffers* — zero per-row work.
+
+Wire format per row-image (little-endian, transcript payload):
+
+    header (23 bytes):
+      null_bitmap : uint8   bits 0..5 = conv_id, turn_idx, role, text, tool, ts
+      len_conv    : uint16  UTF-8 byte length (0 if null)
+      len_role    : uint16
+      len_text    : uint32  (text can exceed 64 KiB — BLOB-style length,
+                             cf. RowParser.java:353-356)
+      len_tool    : uint16
+      turn_idx    : int32
+      ts_us       : int64   epoch microseconds UTC
+    body: conv_id ∥ role ∥ text ∥ tool  (UTF-8, concatenated)
+
+The encoder exists for the synthetic feed generator / tests only (the
+reference's live-capture harness analog, ``binlog_test_generator/CaptureBinlogEvents.java``).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+HEADER = struct.Struct("<BHHIHiq")  # 23 bytes
+_B_CONV, _B_TURN, _B_ROLE, _B_TEXT, _B_TOOL, _B_TS = (1 << i for i in range(6))
+
+
+def encode_row(
+    conv_id: str | None,
+    turn_idx: int | None,
+    role: str | None,
+    text: str | None,
+    tool: str | None,
+    ts_us: int | None,
+) -> bytes:
+    """Encode one row image (test-harness side; per-row is fine here)."""
+    bitmap = 0
+    bc = conv_id.encode() if conv_id is not None else b""
+    br = role.encode() if role is not None else b""
+    bt = text.encode() if text is not None else b""
+    bl = tool.encode() if tool is not None else b""
+    if conv_id is None:
+        bitmap |= _B_CONV
+    if turn_idx is None:
+        bitmap |= _B_TURN
+    if role is None:
+        bitmap |= _B_ROLE
+    if text is None:
+        bitmap |= _B_TEXT
+    if tool is None:
+        bitmap |= _B_TOOL
+    if ts_us is None:
+        bitmap |= _B_TS
+    head = HEADER.pack(
+        bitmap, len(bc), len(br), len(bt), len(bl), turn_idx or 0, ts_us or 0
+    )
+    return head + bc + br + bt + bl
+
+
+def encode_frame(pdf: pd.DataFrame) -> pd.Series:
+    """Encode a changelog frame (cols conv_id, turn_idx, role, text, tool, ts)
+    into a binary payload series. Deletes (all-null payload) encode too."""
+    out = []
+    for i in range(len(pdf)):
+        r = pdf.iloc[i]
+        t = r["ts"]
+        out.append(
+            encode_row(
+                r["conv_id"] if pd.notna(r["conv_id"]) else None,
+                int(r["turn_idx"]) if pd.notna(r["turn_idx"]) else None,
+                r["role"] if pd.notna(r["role"]) else None,
+                r["text"] if pd.notna(r["text"]) else None,
+                r["tool"] if pd.notna(r["tool"]) else None,
+                int(pd.Timestamp(t).value // 1000) if pd.notna(t) else None,
+            )
+        )
+    return pd.Series(out, index=pdf.index)
+
+
+def _string_field(
+    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, null_mask: np.ndarray
+) -> pd.Series:
+    """Build an Arrow StringArray directly from gathered (start, length) spans
+    over the concatenated payload buffer — the columnar inverse of the
+    reference's readString (RowParser.java:340-351). No per-row Python:
+    the values buffer is assembled by one boolean-mask gather."""
+    n = len(starts)
+    # take the exact spans out of buf into a packed values buffer
+    take = np.zeros(len(buf), dtype=bool)
+    # mark [start, start+len) spans via difference trick
+    marks = np.zeros(len(buf) + 1, dtype=np.int64)
+    np.add.at(marks, starts, 1)
+    np.add.at(marks, starts + lengths, -1)
+    take = np.cumsum(marks[:-1]) > 0
+    values = buf[take].tobytes()
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    arr = pa.StringArray.from_buffers(
+        n,
+        pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(values),
+    )
+    s = arr.to_pandas()
+    s[null_mask] = None
+    return s
+
+
+def decode_payload_block(payload: pd.Series) -> pd.DataFrame:
+    """Vectorized decode of a batch of row-image payloads.
+
+    Returns a frame with columns conv_id, turn_idx, role, text, tool, ts.
+    """
+    binarr = pa.array(payload, type=pa.binary())
+    n = len(binarr)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype="Int32"),
+                "role": pd.Series([], dtype=object),
+                "text": pd.Series([], dtype=object),
+                "tool": pd.Series([], dtype=object),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+    # One contiguous buffer + per-row offsets (Arrow's native layout).
+    flat = binarr.combine_chunks() if isinstance(binarr, pa.ChunkedArray) else binarr
+    voff = np.frombuffer(flat.buffers()[1], dtype=np.int32, count=n + 1)
+    buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    row_start = voff[:-1].astype(np.int64)
+
+    # ---- header gather (fancy-indexed, no loop) ---------------------------
+    def u8(off):
+        return buf[row_start + off].astype(np.int64)
+
+    def u16(off):
+        return u8(off) | (u8(off + 1) << 8)
+
+    def u32(off):
+        return u16(off) | (u16(off + 2) << 16)
+
+    def i64(off):
+        v = u32(off) | (u32(off + 4) << 32)
+        return v.astype(np.int64)
+
+    bitmap = u8(0)
+    len_conv = u16(1)
+    len_role = u16(3)
+    len_text = u32(5)
+    len_tool = u16(9)
+    turn = u32(11).astype(np.int32)
+    ts_us = i64(15)
+
+    null_conv = (bitmap & _B_CONV) != 0
+    null_turn = (bitmap & _B_TURN) != 0
+    null_role = (bitmap & _B_ROLE) != 0
+    null_text = (bitmap & _B_TEXT) != 0
+    null_tool = (bitmap & _B_TOOL) != 0
+    null_ts = (bitmap & _B_TS) != 0
+
+    # ---- body: running offsets per field ----------------------------------
+    s_conv = row_start + HEADER.size
+    s_role = s_conv + len_conv
+    s_text = s_role + len_role
+    s_tool = s_text + len_text
+
+    conv = _string_field(buf, s_conv, len_conv, null_conv)
+    role = _string_field(buf, s_role, len_role, null_role)
+    text = _string_field(buf, s_text, len_text, null_text)
+    tool = _string_field(buf, s_tool, len_tool, null_tool)
+
+    turn_s = pd.Series(turn).astype("Int32")
+    turn_s[null_turn] = pd.NA
+    ts = pd.Series(ts_us.astype("datetime64[us]"))
+    ts[null_ts] = pd.NaT
+    return pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": turn_s,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+        }
+    )
+
+
+def decode_raw_feed(raw_df):
+    """Raw feed (RAW_CHANGELOG_SCHEMA) → typed changelog DataFrame via
+    ``mapInPandas`` (Arrow batches in and out; the engine's replacement for
+    the reference's event loop around RowParser)."""
+    from ..schemas import CHANGELOG_SCHEMA
+
+    pass_cols = ["op", "source_lsn", "binlog_file", "binlog_pos"]
+    out_cols = [f.name for f in CHANGELOG_SCHEMA.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = decode_payload_block(pdf["payload"])
+            for c in pass_cols:
+                decoded[c] = pdf[c].values
+            yield decoded[out_cols]
+
+    return raw_df.mapInPandas(fn, schema=CHANGELOG_SCHEMA)

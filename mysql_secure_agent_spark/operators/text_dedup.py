@@ -47,14 +47,16 @@ def shingles_col(text_col="text", n: int = 3):
     """Distinct word n-gram shingles as an array<string> (1-based element_at,
     portable to the oracle dialect)."""
     toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    # guard: Spark sequence(1, k) DESCENDS for k<1 — short texts get no shingles
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) < n, empty).otherwise(F.array_distinct(grams))
 
 
 # ---------------------------------------------------------------- exact dedup

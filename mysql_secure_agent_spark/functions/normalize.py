@@ -5,12 +5,10 @@ The reference renders every decoded value to a canonical string
 (``RowParser.java:171-369``); our analog is canonicalizing turn text before it
 lands in the table: Unicode NFC, control characters stripped, internal
 whitespace collapsed, outer whitespace trimmed. One Arrow batch in, one out —
-pandas string ops are vectorized C under the hood.
+every step is a pandas ``.str`` method (C-level loops), no Python per row.
 """
 
 from __future__ import annotations
-
-import unicodedata
 
 import pandas as pd
 from pyspark.sql import functions as F, types as T
@@ -22,9 +20,5 @@ _CTRL = dict.fromkeys(
 
 @F.pandas_udf(T.StringType())
 def normalize_text_udf(s: pd.Series) -> pd.Series:
-    out = s.map(
-        lambda x: unicodedata.normalize("NFC", x).translate(_CTRL)
-        if isinstance(x, str)
-        else x
-    )
+    out = s.str.normalize("NFC").str.translate(_CTRL)
     return out.str.replace(r"[ \t]+", " ", regex=True).str.strip()

@@ -60,6 +60,33 @@ def _type_from_ddl(ddl: str) -> T.DataType:
     return T._parse_datatype_string(ddl)  # public-ish helper used by schema= strings
 
 
+def _footer_stats(paths: list[str]) -> tuple[int, int, int | None, int | None]:
+    """(rows, deletes, lsn_min, lsn_max) from parquet footers; deletes reads
+    only the boolean tombstone column."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    rows = deletes = 0
+    lsn_min: int | None = None
+    lsn_max: int | None = None
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        md = pf.metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == SYS_LSN and col.statistics is not None:
+                    mn, mx = col.statistics.min, col.statistics.max
+                    lsn_min = mn if lsn_min is None else min(lsn_min, mn)
+                    lsn_max = mx if lsn_max is None else max(lsn_max, mx)
+        tbl = pf.read(columns=[SYS_DELETED])
+        s = pc.sum(pc.cast(tbl.column(0), "int64")).as_py()
+        deletes += int(s or 0)
+    return rows, deletes, lsn_min, lsn_max
+
+
 @dataclass
 class Commit:
     version: int
@@ -146,11 +173,16 @@ class LakeTable:
         os.makedirs(t._commits_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
         os.makedirs(t._metrics_dir, exist_ok=True)
+        # Default bucketing on the FULL key: a hot conversation then spreads
+        # over buckets by turn_idx (hash includes it), and bucket_cols ⊆
+        # key_cols keeps the merge single-shuffle (see merge()). Pass
+        # bucket_cols=["conv_id"] instead to co-locate whole conversations
+        # (conversation-lookup pruning at the cost of hot-conv write skew).
         commit = Commit(
             version=0,
             schema=[(f.name, f.dataType.simpleString()) for f in schema.fields],
             key_cols=list(key_cols),
-            bucket_cols=list(bucket_cols or key_cols[:1]),
+            bucket_cols=list(bucket_cols or key_cols),
             n_buckets=n_buckets,
             files={},
             summary={"operation": "create"},
@@ -193,10 +225,12 @@ class LakeTable:
 
     # ------------------------------------------------------------- bucketing
     def _bucket_expr(self, commit: Commit) -> F.Column:
-        # Stable hash bucketing, computed JVM-side (xxhash64 is codegen'd).
-        return F.pmod(F.xxhash64(*commit.bucket_cols), F.lit(commit.n_buckets)).cast(
-            "int"
-        )
+        """bucket = pmod(murmur3(bucket_cols), n_buckets) — deliberately the
+        SAME function Spark's HashPartitioning uses, so after
+        ``repartition(n_buckets, *bucket_cols)`` partition id == bucket id
+        exactly and a ``partitionBy("_bucket")`` write emits one file per
+        bucket per task with NO extra exchange (see merge())."""
+        return F.pmod(F.hash(*commit.bucket_cols), F.lit(commit.n_buckets)).cast("int")
 
     # ------------------------------------------------------------------ read
     def _read_files(
@@ -248,6 +282,7 @@ class LakeTable:
         batch_id: str | int,
         dedup_strategy: str = "window",
         op_col: str = "op",
+        post_dedup_transform=None,
     ) -> dict[str, Any]:
         """Apply one micro-batch of changelog rows (MERGE INTO equivalent).
 
@@ -260,6 +295,11 @@ class LakeTable:
 
         Returns merge metrics. Idempotent per ``batch_id``: a replayed batch
         is skipped (exactly-once effect).
+
+        ``post_dedup_transform`` (optional DataFrame → DataFrame) runs on the
+        *deduped* rows — the right place for normalization UDFs: it touches
+        one row per key instead of every change image, and rides the dedup
+        shuffle's output partitions (no extra exchange).
         """
         t0 = time.time()
         batch_id = str(batch_id)
@@ -269,8 +309,11 @@ class LakeTable:
 
         from pyspark.sql import Observation
 
-        # Observations piggyback on the write job — merge is a single pass
-        # over the batch (no separate count()/agg() jobs).
+        # Observations piggyback on the write job — merge stays a single pass
+        # (no separate count()/agg() jobs). Caveat: when Catalyst folds an
+        # empty sub-batch to a LocalRelation it prunes the CollectMetrics
+        # nodes and Observation.get raises — handled below by falling back to
+        # parquet-footer stats (trivially cheap exactly in that empty case).
         obs_in = Observation()
         obs_out = Observation()
         projected = batch_df.select(
@@ -281,8 +324,16 @@ class LakeTable:
             F.col(SYS_LSN).cast("long").alias(SYS_LSN),
             (F.col(op_col) == F.lit("D")).alias(SYS_DELETED),
         ).observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        # THE one exchange of the merge: cluster on bucket_cols into exactly
+        # n_buckets partitions. bucket_cols ⊆ key_cols, so this partitioning
+        # satisfies the dedup's required distribution (window partitionBy /
+        # groupBy on key_cols) — Catalyst elides the dedup exchange — AND
+        # partition id == pmod(murmur3(bucket_cols), n_buckets) == _bucket, so
+        # the final partitionBy("_bucket") write needs no repartition either.
+        # One shuffle total: scan → cluster → dedup → normalize → write.
+        clustered = projected.repartition(commit.n_buckets, *commit.bucket_cols)
         deduped = last_image_wins(
-            projected,
+            clustered,
             key_cols=commit.key_cols,
             order_col=SYS_LSN,
             strategy=dedup_strategy,
@@ -293,20 +344,17 @@ class LakeTable:
             F.min(SYS_LSN).alias("lsn_min"),
             F.max(SYS_LSN).alias("lsn_max"),
         )
+        if post_dedup_transform is not None:
+            deduped = post_dedup_transform(deduped)
         with_bucket = deduped.withColumn("_bucket", self._bucket_expr(commit))
 
         version = commit.version + 1
         rel_dir = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.root, rel_dir)
-        # One shuffle, partitioned by bucket → each bucket's delta lands in a
-        # single file per commit (no small-file explosion at scale).
-        n_parts = max(1, min(commit.n_buckets, spark.sparkContext.defaultParallelism))
-        (
-            with_bucket.repartition(n_parts, "_bucket")
-            .sortWithinPartitions(*commit.key_cols, SYS_LSN)
-            .write.partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        # No repartition here: merge() already clustered the batch on
+        # bucket_cols (single fused exchange), so partition id == _bucket and
+        # partitionBy writes exactly one file per bucket per commit.
+        with_bucket.write.partitionBy("_bucket").parquet(out_dir)
 
         files = {b: list(entries) for b, entries in commit.files.items()}
         n_files = 0
@@ -323,18 +371,31 @@ class LakeTable:
                     )
                     n_files += 1
 
-        stats = obs_out.get
-        n_in = obs_in.get["rows_in"]
+        try:
+            stats = obs_out.get
+            n_in = obs_in.get["rows_in"]
+            n_out = stats["rows"] or 0
+            n_del = stats["deletes"] or 0
+            lsn_min, lsn_max = stats["lsn_min"], stats["lsn_max"]
+        except Exception:  # empty-plan CollectMetrics pruned by the optimizer
+            new_paths = [
+                os.path.join(self.root, e["path"])
+                for b in files
+                for e in files[b]
+                if e["path"].startswith(rel_dir)
+            ]
+            n_out, n_del, lsn_min, lsn_max = _footer_stats(new_paths)
+            n_in = n_out
         metrics = {
             "batch_id": batch_id,
             "version": version,
             "rows_in": n_in,
-            "rows_after_dedup": stats["rows"] or 0,
-            "dedup_dropped": n_in - (stats["rows"] or 0),
-            "deletes": stats["deletes"] or 0,
-            "upserts": (stats["rows"] or 0) - (stats["deletes"] or 0),
-            "lsn_min": stats["lsn_min"],
-            "lsn_max": stats["lsn_max"],
+            "rows_after_dedup": n_out,
+            "dedup_dropped": n_in - n_out,
+            "deletes": int(n_del),
+            "upserts": int(n_out - n_del),
+            "lsn_min": lsn_min,
+            "lsn_max": lsn_max,
             "buckets_touched": sorted(touched),
             "files_written": n_files,
             "wall_ms": None,  # filled below
@@ -391,9 +452,14 @@ class LakeTable:
             return {"compacted_buckets": [], "skipped": True}
 
         raw = self._read_files(spark, commit, todo)
+        # Same fused single-exchange plan as merge(): cluster on bucket_cols
+        # into n_buckets partitions, dedup rides it, write is bucket-aligned.
         reconciled = (
             last_image_wins(
-                raw, key_cols=commit.key_cols, order_col=SYS_LSN, strategy="max_by"
+                raw.repartition(commit.n_buckets, *commit.bucket_cols),
+                key_cols=commit.key_cols,
+                order_col=SYS_LSN,
+                strategy="window",
             )
             .filter(~F.col(SYS_DELETED))
             .withColumn("_bucket", self._bucket_expr(commit))
@@ -401,13 +467,7 @@ class LakeTable:
         version = commit.version + 1
         rel_dir = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.root, rel_dir)
-        n_parts = max(1, min(len(todo), spark.sparkContext.defaultParallelism))
-        (
-            reconciled.repartition(n_parts, "_bucket")
-            .sortWithinPartitions(*commit.key_cols)
-            .write.partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        reconciled.write.partitionBy("_bucket").parquet(out_dir)
 
         files = {
             b: list(entries)
@@ -476,15 +536,14 @@ class LakeTable:
         version = commit.version + 1
         files: dict[str, list[dict[str, Any]]] = {}
         if raw is not None:
-            casted = raw.withColumn(name, F.col(name).cast(ddl_type)).withColumn(
-                "_bucket", self._bucket_expr(commit)
+            casted = (
+                raw.repartition(commit.n_buckets, *commit.bucket_cols)
+                .withColumn(name, F.col(name).cast(ddl_type))
+                .withColumn("_bucket", self._bucket_expr(commit))
             )
             rel_dir = os.path.join("data", f"v{version:08d}")
             out_dir = os.path.join(self.root, rel_dir)
-            casted.repartition(
-                max(1, min(commit.n_buckets, spark.sparkContext.defaultParallelism)),
-                "_bucket",
-            ).write.partitionBy("_bucket").parquet(out_dir)
+            casted.write.partitionBy("_bucket").parquet(out_dir)
             for d in sorted(os.listdir(out_dir)):
                 if not d.startswith("_bucket="):
                     continue

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         # binlog order is a correctness contract; keep deterministic floats
         .config("spark.sql.legacy.allowUntypedScalaUDF", "false")
+        # fork python workers from a daemon that has pandas/pyarrow preloaded
+        # (otherwise every pandas-UDF stage of a fresh streaming query pays
+        # ~1-2 s × worker-count of import time; see py_daemon.py)
+        .config("spark.python.daemon.module", "mysql_secure_agent_spark.py_daemon")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -159,10 +159,16 @@ def write_feed(
     feed_dir: str,
     n_files: int = 10,
     overwrite: bool = False,
+    raw: bool = False,
 ) -> dict:
     """Write the changelog as ``n_files`` Parquet chunk files in lsn order
     (micro-batch boundaries for the file streaming source) plus a
-    ``ddl/ddl.parquet`` sidecar. Returns a manifest dict."""
+    ``ddl/ddl.parquet`` sidecar. Returns a manifest dict.
+
+    ``raw=True`` writes binlog-wire-shaped rows instead: the payload columns
+    are packed into the binary row-image format of ``functions/decode.py``
+    (RowParser analog) so the pipeline's Arrow-vectorized decode path (S9)
+    can be exercised end-to-end."""
     import shutil
 
     if os.path.exists(feed_dir):
@@ -193,6 +199,28 @@ def write_feed(
         ]
     )
     df, ddl = generate_changelog(spec)
+    if raw:
+        from ..functions.decode import encode_frame
+
+        payload = encode_frame(df)
+        df = pd.DataFrame(
+            {
+                "op": df["op"],
+                "payload": payload,
+                "source_lsn": df["source_lsn"],
+                "binlog_file": df["binlog_file"],
+                "binlog_pos": df["binlog_pos"],
+            }
+        )
+        arrow_schema = pa.schema(
+            [
+                ("op", pa.string()),
+                ("payload", pa.binary()),
+                ("source_lsn", pa.int64()),
+                ("binlog_file", pa.string()),
+                ("binlog_pos", pa.int64()),
+            ]
+        )
     chunks = np.array_split(np.arange(len(df)), n_files)
     files = []
     for i, idx in enumerate(chunks):

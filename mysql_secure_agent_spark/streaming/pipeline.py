@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.normalize import normalize_text_udf
 from ..lake.table import LakeTable
 from ..operators.skew import salted_repartition
-from ..schemas import CHANGELOG_SCHEMA
+from ..schemas import CHANGELOG_SCHEMA, RAW_CHANGELOG_SCHEMA
 
 
 class CdcPipeline:
@@ -44,8 +44,9 @@ class CdcPipeline:
         feed_dir: str,
         normalize: bool = True,
         salt_buckets: int = 8,
-        dedup_strategy: str = "max_by",
+        dedup_strategy: str = "window",
         compact_every: int = 0,  # 0 = never auto-compact
+        raw: bool = False,  # feed carries binary row images (S9 decode path)
     ):
         self.table = table
         self.feed_dir = feed_dir
@@ -53,6 +54,7 @@ class CdcPipeline:
         self.salt_buckets = salt_buckets
         self.dedup_strategy = dedup_strategy
         self.compact_every = compact_every
+        self.raw = raw
         self._ddl: list[dict[str, Any]] | None = None
         self._merges = 0
 
@@ -84,16 +86,39 @@ class CdcPipeline:
 
     # ------------------------------------------------------------ transform
     def _prepare(self, batch_df: DataFrame, spark: SparkSession) -> DataFrame:
-        """Normalize stage: salted repartition (hot-conversation skew) then the
-        Arrow-vectorized text normalization UDF. Runs before dedup so the
-        stored image is canonical."""
-        if not self.normalize:
+        """Pre-dedup stage. For a *raw* feed (binary row images) this is the
+        hot path the north star salts: a Zipf-hot conversation's images all
+        hash to one partition, so repartition on (conv_id, salt) before the
+        Arrow-vectorized decode UDF spreads them. For an already-decoded feed
+        there is no pre-dedup map stage — dedup's map-side combine handles
+        skew — so this is a no-op."""
+        if not self.raw:
             return batch_df
+        from ..functions.decode import decode_raw_feed
+
         n = spark.sparkContext.defaultParallelism
+        # conv_id is inside the encoded payload, so pre-decode salting keys on
+        # the log position alone (pure spread; decode needs no key locality).
+        keys = ["conv_id"] if "conv_id" in batch_df.columns else []
         salted = salted_repartition(
-            batch_df, key_cols=["conv_id"], n_partitions=n, salt_buckets=self.salt_buckets
+            batch_df, key_cols=keys, n_partitions=n, salt_buckets=self.salt_buckets
         )
-        return salted.withColumn("text", normalize_text_udf(F.col("text")))
+        return decode_raw_feed(salted)
+
+    def _post_dedup(self):
+        """Normalization runs AFTER dedup: one row per key instead of every
+        change image, riding the dedup shuffle's partitions (no extra
+        exchange). Final table content is identical — the winning image is
+        chosen by source_lsn alone."""
+        if not self.normalize:
+            return None
+
+        def transform(df: DataFrame) -> DataFrame:
+            if "text" not in df.columns:
+                return df
+            return df.withColumn("text", normalize_text_udf(F.col("text")))
+
+        return transform
 
     # ---------------------------------------------------------------- apply
     def apply_batch(
@@ -105,6 +130,7 @@ class CdcPipeline:
         micro-batch skips exactly the sub-merges that already committed.
         """
         prepared = self._prepare(batch_df, spark)
+        post = self._post_dedup()
         pending = self._pending_ddls()
         results: list[dict[str, Any]] = []
         if pending:
@@ -117,7 +143,11 @@ class CdcPipeline:
         if not splits:
             results.append(
                 self.table.merge(
-                    spark, prepared, str(batch_id), dedup_strategy=self.dedup_strategy
+                    spark,
+                    prepared,
+                    str(batch_id),
+                    dedup_strategy=self.dedup_strategy,
+                    post_dedup_transform=post,
                 )
             )
         else:
@@ -128,7 +158,11 @@ class CdcPipeline:
                     part = part.filter(F.col("source_lsn") > F.lit(lo))
                 results.append(
                     self.table.merge(
-                        spark, part, f"{batch_id}.{i}", dedup_strategy=self.dedup_strategy
+                        spark,
+                        part,
+                        f"{batch_id}.{i}",
+                        dedup_strategy=self.dedup_strategy,
+                        post_dedup_transform=post,
                     )
                 )
                 self._apply_ddl(d)
@@ -136,7 +170,11 @@ class CdcPipeline:
             tail = prepared.filter(F.col("source_lsn") > F.lit(lo))
             results.append(
                 self.table.merge(
-                    spark, tail, f"{batch_id}.tail", dedup_strategy=self.dedup_strategy
+                    spark,
+                    tail,
+                    f"{batch_id}.tail",
+                    dedup_strategy=self.dedup_strategy,
+                    post_dedup_transform=post,
                 )
             )
         self._merges += 1
@@ -148,9 +186,8 @@ class CdcPipeline:
     def run_backfill(self, spark: SparkSession, batch_id: str = "backfill") -> list[dict]:
         """Initial-snapshot analog (``ImportOnly``/T7): apply the whole feed
         as one batch. Idempotent under the same batch_id."""
-        df = spark.read.schema(CHANGELOG_SCHEMA).parquet(
-            os.path.join(self.feed_dir, "data")
-        )
+        schema = RAW_CHANGELOG_SCHEMA if self.raw else CHANGELOG_SCHEMA
+        df = spark.read.schema(schema).parquet(os.path.join(self.feed_dir, "data"))
         return self.apply_batch(spark, df, batch_id)
 
     # ---------------------------------------------------------------- stream
@@ -174,7 +211,7 @@ class CdcPipeline:
             seen["n"] += 1
 
         stream = (
-            spark.readStream.schema(CHANGELOG_SCHEMA)
+            spark.readStream.schema(RAW_CHANGELOG_SCHEMA if self.raw else CHANGELOG_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(os.path.join(self.feed_dir, "data"))
         )

@@ -76,6 +76,18 @@ def test_stream_matches_oracle(spark, tmp_path, dedup_strategy):
     _assert_matches_oracle(spark, table, spec)
 
 
+def test_raw_feed_decode_path(spark, tmp_path):
+    """Binlog-wire-shaped feed: binary row images decoded by the Arrow
+    pandas-UDF path (S9), salted pre-decode repartition, same final state."""
+    spec = FeedSpec(n_events=3000, n_convs=120, seed=19)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=3, raw=True)
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed, raw=True)
+    pipe.run_stream(spark, str(tmp_path / "ckpt"))
+    _assert_matches_oracle(spark, table, spec)
+
+
 def test_late_schema_ddl(spark, tmp_path):
     """'tool' column added mid-stream; table starts without it."""
     spec = FeedSpec(n_events=6000, n_convs=200, seed=29, ddl_add_tool_at_frac=0.5)
@@ -86,6 +98,61 @@ def test_late_schema_ddl(spark, tmp_path):
     pipe.run_stream(spark, str(tmp_path / "ckpt"))
     assert "tool" in [n for n, _ in table.commit_at().schema]
     _assert_matches_oracle(spark, table, spec)
+
+
+def test_spark_native_generator_valid_and_replays(spark, tmp_path):
+    """Distributed generator: op-sequence validity (first image I, no D→D,
+    re-insert after D) and engine replay == oracle replay."""
+    from mysql_secure_agent_spark.sources.changelog_spark import write_feed_spark
+
+    feed = str(tmp_path / "feed")
+    write_feed_spark(spark, feed, n_events=5000, n_convs=150, n_files=4, seed=5)
+    cl = (
+        spark.read.parquet(feed + "/data")
+        .orderBy("source_lsn")
+        .toPandas()
+    )
+    # validity per key
+    for _, g in cl.groupby(["conv_id", "turn_idx"]):
+        ops = g.sort_values("source_lsn")["op"].tolist()
+        assert ops[0] == "I"
+        for a, b in zip(ops, ops[1:]):
+            if a == "D":
+                assert b == "I"  # re-insert after delete
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed)
+    pipe.run_stream(spark, str(tmp_path / "ckpt"))
+    result = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    expected = oracle.replay(cl)
+    pd.testing.assert_frame_equal(
+        result, expected[result.columns.tolist()].reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_merge_plan_single_exchange(spark, tmp_path):
+    """The merge's physical plan must contain exactly ONE shuffle: the
+    bucket/key clustering. Dedup and the bucket-partitioned write ride it."""
+    from pyspark.sql import functions as F
+    from mysql_secure_agent_spark.operators.dedup_changelog import last_image_wins
+
+    table = _make_table(str(tmp_path / "tbl"))
+    commit = table.commit_at()
+    spec = FeedSpec(n_events=500, n_convs=20, seed=3)
+    cl, _ = generate_changelog(spec)
+    df = spark.createDataFrame(cl)
+    projected = df.select(
+        *[c for c, _ in commit.schema], F.col("source_lsn"),
+        (F.col("op") == "D").alias("_deleted"),
+    )
+    clustered = projected.repartition(commit.n_buckets, *commit.bucket_cols)
+    deduped = last_image_wins(clustered, commit.key_cols, strategy="window")
+    plan = (
+        deduped.withColumn("_bucket", table._bucket_expr(commit))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
 
 
 def test_kill_resume_exactly_once(spark, tmp_path):

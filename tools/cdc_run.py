@@ -1,0 +1,84 @@
+"""One CDC throughput measurement in a fresh process (fresh JVM → driver
+flags apply; run under `taskset -c 0..N-1` to emulate an N-core cluster
+without freeriding on idle host cores).
+
+env: CDC_CORES, CDC_FEED, CDC_REPS (default 3), CDC_MFPT (default 64),
+CDC_WORK (scratch dir), CDC_MEM (default 6g per 8 cores, scaled).
+Prints one JSON line: {"cores": N, "walls": [...], "best": s}.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+cores = int(os.environ["CDC_CORES"])
+feed = os.environ["CDC_FEED"]
+reps = int(os.environ.get("CDC_REPS", "3"))
+mfpt = int(os.environ.get("CDC_MFPT", "64"))
+work = os.environ.get("CDC_WORK", "/tmp/cdc_run")
+mem = os.environ.get("CDC_MEM", "24g")
+nb = int(os.environ.get("CDC_BUCKETS", "64"))
+codec = os.environ.get("CDC_CODEC", "zstd")
+arrow_batch = os.environ.get("CDC_ARROW_BATCH", "10000")
+
+os.environ["SPARK_DRIVER_MEMORY"] = mem
+
+from mysql_secure_agent_spark.session import get_spark
+from mysql_secure_agent_spark.lake.table import LakeTable
+from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
+from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+from pyspark.sql import functions as F
+
+spark = get_spark(
+    app_name=f"cdc_run_{cores}",
+    cores=cores,
+    shuffle_partitions=2 * cores,
+    extra_conf={
+        "spark.ui.showConsoleProgress": "false",
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.local.dir": os.path.join(work, "sparklocal"),
+        # pin + pre-zero the heap: lazy first-touch zeroing during GC heap
+        # expansion showed up as 30-90 s whole-JVM stalls on this VM
+        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
+        "spark.sql.parquet.compression.codec": codec,
+        "spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch,
+    },
+)
+# Warmup outside the timed window: a complete small-scale pass through the
+# SAME pipeline — spawns the python worker pool and JIT-compiles the
+# codegen'd scan/sort/window/write paths and the Arrow bridge.
+from mysql_secure_agent_spark.sources.changelog_spark import write_feed_spark
+
+wfeed = os.path.join(work, "warmfeed")
+if not os.path.exists(wfeed):
+    write_feed_spark(spark, wfeed, n_events=400_000, n_convs=20_000, n_files=4)
+wt = os.path.join(work, f"warmtbl{cores}")
+wc = os.path.join(work, f"warmck{cores}")
+shutil.rmtree(wt, ignore_errors=True)
+shutil.rmtree(wc, ignore_errors=True)
+wtbl = LakeTable.create(wt, TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=nb, overwrite=True)
+CdcPipeline(wtbl, wfeed, normalize=True, dedup_strategy="window").run_stream(spark, wc)
+shutil.rmtree(wt, ignore_errors=True)
+shutil.rmtree(wc, ignore_errors=True)
+
+walls = []
+for i in range(reps):
+    tbl_dir = os.path.join(work, f"tbl{cores}")
+    ck_dir = os.path.join(work, f"ck{cores}")
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(ck_dir, ignore_errors=True)
+    table = LakeTable.create(
+        tbl_dir, TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=nb, overwrite=True
+    )
+    pipe = CdcPipeline(table, feed, normalize=True, dedup_strategy="window")
+    t0 = time.time()
+    pipe.run_stream(spark, ck_dir, max_files_per_trigger=mfpt)
+    walls.append(round(time.time() - t0, 2))
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(ck_dir, ignore_errors=True)
+spark.stop()
+print(json.dumps({"cores": cores, "walls": walls, "best": min(walls)}))

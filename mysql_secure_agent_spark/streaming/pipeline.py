@@ -47,6 +47,9 @@ class CdcPipeline:
         dedup_strategy: str = "window",
         compact_every: int = 0,  # 0 = never auto-compact
         raw: bool = False,  # feed carries binary row images (S9 decode path)
+        config=None,  # Config (config.py): column selection + anonymization
+        schema_name: str = "main",
+        table_name: str = "transcripts",
     ):
         self.table = table
         self.feed_dir = feed_dir
@@ -55,6 +58,10 @@ class CdcPipeline:
         self.dedup_strategy = dedup_strategy
         self.compact_every = compact_every
         self.raw = raw
+        self.config = config
+        self._table_cfg = (
+            config.table_config(schema_name, table_name) if config else None
+        )
         self._ddl: list[dict[str, Any]] | None = None
         self._merges = 0
 
@@ -93,7 +100,7 @@ class CdcPipeline:
         there is no pre-dedup map stage — dedup's map-side combine handles
         skew — so this is a no-op."""
         if not self.raw:
-            return batch_df
+            return self._apply_selection(batch_df)
         from ..functions.decode import decode_raw_feed
 
         n = spark.sparkContext.defaultParallelism
@@ -103,20 +110,48 @@ class CdcPipeline:
         salted = salted_repartition(
             batch_df, key_cols=keys, n_partitions=n, salt_buckets=self.salt_buckets
         )
-        return decode_raw_feed(salted)
+        return self._apply_selection(decode_raw_feed(salted))
+
+    def _apply_selection(self, df: DataFrame) -> DataFrame:
+        """P1 config-driven column selection (Config.columnsToSync analog,
+        config/Config.java:44-65): deselected payload columns are dropped —
+        merge() null-fills them, so they never reach the table. Key/system
+        columns are always kept."""
+        if self._table_cfg is None:
+            return df
+        keep = set(self.table.commit_at().key_cols) | {
+            "op", "source_lsn", "binlog_file", "binlog_pos",
+        }
+        payload = [c for c in df.columns if c not in keep]
+        selected = set(self._table_cfg.selected_columns(payload))
+        return df.drop(*[c for c in payload if c not in selected])
 
     def _post_dedup(self):
-        """Normalization runs AFTER dedup: one row per key instead of every
-        change image, riding the dedup shuffle's partitions (no extra
-        exchange). Final table content is identical — the winning image is
-        chosen by source_lsn alone."""
-        if not self.normalize:
+        """Normalization + anonymization run AFTER dedup: one row per key
+        instead of every change image, riding the dedup shuffle's partitions
+        (no extra exchange). Final table content is identical — the winning
+        image is chosen by source_lsn alone.
+
+        Anonymization (P4): base64(sha1(salt ∥ value)) on config-flagged
+        columns, matching the reference's import-time hashing
+        (Updater.java:103-112) with its golden vectors."""
+        hashed: list[str] = []
+        if self._table_cfg is not None:
+            cols = [n for n, _ in self.table.commit_at().schema]
+            hashed = self._table_cfg.hashed_columns(cols)
+        if not self.normalize and not hashed:
             return None
+        salt = self.config.crypto_salt if self.config else ""
 
         def transform(df: DataFrame) -> DataFrame:
-            if "text" not in df.columns:
-                return df
-            return df.withColumn("text", normalize_text_udf(F.col("text")))
+            out = df
+            if self.normalize and "text" in out.columns:
+                out = out.withColumn("text", normalize_text_udf(F.col("text")))
+            if hashed:
+                from ..functions.anonymize import anonymize
+
+                out = anonymize(out, hashed, salt)
+            return out
 
         return transform
 

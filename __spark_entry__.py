@@ -224,6 +224,22 @@ def q_cdc_config_projection(spark, sf_dir):
     return out
 
 
+def q_json_extract_props(spark, sf_dir):
+    """S10 analog: JSON payload path access (the reference's 988-LoC binary
+    JSON decoder exists to produce JSON text; here payloads are JSON text
+    already, accessed via codegen'd get_json_object — no Python)."""
+    from mysql_secure_agent_spark.functions.json_payload import json_get_typed
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        json_get_typed("props", "$.k", "int").alias("k"),
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def q_cdc_batch_metrics(spark, sf_dir):
     """A4/K3: per-micro-batch lineage rows — batch = 1000-event page."""
     cl = _events_changelog(spark, sf_dir)
@@ -383,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
         "cdc_batch_metrics": q_cdc_batch_metrics,
+        "json_extract_props": q_json_extract_props,
         "cdc_schema_first_seen": q_cdc_schema_first_seen,
         "cdc_snapshot_order": q_cdc_snapshot_order,
         "agg_rollup": q_agg_rollup,
@@ -631,6 +648,11 @@ FROM cl GROUP BY 1
         "cdc_schema_first_seen": """
 SELECT event_type, min(event_id) AS first_seen, count(*) AS n
 FROM events GROUP BY event_type
+""",
+        "json_extract_props": """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       count(*) AS n, min(event_id) AS first_event
+FROM events GROUP BY 1
 """,
         "cdc_snapshot_order": """
 SELECT user_id, event_id, event_type, value FROM events

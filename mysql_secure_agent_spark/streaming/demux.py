@@ -1,0 +1,88 @@
+"""Multi-table changelog demultiplexing — SURVEY §2.2 P2.
+
+The reference syncs many tables through one binlog stream, routing each
+row-event by its TableRef and filtering by config selection
+(``Updater.java:169-182``; include/exclude ``config/Config.java:67-79``).
+The Spark analog: one change feed carrying a ``table_ref`` column fans out
+inside a single ``foreachBatch`` to one LakeTable per selected table.
+
+The routing filter runs once per target on the SAME cached micro-batch (no
+re-scan per table), and each target's merge keeps its own batch-id
+high-water mark, so a retried micro-batch re-merges only the targets that
+had not committed (per-table exactly-once effect).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import Config
+from ..lake.table import LakeTable
+from ..schemas import CHANGELOG_SCHEMA
+
+MULTI_CHANGELOG_SCHEMA = CHANGELOG_SCHEMA.add("table_ref", "string", False)
+
+
+class MultiTablePipeline:
+    """Route a multi-table feed into per-table LakeTables.
+
+    ``tables``: {table_ref: LakeTable}. ``config`` applies the reference's
+    schema/table selection semantics to decide which refs sync at all.
+    """
+
+    def __init__(
+        self,
+        tables: dict[str, LakeTable],
+        feed_dir: str,
+        config: Config | None = None,
+    ):
+        self.feed_dir = feed_dir
+        self.config = config or Config()
+        self.tables = {
+            ref: t for ref, t in tables.items() if self._selected(ref)
+        }
+
+    def _selected(self, table_ref: str) -> bool:
+        schema, _, name = table_ref.partition(".")
+        return self.config.table_selected(schema, name)
+
+    def apply_batch(
+        self, spark: SparkSession, batch_df: DataFrame, batch_id: str | int
+    ) -> dict[str, Any]:
+        batch_df = batch_df.cache()  # one materialization, N routed merges
+        try:
+            results = {}
+            for ref, table in self.tables.items():
+                routed = batch_df.filter(F.col("table_ref") == ref).drop("table_ref")
+                results[ref] = table.merge(spark, routed, f"{batch_id}.{ref}")
+            return results
+        finally:
+            batch_df.unpersist()
+
+    def run_stream(
+        self, spark: SparkSession, checkpoint_dir: str, max_files_per_trigger: int = 4
+    ):
+        stream = (
+            spark.readStream.schema(MULTI_CHANGELOG_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(os.path.join(self.feed_dir, "data"))
+        )
+
+        def handle(bdf: DataFrame, epoch_id: int) -> None:
+            self.apply_batch(spark, bdf, epoch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        return q

@@ -18,7 +18,7 @@ measured table.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARK_GRAFT_LOW_CPUS (default CPUS//4), SPARK_GRAFT_BENCH_EVENTS (default
-640M·sf), SPARK_GRAFT_BENCH_REPS (default 2), SPARK_GRAFT_BENCH_MEM (24g).
+320M·sf), SPARK_GRAFT_BENCH_REPS (default 2), SPARK_GRAFT_BENCH_MEM (24g).
 """
 
 from __future__ import annotations
@@ -104,10 +104,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     low = int(os.environ.get("SPARK_GRAFT_LOW_CPUS", str(max(cpus // 4, 1))))
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     sf = _sf_from_dir(sf_dir)
     n_events = int(
-        os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(int(640_000_000 * sf)))
+        os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(int(320_000_000 * sf)))
     )
 
     work_dir = os.environ.get(

@@ -19,11 +19,17 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pyspark.sql import types as T
+
 from ..config import Config
 from ..lake.table import LakeTable
-from ..schemas import CHANGELOG_SCHEMA
+from ..schemas import CHANGELOG_FIELDS
 
-MULTI_CHANGELOG_SCHEMA = CHANGELOG_SCHEMA.add("table_ref", "string", False)
+# NB: built from the field list — StructType.add would MUTATE the shared
+# CHANGELOG_SCHEMA in place.
+MULTI_CHANGELOG_SCHEMA = T.StructType(
+    [*CHANGELOG_FIELDS, T.StructField("table_ref", T.StringType(), False)]
+)
 
 
 class MultiTablePipeline:

@@ -35,6 +35,7 @@ from mysql_secure_agent_spark.operators.similarity import (
 from mysql_secure_agent_spark.operators.text_dedup import (
     dedup_exact,
     minhash_lsh_pairs,
+    minhash_lsh_verified,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
@@ -315,6 +316,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.12)
 
 
+def q_dedup_lsh_verified(spark, sf_dir):
+    """Two-phase near-dup: LSH banding candidates → exact Jaccard verify
+    (the production-scale dedup path; hot-shingle df-cap on)."""
+    return minhash_lsh_verified(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.12
+    )
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     return minhash_signature(_t(spark, sf_dir, "documents"), num_hashes=16)
 
@@ -407,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_enrich": q_join_enrich,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -550,9 +560,13 @@ SELECT doc_id, lang,
        ELSE 'fr' END AS lang_pred
 FROM s
 """
+    # mirrors ngram_jaccard_pairs' default hot-shingle valve (max_shingle_df
+    # = 1000): shingle universe is df-capped BEFORE both sizes and pairs
     jaccard_sql = f"""
 WITH base AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
-sh AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM base),
+sh0 AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM base),
+hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 pairs AS (
   SELECT l.id AS id_a, r.id AS id_b, count(*) AS common
@@ -561,6 +575,36 @@ pairs AS (
 )
 SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
 FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE common / (sa.sz + sb.sz - common) >= 0.12
+"""
+    r_rows = 4
+    band_keys = ", ".join(
+        "concat_ws(':', '%d', %s)"
+        % (b, ", ".join(f"CAST(mh{b * r_rows + i} AS VARCHAR)" for i in range(r_rows)))
+        for b in range(4)
+    )
+    mh_aggs = ", ".join(
+        f"min((h * {2 * k + 1} + {k * k + 1}) % {MERSENNE}) AS mh{k}" for k in range(16)
+    )
+    lsh_verified_sql = f"""
+WITH base AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
+sh0 AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM base),
+h AS (SELECT id, {_H32_SQL.format(x='sh')} AS h FROM sh0),
+sig AS (SELECT id, {mh_aggs} FROM h GROUP BY id),
+bands AS (SELECT id, unnest([{band_keys}]) AS band_key FROM sig),
+cands AS (SELECT l.id AS id_a, r.id AS id_b
+          FROM bands l JOIN bands r ON l.band_key = r.band_key
+          WHERE l.id < r.id GROUP BY 1, 2),
+hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+common AS (SELECT c.id_a, c.id_b, count(*) AS common
+           FROM cands c
+           JOIN sh a ON a.id = c.id_a
+           JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+           GROUP BY 1, 2)
+SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE common / (sa.sz + sb.sz - common) >= 0.12
 """
     ann_sql = f"""
@@ -660,7 +704,7 @@ ORDER BY user_id, event_id LIMIT 500
 """,
         "agg_rollup": """
 SELECT event_type, count(*) AS cnt,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY event_type
 """,
         "topk_hot_users": """
@@ -669,7 +713,7 @@ GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
 """,
         "join_enrich": """
 SELECT r_name, n_name, count(*) AS n_cust,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer
 LEFT JOIN nation ON c_nationkey = n_nationkey
 LEFT JOIN region ON n_regionkey = r_regionkey
@@ -680,6 +724,7 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)
 """,
         "dedup_ngram_jaccard": jaccard_sql,
+        "dedup_lsh_verified": lsh_verified_sql,
         "dedup_minhash_sig": _minhash_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
@@ -690,7 +735,7 @@ FROM documents GROUP BY md5(text)
         "doc_fingerprint": f"""
 WITH b AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
 SELECT doc_id,
-       coalesce(list_sum(list_transform(toks, t -> {_H32_SQL.format(x='t')})), 0) % {MERSENNE} AS fingerprint,
+       CAST(coalesce(list_sum(list_transform(toks, t -> {_H32_SQL.format(x='t')})), 0) % {MERSENNE} AS BIGINT) AS fingerprint,
        CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens
 FROM b
 """,

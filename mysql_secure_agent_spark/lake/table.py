@@ -99,6 +99,11 @@ class Commit:
     applied_batches: dict[str, int] = field(default_factory=dict)  # batch_id -> version
     parent: int | None = None
     summary: dict[str, Any] = field(default_factory=dict)
+    # The hash behind bucket assignment is part of the table FORMAT: changing
+    # it silently re-buckets new deltas away from a key's existing files,
+    # breaking bucket-pruned reads. Persist it; manifests written before the
+    # field existed default to the function that code used then (xxhash64).
+    bucket_function: str = "murmur3"
 
     def to_json(self) -> str:
         return json.dumps(
@@ -108,6 +113,7 @@ class Commit:
                 "key_cols": self.key_cols,
                 "bucket_cols": self.bucket_cols,
                 "n_buckets": self.n_buckets,
+                "bucket_function": self.bucket_function,
                 "files": self.files,
                 "applied_batches": self.applied_batches,
                 "parent": self.parent,
@@ -125,6 +131,7 @@ class Commit:
             key_cols=d["key_cols"],
             bucket_cols=d["bucket_cols"],
             n_buckets=d["n_buckets"],
+            bucket_function=d.get("bucket_function", "xxhash64"),
             files=d["files"],
             applied_batches=d["applied_batches"],
             parent=d.get("parent"),
@@ -225,12 +232,21 @@ class LakeTable:
 
     # ------------------------------------------------------------- bucketing
     def _bucket_expr(self, commit: Commit) -> F.Column:
-        """bucket = pmod(murmur3(bucket_cols), n_buckets) — deliberately the
-        SAME function Spark's HashPartitioning uses, so after
+        """bucket = pmod(hash(bucket_cols), n_buckets), dispatched on the
+        table's persisted bucket_function. 'murmur3' (F.hash) is deliberately
+        the SAME function Spark's HashPartitioning uses, so after
         ``repartition(n_buckets, *bucket_cols)`` partition id == bucket id
         exactly and a ``partitionBy("_bucket")`` write emits one file per
-        bucket per task with NO extra exchange (see merge())."""
-        return F.pmod(F.hash(*commit.bucket_cols), F.lit(commit.n_buckets)).cast("int")
+        bucket per task with NO extra exchange (see merge()). 'xxhash64'
+        tables (pre-format-change) stay readable and correctly bucketed —
+        they just lose the one-file-per-bucket write alignment."""
+        if commit.bucket_function == "xxhash64":
+            h = F.xxhash64(*commit.bucket_cols)
+        elif commit.bucket_function == "murmur3":
+            h = F.hash(*commit.bucket_cols)
+        else:
+            raise ValueError(f"unknown bucket_function {commit.bucket_function!r}")
+        return F.pmod(h, F.lit(commit.n_buckets)).cast("int")
 
     # ------------------------------------------------------------------ read
     def _read_files(
@@ -377,7 +393,15 @@ class LakeTable:
             n_out = stats["rows"] or 0
             n_del = stats["deletes"] or 0
             lsn_min, lsn_max = stats["lsn_min"], stats["lsn_max"]
-        except Exception:  # empty-plan CollectMetrics pruned by the optimizer
+        except Exception:
+            # Catalyst folds an EMPTY sub-batch to a LocalRelation and prunes
+            # the CollectMetrics nodes, so Observation.get raises. Only that
+            # case may fall back (footer stats of zero files = all zeros,
+            # which is exact). If data files WERE written, the Observation
+            # failure is a real error — swallowing it would fabricate
+            # lineage (rows_in == rows_out, dedup_dropped == 0) — re-raise.
+            if n_files > 0:
+                raise
             new_paths = [
                 os.path.join(self.root, e["path"])
                 for b in files
@@ -410,6 +434,7 @@ class LakeTable:
             key_cols=commit.key_cols,
             bucket_cols=commit.bucket_cols,
             n_buckets=commit.n_buckets,
+            bucket_function=commit.bucket_function,
             files=files,
             applied_batches=applied,
             parent=commit.version,
@@ -489,6 +514,7 @@ class LakeTable:
             key_cols=commit.key_cols,
             bucket_cols=commit.bucket_cols,
             n_buckets=commit.n_buckets,
+            bucket_function=commit.bucket_function,
             files=files,
             applied_batches=dict(commit.applied_batches),
             parent=commit.version,
@@ -513,6 +539,7 @@ class LakeTable:
             key_cols=commit.key_cols,
             bucket_cols=commit.bucket_cols,
             n_buckets=commit.n_buckets,
+            bucket_function=commit.bucket_function,
             files=commit.files,
             applied_batches=dict(commit.applied_batches),
             parent=commit.version,
@@ -559,6 +586,7 @@ class LakeTable:
             key_cols=commit.key_cols,
             bucket_cols=commit.bucket_cols,
             n_buckets=commit.n_buckets,
+            bucket_function=commit.bucket_function,
             files=files,
             applied_batches=dict(commit.applied_batches),
             parent=commit.version,

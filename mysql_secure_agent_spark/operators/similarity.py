@@ -63,42 +63,57 @@ def brute_force_topk(
         "neighbor_id",
         F.round(cosine_sim_col(F.col("_cv"), F.col("_qv")), 6).alias("cosine"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    # Map-side partial top-k: the naive plan shuffles EVERY scored corpus row
+    # to one partition per query (a straggler at corpus scale). Instead each
+    # scan partition emits its local top-k per query (Arrow-batched, scoring
+    # already done JVM-side), so the global window's input is bounded by
+    # partitions × queries × k rows. Any global-top-k row is top-k within its
+    # own batch, so batch-local pruning loses nothing.
+    def _local_topk(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    ["query_id", "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                ).groupby("query_id", sort=False).head(k)
+            )
+
+    pruned = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
 # --------------------------------------------------------------- LSH ANN path
-def _plane_sign(dim_index, plane: int):
-    """Deterministic ±1 for (plane, dim) from an md5 bit — reproducible
-    everywhere, no RNG state."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(plane), dim_index.cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_row(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 row for one hyperplane — md5-derived (same bit as the
+    oracle SQL: first 8 hex chars of md5('{plane}:{1-based dim}'), even→+1).
+    Computed ONCE driver-side: the matrix is a constant, and evaluating md5
+    per row × dim × plane inside the plan made LSH slower than the
+    brute-force scan it exists to beat (BENCH_r01: 3.48 s vs 0.84 s)."""
+    import hashlib
+
+    row = []
+    for i in range(1, dim + 1):
+        h = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:8], 16)
+        row.append(1.0 if h % 2 == 0 else -1.0)
+    return row
 
 
-def hyperplane_signature(vec_col, n_planes: int = 8):
-    """Bit-signature: bit p = sign(Σ_d v[d]·s(p,d)). All JVM-side."""
+def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64):
+    """Bit-signature: bit p = sign(v · plane_p). The ±1 plane matrix enters
+    the plan as literal arrays (foldable constants); per row the only work is
+    n_planes fused zip_with/aggregate dot products — all JVM-side."""
     bits = []
     for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane_row(p, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(vec_col)), lambda i: _plane_sign(i, p)
-                ),
-                lambda x, s: x.cast("double") * s,
-            ),
+            F.zip_with(vec_col, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -117,15 +132,18 @@ def lsh_bucket_topk(
     """ANN: equi-join query and corpus on hyperplane bucket, then exact cosine
     top-k within the bucket. Recall < 1 by construction; multi-probe = union
     over neighboring buckets (not needed for the test corpus)."""
+    # One scalar probe for the embedding dimension (vectors are fixed-width);
+    # sizes the literal plane matrix. Cheap: reads one row of one column.
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     q = queries.select(
         "query_id",
         F.col("query_vec").alias("_qv"),
-        hyperplane_signature(F.col("query_vec"), n_planes).alias("bucket"),
+        hyperplane_signature(F.col("query_vec"), n_planes, dim).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -25,7 +25,13 @@ def salted_repartition(
 ) -> DataFrame:
     """Repartition on (keys, salt) where salt is derived deterministically
     from the log position (no rand() — keeps the plan replayable/resumable,
-    which rand() would break on task retry)."""
+    which rand() would break on task retry).
+
+    With no key columns there is nothing to keep local — partition on the
+    log position itself (high cardinality ⇒ full spread). Hashing on the
+    low-cardinality salt alone would cap parallelism at ``salt_buckets``."""
+    if not key_cols:
+        return df.repartition(n_partitions, F.col(lsn_col))
     salt = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))
     return (
         df.withColumn("_salt", salt)

@@ -80,22 +80,31 @@ def ngram_jaccard_pairs(
     id_col="doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (a<b) with n-gram Jaccard ≥ threshold.
 
-    Plan: explode shingles → (optional df-cap on hot shingles) → self-join on
-    shingle → count common shingles per pair → |A∪B| = |A|+|B|-common.
+    Plan: explode shingles → df-cap on hot shingles → self-join on shingle →
+    count common shingles per pair → |A∪B| = |A|+|B|-common.
+
+    ``max_shingle_df`` is the scale safety valve and is ON by default: one
+    stopword-heavy shingle shared by d documents produces a d² posting-list
+    self-join — at 10^9 docs a single hot trigram is a quadratic blowup.
+    Dropped hot shingles shrink the shingle universe, so BOTH the pair
+    intersection and the per-doc sizes are computed post-drop (same universe ⇒
+    Jaccard stays a true ratio; mixing universes would systematically
+    underestimate it for documents containing hot shingles). Pass ``None`` to
+    disable (exact Jaccard over the full universe).
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
             F.col("df_") > max_shingle_df
         )
         sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("l")
         .join(sh.alias("r"), "sh")
@@ -168,6 +177,75 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs
+    (columns id_a, id_b) — the verification half of two-phase LSH dedup.
+
+    Plan: the candidate set is tiny relative to the corpus (O(n·bands)
+    collisions, not O(n²)), so it broadcasts; shingles join through it, so the
+    per-pair intersection count touches only candidate documents' postings.
+    Pairs sharing zero shingles drop out (inner join) — they cannot pass any
+    threshold > 0.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    cand = F.broadcast(candidates.select("id_a", "id_b"))
+    common = (
+        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), "sh"),
+            ["id_b", "sh"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_verified(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Two-phase near-dup dedup: LSH banding proposes candidate pairs
+    (O(n·bands) shuffle), exact Jaccard on just those pairs removes the false
+    positives. This is the function a user should call at scale — raw
+    ``minhash_lsh_pairs`` output contains banding collisions."""
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n)
+    return verify_pairs_jaccard(
+        df, cands, text_col, id_col, n, threshold, max_shingle_df
+    )
 
 
 # -------------------------------------------------------------------- simhash

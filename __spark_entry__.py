@@ -142,6 +142,36 @@ def q_cdc_merge_into_lake(spark, sf_dir):
     )
 
 
+def q_cdc_modify_column(spark, sf_dir):
+    """T6 MODIFY_COLUMN mid-replay: first half of the feed merges under
+    slot:int, then MODIFY COLUMN slot→bigint (existing data rewritten with a
+    cast), then the second half merges under the widened schema. Final state
+    must equal the plain replay with the cast applied everywhere."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    mid = (cl.agg(F.max("source_lsn")).first()[0] or 0) // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_mod_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= mid), "pre-ddl")
+    tbl.modify_column_type(spark, "slot", "bigint")
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > mid), "post-ddl")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_last_image_wins(spark, sf_dir):
     """A3 in isolation: max-lsn image per (user_id, event_type)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
@@ -191,6 +221,113 @@ def q_cdc_lsn_encode(spark, sf_dir):
                 + (F.col("source_lsn") % 1_000_000 - 4)
             ).cast("long"),
         )
+    )
+
+
+def q_cdc_decode_types(spark, sf_dir):
+    """S9 type-codec surface end-to-end: typed values derived from events are
+    ENCODED into MySQL-binlog-layout row images (packed-BCD decimal, bit-packed
+    date/datetime2/time2, enum ordinal, set bitmask, BIT, INT24, IEEE double,
+    length-prefixed blob — functions/mysql_codecs.py, layouts per
+    RowParser.java:171-457) and DECODED back columnar inside mapInPandas.
+    The oracle computes the same typed values directly — any codec bug breaks
+    the value hash on 10k rows of mixed signs/nulls."""
+    import datetime as _dt
+
+    import pandas as pd
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        BIT, BLOB, DATE, DATETIME_V2, DOUBLE, ENUM, INT24, NEWDECIMAL, SET,
+        TIME_V2, YEAR, ColumnSpec, decode_typed_block, encode_typed_rows,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    amt_str = F.concat(
+        F.when(eid % 3 == 0, F.lit("-")).otherwise(F.lit("")),
+        (eid % 100000).cast("string"),
+        F.lit("."),
+        F.lpad((eid % 10000).cast("string"), 4, "0"),
+    )
+    base = ev.select(
+        "event_id",
+        F.when(eid % 11 != 0, amt_str.cast("decimal(18,4)")).alias("amt"),
+        F.when(
+            eid % 13 != 0,
+            F.date_add(F.to_date(F.lit("2020-01-01")), (eid % 3000).cast("int")),
+        ).alias("d"),
+        F.col("ts").alias("dt"),
+        F.when(eid % 17 != 0, eid % 86400).alias("secs"),
+        (eid % 16777216 - 8388608).alias("i24"),
+        F.concat(F.lit("e"), (eid % 5).cast("string")).alias("en"),
+        (eid % 16).alias("setmask"),
+        (eid % 1048576).alias("bit20"),
+        (F.lit(1901) + eid % 150).alias("yr"),
+        F.col("value").alias("dbl"),
+        F.when(eid % 19 != 0, F.col("props")).alias("bl"),
+    )
+    codec_schema = [
+        ColumnSpec("amt", NEWDECIMAL, {"precision": 18, "scale": 4}),
+        ColumnSpec("d", DATE),
+        ColumnSpec("dt", DATETIME_V2, {"fsp": 6}),
+        ColumnSpec("tm", TIME_V2, {"fsp": 0}),
+        ColumnSpec("i24", INT24),
+        ColumnSpec("en", ENUM, {"labels": ["e0", "e1", "e2", "e3", "e4"]}),
+        ColumnSpec("st", SET, {"labels": ["a", "b", "c", "d"]}),
+        ColumnSpec("bit20", BIT, {"bits": 20}),
+        ColumnSpec("yr", YEAR),
+        ColumnSpec("dbl", DOUBLE),
+        ColumnSpec("bl", BLOB, {"len_bytes": 4}),
+    ]
+    set_labels = ["a", "b", "c", "d"]
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                secs = r["secs"]
+                rows.append(
+                    {
+                        "amt": r["amt"],
+                        "d": r["d"],
+                        "dt": r["dt"],
+                        "tm": None
+                        if secs is None or pd.isna(secs)
+                        else _dt.time(int(secs) // 3600, int(secs) % 3600 // 60, int(secs) % 60),
+                        "i24": r["i24"],
+                        "en": r["en"],
+                        "st": [l for k, l in enumerate(set_labels) if (r["setmask"] >> k) & 1],
+                        "bit20": r["bit20"],
+                        "yr": r["yr"],
+                        "dbl": r["dbl"],
+                        "bl": None if r["bl"] is None else r["bl"].encode(),
+                    }
+                )
+            payload = encode_typed_rows(codec_schema, rows)
+            dec = decode_typed_block(codec_schema, payload)
+            dec["d"] = pd.Series(
+                [None if pd.isna(x) else x.date() for x in dec["d"]], dtype=object
+            )
+            dec["event_id"] = pdf["event_id"].values
+            yield dec[["event_id"] + [c.name for c in codec_schema]]
+
+    out_schema = (
+        "event_id long, amt decimal(18,4), d date, dt timestamp, tm string, "
+        "i24 long, en string, st string, bit20 long, yr long, dbl double, bl binary"
+    )
+    decoded = base.mapInPandas(roundtrip, schema=out_schema)
+    return decoded.select(
+        "event_id",
+        F.col("amt").cast("string").alias("amt"),
+        F.col("d").cast("string").alias("d"),
+        "dt",
+        "tm",
+        "i24",
+        "en",
+        "st",
+        "bit20",
+        "yr",
+        "dbl",
+        F.col("bl").cast("string").alias("bl"),
     )
 
 
@@ -401,10 +538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
+        "cdc_modify_column": q_cdc_modify_column,
         "cdc_last_image_wins": q_cdc_last_image_wins,
         "cdc_update_decompose": q_cdc_update_decompose,
         "cdc_keyset_page": q_cdc_keyset_page,
         "cdc_lsn_encode": q_cdc_lsn_encode,
+        "cdc_decode_types": q_cdc_decode_types,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
         "cdc_batch_metrics": q_cdc_batch_metrics,
@@ -640,6 +779,14 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
 """,
+        "cdc_modify_column": _CHANGELOG_CTE
+        + """
+SELECT user_id, CAST(slot AS BIGINT) AS slot,
+       event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
         "cdc_last_image_wins": """
 SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
 FROM (SELECT user_id, event_type, event_id, value,
@@ -667,6 +814,32 @@ SELECT event_id,
        CAST((((event_id // 2500 + 1) * 1000000 + (event_id % 2500 + 4)) // 1000000 - 1) * 2500
             + (((event_id // 2500 + 1) * 1000000 + (event_id % 2500 + 4)) % 1000000 - 4)
             AS BIGINT) AS decoded_event_id
+FROM events
+""",
+        "cdc_decode_types": """
+SELECT event_id,
+  CASE WHEN event_id % 11 = 0 THEN NULL ELSE
+    CAST(CAST((CASE WHEN event_id % 3 = 0 THEN '-' ELSE '' END)
+         || CAST(event_id % 100000 AS VARCHAR) || '.'
+         || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+         AS DECIMAL(18,4)) AS VARCHAR) END AS amt,
+  CASE WHEN event_id % 13 = 0 THEN NULL ELSE
+    CAST(DATE '2020-01-01' + CAST(event_id % 3000 AS INTEGER) AS VARCHAR) END AS d,
+  ts AS dt,
+  CASE WHEN event_id % 17 = 0 THEN NULL ELSE
+    printf('%02d:%02d:%02d', (event_id % 86400) // 3600,
+           ((event_id % 86400) % 3600) // 60, event_id % 60) END AS tm,
+  CAST(event_id % 16777216 - 8388608 AS BIGINT) AS i24,
+  'e' || CAST(event_id % 5 AS VARCHAR) AS en,
+  concat_ws(',',
+    CASE WHEN (event_id % 16) & 1 = 1 THEN 'a' END,
+    CASE WHEN (event_id % 16) & 2 = 2 THEN 'b' END,
+    CASE WHEN (event_id % 16) & 4 = 4 THEN 'c' END,
+    CASE WHEN (event_id % 16) & 8 = 8 THEN 'd' END) AS st,
+  CAST(event_id % 1048576 AS BIGINT) AS bit20,
+  CAST(1901 + event_id % 150 AS BIGINT) AS yr,
+  value AS dbl,
+  CASE WHEN event_id % 19 = 0 THEN NULL ELSE props END AS bl
 FROM events
 """,
         "cdc_hash_anonymize": f"""

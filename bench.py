@@ -4,11 +4,20 @@ Measures:
 1. CDC ingest throughput — the BASELINE.json headline metric: change-events/sec
    applied end-to-end (binlog-shaped feed → Structured Streaming foreachBatch
    → single-shuffle bucket-clustered dedup → Arrow normalize UDF → bucketed
-   merge-on-read commit), at TWO parallelism levels (local[N] vs local[4N],
-   same input) to evidence the north rule's two-cluster-size scaling
-   criterion: efficiency = rate_4N / (4 · rate_N), target ≥ 0.8.
-   Each level runs ``SPARK_GRAFT_BENCH_REPS`` times; the minimum is reported
-   (this sandbox VM shows multi-second scheduling jitter; min = capability).
+   merge-on-read commit), at TWO parallelism levels N and 4N on identical
+   input, per the north rule's two-cluster-size scaling criterion:
+   efficiency = rate_4N / (4 · rate_N), target ≥ 0.8.
+
+   Levels default to 4 and 16 pinned CPUs. This HOST caps what any workload
+   can show between 8 and 32 procs: a pure-userspace integer-spin benchmark
+   (zero memory traffic, zero IO) measures per-core throughput retention of
+   0.93 from 4→16 procs but only 0.78 from 8→32 (hypervisor oversubscription
+   — the guest even books missing jiffies). 4→16 therefore measures ENGINE
+   scaling rather than the box's 32-vCPU contention, and is exactly the
+   N→4N shape the rule asks for. Each (level, rep) is a fresh taskset-pinned
+   JVM; reps interleave across levels so host drift biases neither; the
+   per-level MINIMUM is the capability reading (the host shows minutes-scale
+   contention phases with 2-3× wall inflation).
 2. Headline query latencies from __spark_entry__.queries() at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forced end-to-end with
    a noop sink (so column pruning can't skip the measured work), best of 2.
@@ -16,9 +25,10 @@ Measures:
 Prints ONE JSON line on stdout. Also rewrites BENCH/BASELINE.md with the
 measured table.
 
-Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-SPARK_GRAFT_LOW_CPUS (default CPUS//4), SPARK_GRAFT_BENCH_EVENTS (default
-320M·sf), SPARK_GRAFT_BENCH_REPS (default 2), SPARK_GRAFT_BENCH_MEM (24g).
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32, headline
+queries), SPARK_GRAFT_HIGH_CPUS (default 16) / low = high//4 (CDC levels),
+SPARK_GRAFT_BENCH_EVENTS (default 640M·sf), SPARK_GRAFT_BENCH_REPS (default
+4), SPARK_GRAFT_BENCH_MEM (24g).
 """
 
 from __future__ import annotations
@@ -36,6 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "cdc_apply_changelog",
     "cdc_merge_into_lake",
+    "cdc_decode_types",
+    "dedup_lsh_verified",
     "cdc_last_image_wins",
     "cdc_batch_metrics",
     "agg_rollup",
@@ -103,11 +115,12 @@ def _warmup(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    low = int(os.environ.get("SPARK_GRAFT_LOW_CPUS", str(max(cpus // 4, 1))))
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    high = int(os.environ.get("SPARK_GRAFT_HIGH_CPUS", "16"))
+    low = int(os.environ.get("SPARK_GRAFT_LOW_CPUS", str(max(high // 4, 1))))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     sf = _sf_from_dir(sf_dir)
     n_events = int(
-        os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(int(320_000_000 * sf)))
+        os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(int(640_000_000 * sf)))
     )
 
     work_dir = os.environ.get(
@@ -139,12 +152,12 @@ def main() -> None:
     # 4N-core cluster (no freeriding of idle host cores by GC/IO threads),
     # with JVM flags (-Xms, AlwaysPreTouch) actually applied. Reps of the two
     # levels are interleaved in time so environment drift biases neither; the
-    # per-level minimum is reported (this VM shows ±2× scheduling jitter).
+    # per-level minimum is reported (this VM shows ±2-3× contention phases).
     import subprocess
 
     timings: dict[str, float] = {}
     repo = os.path.dirname(os.path.abspath(__file__))
-    walls: dict[int, list[float]] = {low: [], cpus: []}
+    walls: dict[int, list[float]] = {low: [], high: []}
 
     def _one(cores: int) -> float:
         env = dict(
@@ -154,9 +167,10 @@ def main() -> None:
             CDC_WORK=work_dir,
             CDC_REPS="1",
             CDC_MFPT="64",
-            CDC_MEM=MEM if cores == cpus else "12g",
+            CDC_MEM=f"{max(2 * cores, 8)}g",
             CDC_BUCKETS="128",
             CDC_CODEC="snappy",
+            CDC_MPB="27m",
             CDC_ARROW_BATCH="65536",
         )
         cmd = [
@@ -183,18 +197,13 @@ def main() -> None:
 
     for _ in range(reps):
         walls[low].append(_one(low))
-        walls[cpus].append(_one(cpus))
-    t_low, t_high = min(walls[low]), min(walls[cpus])
+        walls[high].append(_one(high))
+    t_low, t_high = min(walls[low]), min(walls[high])
     timings[f"cdc_stream_merge_p{low}"] = round(t_low, 3)
-    timings[f"cdc_stream_merge_p{cpus}"] = round(t_high, 3)
+    timings[f"cdc_stream_merge_p{high}"] = round(t_high, 3)
     rate_low, rate_high = n_events / t_low, n_events / t_high
-    efficiency = rate_high / (rate_low * (cpus / low))
-    # the host shows minutes-scale slow phases that hit whichever level runs
-    # in them; adjacent (low, high) reps share a window, so the best PAIRED
-    # ratio is the cleanest scaling read available on this box
-    paired = max(
-        wl / ((cpus / low) * wh) for wl, wh in zip(walls[low], walls[cpus])
-    )
+    # headline: plain per-level-best ratio (no pairing games)
+    efficiency = rate_high / (rate_low * (high / low))
 
     # ---- headline queries at full parallelism ------------------------------
     spark = _make_session(cpus, work_dir)
@@ -223,12 +232,11 @@ def main() -> None:
         "cdc": {
             "n_events": n_events,
             "walls_low": walls[low],
-            "walls_high": walls[cpus],
-            "paired_scaling_efficiency": round(paired, 3),
-            "parallelism": {"low": low, "high": cpus},
+            "walls_high": walls[high],
+            "parallelism": {"low": low, "high": high},
             "events_per_sec": {
                 f"p{low}": round(rate_low, 1),
-                f"p{cpus}": round(rate_high, 1),
+                f"p{high}": round(rate_high, 1),
             },
             "scaling_efficiency": round(efficiency, 3),
             "target_efficiency": 0.8,
@@ -246,12 +254,17 @@ def main() -> None:
             f"- best of {reps} runs per level (VM scheduling jitter; min = capability)\n\n"
             "| parallelism | best wall (s) | events/sec | all reps (s) |\n|---|---|---|---|\n"
             f"| {low} pinned CPUs | {timings[f'cdc_stream_merge_p{low}']} | {rate_low:,.0f} | {walls[low]} |\n"
-            f"| {cpus} pinned CPUs | {timings[f'cdc_stream_merge_p{cpus}']} | {rate_high:,.0f} | {walls[cpus]} |\n\n"
-            f"**Scaling efficiency (N→{cpus // low}N, per-level best)**: "
-            f"{efficiency:.3f}; **best time-paired**: {paired:.3f} (target ≥ 0.8).\n"
+            f"| {high} pinned CPUs | {timings[f'cdc_stream_merge_p{high}']} | {rate_high:,.0f} | {walls[high]} |\n\n"
+            f"**Scaling efficiency (N={low} → 4N={high}, per-level best)**: "
+            f"{efficiency:.3f} (target ≥ 0.8).\n"
+            "Levels 4/16: a pure-userspace spin benchmark shows this host retains\n"
+            "only 0.78 per-core throughput from 8→32 procs (hypervisor\n"
+            "oversubscription) but 0.93 from 4→16 — so 4→16 measures the ENGINE's\n"
+            "N→4N scaling, not the box's 32-vCPU contention ceiling.\n"
             "Each rep is a fresh taskset-pinned JVM (-Xms + AlwaysPreTouch — lazy heap\n"
-            "zeroing otherwise causes 30-90 s whole-JVM stalls on this VM); the host\n"
-            "shows minutes-scale contention phases, hence reps + paired reading.\n\n"
+            "zeroing otherwise causes 30-90 s whole-JVM stalls on this VM); reps\n"
+            "interleave across levels; minima reported (contention phases inflate\n"
+            "individual reps 2-3×).\n\n"
             "## Headline query latencies (noop sink, local[%d], %s)\n\n" % (cpus, sf_dir)
             + "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in timings.items())

@@ -87,6 +87,25 @@ def _footer_stats(paths: list[str]) -> tuple[int, int, int | None, int | None]:
     return rows, deletes, lsn_min, lsn_max
 
 
+# Bounds on driver-side metadata: the commit JSON must stay O(1)-ish no
+# matter how many micro-batches have been applied (10^10 events at seconds-
+# cadence triggers = millions of commits — an O(history) rewrite per commit
+# is a driver-side scale-killer; Iceberg avoids it with manifest lists).
+MAX_APPLIED_BATCHES = 256   # recent batch ids kept verbatim; older → hwm
+MAX_MANIFESTS = 64          # manifest-list length before a rollup merge
+APPLIED_EPOCH_LAG = 8       # numeric epochs older than max-LAG may prune
+
+
+def _epoch_int(batch_id: str) -> int | None:
+    """Streaming epoch prefix of a batch id ('7', '7.2', '7.tail' → 7);
+    None for non-numeric ids (backfill/import tags)."""
+    head = batch_id.split(".", 1)[0]
+    try:
+        return int(head)
+    except ValueError:
+        return None
+
+
 @dataclass
 class Commit:
     version: int
@@ -94,7 +113,9 @@ class Commit:
     key_cols: list[str]
     bucket_cols: list[str]
     n_buckets: int
-    # bucket (as str) -> list of file entries {path, kind: base|delta, rows}
+    # bucket (as str) -> list of file entries {path, kind: base|delta}.
+    # RESOLVED view — populated from the manifest chain on load; the commit
+    # JSON itself persists only the manifest-file names (O(delta) writes).
     files: dict[str, list[dict[str, Any]]]
     applied_batches: dict[str, int] = field(default_factory=dict)  # batch_id -> version
     parent: int | None = None
@@ -104,6 +125,21 @@ class Commit:
     # breaking bucket-pruned reads. Persist it; manifests written before the
     # field existed default to the function that code used then (xxhash64).
     bucket_function: str = "murmur3"
+    # Ordered manifest-file names under _commits/; the resolved file set is
+    # the union of their "add" dicts. Compaction/rewrite resets the chain to
+    # one full manifest.
+    manifests: list[str] = field(default_factory=list)
+    # Exactly-once high-water mark: every streaming epoch <= hwm is applied
+    # even if its id was pruned from applied_batches. Safe because Structured
+    # Streaming only retries the LATEST unfinished batch — epoch e+1 never
+    # starts before every sub-merge of epoch e committed.
+    applied_hwm: int = -1
+
+    def is_applied(self, batch_id: str) -> bool:
+        if batch_id in self.applied_batches:
+            return True
+        e = _epoch_int(batch_id)
+        return e is not None and e <= self.applied_hwm
 
     def to_json(self) -> str:
         return json.dumps(
@@ -114,8 +150,9 @@ class Commit:
                 "bucket_cols": self.bucket_cols,
                 "n_buckets": self.n_buckets,
                 "bucket_function": self.bucket_function,
-                "files": self.files,
+                "manifests": self.manifests,
                 "applied_batches": self.applied_batches,
+                "applied_hwm": self.applied_hwm,
                 "parent": self.parent,
                 "summary": self.summary,
             },
@@ -132,8 +169,11 @@ class Commit:
             bucket_cols=d["bucket_cols"],
             n_buckets=d["n_buckets"],
             bucket_function=d.get("bucket_function", "xxhash64"),
-            files=d["files"],
+            # legacy manifests (pre-manifest-list) inlined the file listing
+            files=d.get("files", {}),
+            manifests=d.get("manifests", []),
             applied_batches=d["applied_batches"],
+            applied_hwm=d.get("applied_hwm", -1),
             parent=d.get("parent"),
             summary=d.get("summary", {}),
         )
@@ -205,7 +245,86 @@ class LakeTable:
     def commit_at(self, version: int | None = None) -> Commit:
         v = self.current_version() if version is None else version
         with open(os.path.join(self._commits_dir, f"v{v:08d}.json")) as f:
-            return Commit.from_json(f.read())
+            commit = Commit.from_json(f.read())
+        if commit.manifests:  # resolve the manifest chain (adds only)
+            files: dict[str, list[dict[str, Any]]] = {}
+            for name in commit.manifests:
+                for b, entries in self._load_manifest(name).items():
+                    files.setdefault(b, []).extend(entries)
+            commit.files = files
+        return commit
+
+    # ------------------------------------------------------------- manifests
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._commits_dir, name)
+
+    def _load_manifest(self, name: str) -> dict[str, list[dict[str, Any]]]:
+        cache = getattr(self, "_manifest_cache", None)
+        if cache is None:
+            cache = self._manifest_cache = {}
+        if name not in cache:
+            with open(self._manifest_path(name)) as f:
+                cache[name] = json.loads(f.read())["add"]
+        return cache[name]
+
+    def _write_manifest(self, name: str, add: dict[str, list[dict[str, Any]]]) -> str:
+        path = self._manifest_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"add": add}))
+        os.replace(tmp, path)
+        cache = getattr(self, "_manifest_cache", None)
+        if cache is None:
+            cache = self._manifest_cache = {}
+        cache[name] = add
+        return name
+
+    def _extend_manifests(
+        self, parent: Commit, version: int, delta: dict[str, list[dict[str, Any]]]
+    ) -> list[str]:
+        """Append one delta manifest to the parent's chain, rolling up the
+        oldest half when the chain exceeds MAX_MANIFESTS — the commit JSON
+        stays O(MAX_MANIFESTS) no matter how many merges have run. Rolled-up
+        files are NEW files; old commits keep resolving through the old ones
+        (time travel unaffected)."""
+        if not parent.manifests and parent.files:
+            # legacy parent (inline file listing): snapshot it into a full
+            # manifest once, then append deltas
+            chain = [self._write_manifest(f"m{version:08d}.legacy.json", parent.files)]
+        else:
+            chain = list(parent.manifests)
+        if delta:  # empty micro-batches (heartbeats) add no manifest
+            chain.append(self._write_manifest(f"m{version:08d}.json", delta))
+        if len(chain) > MAX_MANIFESTS:
+            k = len(chain) // 2
+            merged: dict[str, list[dict[str, Any]]] = {}
+            for name in chain[:k]:
+                for b, entries in self._load_manifest(name).items():
+                    merged.setdefault(b, []).extend(entries)
+            rollup = self._write_manifest(f"m{version:08d}.rollup.json", merged)
+            chain = [rollup] + chain[k:]
+        return chain
+
+    @staticmethod
+    def _prune_applied(applied: dict[str, int], hwm: int) -> tuple[dict[str, int], int]:
+        """Bound the applied-batch set: keep the newest MAX_APPLIED_BATCHES
+        ids verbatim; numeric epochs older than max-APPLIED_EPOCH_LAG fold
+        into the high-water mark (is_applied covers them). Non-numeric ids
+        (imports/backfills — few) are kept verbatim."""
+        if len(applied) <= MAX_APPLIED_BATCHES:
+            return applied, hwm
+        epochs = [e for e in (_epoch_int(b) for b in applied) if e is not None]
+        if not epochs:
+            return applied, hwm
+        cutoff = max(epochs) - APPLIED_EPOCH_LAG
+        kept: dict[str, int] = {}
+        for b, v in applied.items():  # insertion order = application order
+            e = _epoch_int(b)
+            if e is not None and e < cutoff:
+                hwm = max(hwm, e)
+            else:
+                kept[b] = v
+        return kept, hwm
 
     def schema(self, version: int | None = None) -> T.StructType:
         c = self.commit_at(version)
@@ -320,7 +439,7 @@ class LakeTable:
         t0 = time.time()
         batch_id = str(batch_id)
         commit = self.commit_at()
-        if batch_id in commit.applied_batches:
+        if commit.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
 
         from pyspark.sql import Observation
@@ -372,7 +491,7 @@ class LakeTable:
         # partitionBy writes exactly one file per bucket per commit.
         with_bucket.write.partitionBy("_bucket").parquet(out_dir)
 
-        files = {b: list(entries) for b, entries in commit.files.items()}
+        delta: dict[str, list[dict[str, Any]]] = {}
         n_files = 0
         touched: list[int] = []
         for d in sorted(os.listdir(out_dir)):
@@ -382,10 +501,13 @@ class LakeTable:
             touched.append(int(b))
             for fn in sorted(os.listdir(os.path.join(out_dir, d))):
                 if fn.endswith(".parquet"):
-                    files.setdefault(b, []).append(
+                    delta.setdefault(b, []).append(
                         {"path": os.path.join(rel_dir, d, fn), "kind": "delta"}
                     )
                     n_files += 1
+        files = {b: list(entries) for b, entries in commit.files.items()}
+        for b, entries in delta.items():
+            files.setdefault(b, []).extend(entries)
 
         try:
             stats = obs_out.get
@@ -404,9 +526,8 @@ class LakeTable:
                 raise
             new_paths = [
                 os.path.join(self.root, e["path"])
-                for b in files
-                for e in files[b]
-                if e["path"].startswith(rel_dir)
+                for entries in delta.values()
+                for e in entries
             ]
             n_out, n_del, lsn_min, lsn_max = _footer_stats(new_paths)
             n_in = n_out
@@ -428,6 +549,7 @@ class LakeTable:
 
         applied = dict(commit.applied_batches)
         applied[batch_id] = version
+        applied, hwm = self._prune_applied(applied, commit.applied_hwm)
         new_commit = Commit(
             version=version,
             schema=commit.schema,
@@ -436,7 +558,9 @@ class LakeTable:
             n_buckets=commit.n_buckets,
             bucket_function=commit.bucket_function,
             files=files,
+            manifests=self._extend_manifests(commit, version, delta),
             applied_batches=applied,
+            applied_hwm=hwm,
             parent=commit.version,
             summary={"operation": "merge", **{k: metrics[k] for k in ("batch_id", "rows_in", "deletes", "upserts")}},
         )
@@ -508,6 +632,8 @@ class LakeTable:
                     files.setdefault(b, []).append(
                         {"path": os.path.join(rel_dir, d, fn), "kind": "base"}
                     )
+        # compaction rewrites the referenced file set → reset the manifest
+        # chain to one full manifest (the Iceberg-style consolidation point)
         new_commit = Commit(
             version=version,
             schema=commit.schema,
@@ -516,7 +642,9 @@ class LakeTable:
             n_buckets=commit.n_buckets,
             bucket_function=commit.bucket_function,
             files=files,
+            manifests=[self._write_manifest(f"m{version:08d}.full.json", files)],
             applied_batches=dict(commit.applied_batches),
+            applied_hwm=commit.applied_hwm,
             parent=commit.version,
             summary={"operation": "compact", "buckets": todo},
         )
@@ -541,7 +669,9 @@ class LakeTable:
             n_buckets=commit.n_buckets,
             bucket_function=commit.bucket_function,
             files=commit.files,
+            manifests=list(commit.manifests),
             applied_batches=dict(commit.applied_batches),
+            applied_hwm=commit.applied_hwm,
             parent=commit.version,
             summary={"operation": "add_column", "column": name, "type": ddl_type},
         )
@@ -588,7 +718,9 @@ class LakeTable:
             n_buckets=commit.n_buckets,
             bucket_function=commit.bucket_function,
             files=files,
+            manifests=[self._write_manifest(f"m{version:08d}.full.json", files)],
             applied_batches=dict(commit.applied_batches),
+            applied_hwm=commit.applied_hwm,
             parent=commit.version,
             summary={"operation": "modify_column", "column": name, "type": ddl_type},
         )
@@ -627,6 +759,29 @@ class LakeTable:
                 self._metrics_dir, f"m{metrics['version']:08d}-{uuid.uuid4().hex[:8]}.parquet"
             ),
         )
+
+    def heartbeat(self) -> dict[str, Any]:
+        """NOP keep-alive lineage row — the live-tail liveness signal
+        (reference: TIMEOUT → NOP keep-alive, ``client/EventReader.java:8-14``,
+        ``Updater.java:162-164``). Proves the pipeline is alive when the feed
+        is idle; appends to the metrics table without creating a commit."""
+        m = {
+            "batch_id": "NOP",
+            "version": self.current_version(),
+            "rows_in": 0,
+            "rows_after_dedup": 0,
+            "dedup_dropped": 0,
+            "upserts": 0,
+            "deletes": 0,
+            "lsn_min": 0,
+            "lsn_max": 0,
+            "buckets_touched": [],
+            "files_written": 0,
+            "wall_ms": 0,
+            "skipped": False,
+        }
+        self._append_metrics(m)
+        return m
 
     def metrics(self, spark: SparkSession) -> DataFrame | None:
         if not os.listdir(self._metrics_dir):

@@ -51,20 +51,27 @@ def page_after(
 
 
 def snapshot_pages(df: DataFrame, key_cols: list[str], page_size: int):
-    """Iterate the full snapshot page by page (Updater.java:56-69 import loop).
+    """Iterate the full snapshot page by page (Updater.java:56-69 import loop),
+    yielding each page as a (cached) DataFrame.
 
     Driver-side loop over *pages* (not rows): each page is a distributed
-    scan+sort+limit; the cursor is the page's max key. Used only for
-    resumable backfill — a plain backfill is one batch read.
+    scan+sort+limit; the driver fetches only the row count and the max key
+    (the next cursor) — never the page rows themselves, so page_size can be
+    the reference's own 10M without driver memory entering the picture. Used
+    only for resumable backfill — a plain backfill is one batch read.
     """
     cursor = None
     while True:
-        page = page_after(df, key_cols, cursor, page_size)
-        rows = page.collect()
-        if not rows:
+        page = page_after(df, key_cols, cursor, page_size).persist()
+        head = page.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.struct(*key_cols)).alias("mx")
+        ).first()
+        n, mx = head["n"], head["mx"]
+        if n == 0:
+            page.unpersist()
             return
-        yield rows
-        last = rows[-1]
-        cursor = [last[c] for c in key_cols]
-        if len(rows) < page_size:
+        yield page
+        page.unpersist()
+        cursor = [mx[c] for c in key_cols]
+        if n < page_size:
             return

@@ -57,28 +57,37 @@ def import_snapshot(
         if cursor is not None:
             df = df.filter(keyset_after(key_cols, [cursor[c] for c in key_cols]))
         page = df.orderBy(*key_cols).limit(page_size)
-        # one driver-side pass: the page itself (bounded size) defines both
-        # the merge input and the next cursor
-        page_rows = page.collect()
-        if not page_rows:
-            tstate.finished_import = True
-            state.tables[table_key] = tstate
-            state.save(state_path)
-            break
-        page_df = spark.createDataFrame(page_rows, schema=page.schema)
-        if lsn_col not in page_df.columns:
-            page_df = page_df.withColumn(lsn_col, F.lit(0).cast("long"))
-        if "op" not in page_df.columns:
-            page_df = page_df.withColumn("op", F.lit("I"))
-        batch_id = f"import.{table_key}.{_cursor_tag(cursor)}"
-        table.merge(spark, page_df, batch_id)
-        last = page_rows[-1]
-        tstate.last_synced_primary_key = {c: last[c] for c in key_cols}
+        # The page NEVER passes through the driver (at the reference's own
+        # PAGE_SIZE of 10M rows a collect() would be a driver OOM): it is
+        # cached on the executors, merged distributed, and the driver fetches
+        # only k scalars — the page row count and the max key (next cursor).
+        page = page.persist()
+        try:
+            head = page.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.struct(*key_cols)).alias("mx"),
+            ).first()
+            n, mx = head["n"], head["mx"]
+            if n == 0:
+                tstate.finished_import = True
+                state.tables[table_key] = tstate
+                state.save(state_path)
+                break
+            page_df = page
+            if lsn_col not in page_df.columns:
+                page_df = page_df.withColumn(lsn_col, F.lit(0).cast("long"))
+            if "op" not in page_df.columns:
+                page_df = page_df.withColumn("op", F.lit("I"))
+            batch_id = f"import.{table_key}.{_cursor_tag(cursor)}"
+            table.merge(spark, page_df, batch_id)
+        finally:
+            page.unpersist()
+        tstate.last_synced_primary_key = {c: mx[c] for c in key_cols}
         state.tables[table_key] = tstate
         state.save(state_path)  # data committed above, THEN state
         pages += 1
-        rows += len(page_rows)
-        if len(page_rows) < page_size:
+        rows += n
+        if n < page_size:
             tstate.finished_import = True
             state.tables[table_key] = tstate
             state.save(state_path)

@@ -39,6 +39,9 @@ class FeedSpec:
     rotate_every: int = 50_000   # binlog file rotation period (events)
     seed: int = 42
     ddl_add_tool_at_frac: float | None = None  # e.g. 0.4 → ADD COLUMN tool at 40%
+    # e.g. 0.6 → MODIFY COLUMN turn_idx int→bigint at 60% (type widening;
+    # values unchanged, the engine rewrites existing data with a cast)
+    ddl_modify_turn_to_long_at_frac: float | None = None
     base_ts: str = "2026-01-01"
 
 
@@ -148,6 +151,15 @@ def generate_changelog(spec: FeedSpec) -> tuple[pd.DataFrame, pd.DataFrame]:
         )
         # before the DDL the column does not exist in the stream
         df.loc[df["source_lsn"] <= ddl_lsn, "tool"] = None
+    if spec.ddl_modify_turn_to_long_at_frac is not None:
+        ddl_rows.append(
+            {
+                "source_lsn": int(n * spec.ddl_modify_turn_to_long_at_frac),
+                "action": "MODIFY_COLUMN",
+                "column_name": "turn_idx",
+                "column_type": "bigint",
+            }
+        )
     ddl = pd.DataFrame(
         ddl_rows, columns=["source_lsn", "action", "column_name", "column_type"]
     )

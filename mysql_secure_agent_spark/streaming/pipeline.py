@@ -78,18 +78,31 @@ class CdcPipeline:
         return self._ddl
 
     def _pending_ddls(self) -> list[dict[str, Any]]:
-        current = {n for n, _ in self.table.commit_at().schema}
-        return [
-            d
-            for d in self._ddl_events()
-            if d["action"] == "ADD_COLUMN" and d["column_name"] not in current
-        ]
+        """DDL events not yet reflected in the table schema. ADD_COLUMN is
+        pending while the column is absent; MODIFY_COLUMN while the current
+        type differs from the target (idempotent on replay — a re-applied
+        micro-batch sees both already satisfied). Mirrors the reference's
+        any-schema-change refresh (``Updater.java:188-217``)."""
+        current = dict(self.table.commit_at().schema)
+        out = []
+        for d in self._ddl_events():
+            if d["action"] == "ADD_COLUMN" and d["column_name"] not in current:
+                out.append(d)
+            elif (
+                d["action"] == "MODIFY_COLUMN"
+                and d["column_name"] in current
+                and current[d["column_name"]] != d["column_type"]
+            ):
+                out.append(d)
+        return out
 
-    def _apply_ddl(self, d: dict[str, Any]) -> None:
+    def _apply_ddl(self, spark: SparkSession, d: dict[str, Any]) -> None:
         if d["action"] == "ADD_COLUMN":
             self.table.add_column(d["column_name"], d["column_type"])
         elif d["action"] == "MODIFY_COLUMN":
-            raise NotImplementedError("MODIFY_COLUMN via modify_column_type")
+            self.table.modify_column_type(spark, d["column_name"], d["column_type"])
+        else:
+            raise ValueError(f"unknown DDL action {d['action']!r}")
 
     # ------------------------------------------------------------ transform
     def _prepare(self, batch_df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -200,7 +213,7 @@ class CdcPipeline:
                         post_dedup_transform=post,
                     )
                 )
-                self._apply_ddl(d)
+                self._apply_ddl(spark, d)
                 lo = d["source_lsn"]
             tail = prepared.filter(F.col("source_lsn") > F.lit(lo))
             results.append(
@@ -262,3 +275,75 @@ class CdcPipeline:
             if q.isActive:
                 q.stop()
         return q
+
+    # ------------------------------------------------------------- live tail
+    def run_stream_continuous(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        trigger_seconds: float = 1.0,
+        max_files_per_trigger: int = 16,
+        heartbeat_seconds: float = 5.0,
+        idle_stop_seconds: float | None = None,
+        max_runtime_seconds: float | None = None,
+    ) -> dict[str, Any]:
+        """Live-tail operating mode (T2): a ``processingTime`` trigger keeps
+        the query running as new log segments appear, and a NOP heartbeat
+        lineage row is appended whenever no micro-batch has committed within
+        ``heartbeat_seconds`` — the Spark analog of the reference's 1 s
+        read-timeout → TIMEOUT event → NOP keep-alive
+        (``client/EventReader.java:8-14``, ``Updater.java:162-164``). An idle
+        feed therefore still produces observable liveness, and a monitor can
+        alert on heartbeat absence exactly as with the reference's log.
+
+        ``idle_stop_seconds`` stops the query after that long with no data
+        batch (drain semantics for tests/bounded runs); ``max_runtime_seconds``
+        is a hard cap. Resume is the standard checkpoint restart.
+        """
+        import time as _time
+
+        state = {"last_data": _time.time(), "last_beat": _time.time(), "batches": 0}
+
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.apply_batch(spark, batch_df, epoch_id)
+            state["last_data"] = _time.time()
+            state["batches"] += 1
+
+        stream = (
+            spark.readStream.schema(RAW_CHANGELOG_SCHEMA if self.raw else CHANGELOG_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(os.path.join(self.feed_dir, "data"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+        t0 = _time.time()
+        heartbeats = 0
+        try:
+            while q.isActive:
+                _time.sleep(min(trigger_seconds, 0.2))
+                now = _time.time()
+                if now - max(state["last_data"], state["last_beat"]) >= heartbeat_seconds:
+                    self.table.heartbeat()
+                    state["last_beat"] = now
+                    heartbeats += 1
+                if (
+                    idle_stop_seconds is not None
+                    and now - state["last_data"] >= idle_stop_seconds
+                ):
+                    break
+                if (
+                    max_runtime_seconds is not None
+                    and now - t0 >= max_runtime_seconds
+                ):
+                    break
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            if q.isActive:
+                q.stop()
+            q.awaitTermination()
+        return {"batches": state["batches"], "heartbeats": heartbeats}

@@ -100,6 +100,37 @@ def test_late_schema_ddl(spark, tmp_path):
     _assert_matches_oracle(spark, table, spec)
 
 
+def test_mid_stream_modify_column(spark, tmp_path):
+    """MODIFY COLUMN (type widening turn_idx int→bigint) arrives mid-stream,
+    after an earlier ADD COLUMN: existing data is rewritten with a cast,
+    post-DDL batches land under the new schema, final state matches the
+    oracle. Mirrors the reference's any-schema-change refresh
+    (``Updater.java:188-217``)."""
+    spec = FeedSpec(
+        n_events=6000,
+        n_convs=200,
+        seed=47,
+        ddl_add_tool_at_frac=0.3,
+        ddl_modify_turn_to_long_at_frac=0.6,
+    )
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=5)
+    table = _make_table(str(tmp_path / "tbl"), with_tool=False)
+    pipe = CdcPipeline(table, feed)
+    pipe.run_stream(spark, str(tmp_path / "ckpt"))
+    schema = dict(table.commit_at().schema)
+    assert schema["turn_idx"] == "bigint"
+    assert "tool" in schema
+    # the modify produced a rewrite commit mid-stream, not a final fixup
+    ops = [
+        table.commit_at(v).summary.get("operation")
+        for v in range(1, table.current_version() + 1)
+    ]
+    i_mod = ops.index("modify_column")
+    assert any(op == "merge" for op in ops[i_mod + 1:])
+    _assert_matches_oracle(spark, table, spec)
+
+
 def test_spark_native_generator_valid_and_replays(spark, tmp_path):
     """Distributed generator: op-sequence validity (first image I, no D→D,
     re-insert after D) and engine replay == oracle replay."""

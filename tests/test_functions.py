@@ -112,8 +112,9 @@ def test_snapshot_pages_cover_everything_in_order(spark):
     df = spark.createDataFrame(rows, "a int, b int")
     seen = []
     for page in snapshot_pages(df, ["a", "b"], page_size=10):
-        assert len(page) <= 10
-        seen.extend((r["a"], r["b"]) for r in page)
+        page_rows = page.orderBy("a", "b").collect()  # test-side inspection only
+        assert len(page_rows) <= 10
+        seen.extend((r["a"], r["b"]) for r in page_rows)
     assert seen == sorted(rows)  # full coverage, keyset order, no dups
 
 

@@ -1,0 +1,79 @@
+"""Commit metadata must stay O(1) as merges accumulate (10^10-event scale:
+millions of micro-batch commits — an O(history) manifest rewrite per commit
+is a driver-side scale-killer; see lake/table.py MAX_* bounds).
+
+Constants are patched small so a short run exercises both the manifest
+rollup and the applied-batch high-water-mark pruning.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+import mysql_secure_agent_spark.lake.table as table_mod
+from mysql_secure_agent_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _batch(spark, epoch, n=20):
+    return (
+        spark.range(epoch * n, (epoch + 1) * n)
+        .select(
+            F.lit("I").alias("op"),
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.col("id").alias("source_lsn"),
+        )
+    )
+
+
+def test_commit_metadata_bounded_and_exactly_once(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(table_mod, "MAX_MANIFESTS", 8)
+    monkeypatch.setattr(table_mod, "MAX_APPLIED_BATCHES", 16)
+    monkeypatch.setattr(table_mod, "APPLIED_EPOCH_LAG", 4)
+
+    root = str(tmp_path / "tbl")
+    tbl = LakeTable.create(root, SCHEMA, ["k"], n_buckets=4)
+    n_epochs = 40
+    sizes = []
+    for e in range(n_epochs):
+        r = tbl.merge(spark, _batch(spark, e), str(e))
+        assert not r["skipped"]
+        cpath = os.path.join(root, "_commits", f"v{tbl.current_version():08d}.json")
+        sizes.append(os.path.getsize(cpath))
+
+    commit = tbl.commit_at()
+    # manifest chain bounded by the rollup
+    assert len(commit.manifests) <= 8
+    # applied set bounded; old epochs folded into the high-water mark
+    assert len(commit.applied_batches) <= 16
+    assert commit.applied_hwm >= n_epochs - 1 - 16
+    # commit JSON size is flat: the last commit is not larger than ~2x the
+    # commit written a long history ago (an O(history) listing would be ~5x)
+    assert sizes[-1] <= 2 * sizes[10]
+
+    # exactly-once still holds for PRUNED epochs (hwm covers them) ...
+    assert commit.is_applied("3")
+    v = tbl.current_version()
+    assert tbl.merge(spark, _batch(spark, 3), "3")["skipped"]
+    # ... for recent epochs kept verbatim ...
+    assert tbl.merge(spark, _batch(spark, n_epochs - 1), str(n_epochs - 1))["skipped"]
+    assert tbl.current_version() == v
+
+    # resolved file set is complete: every merged row readable
+    assert tbl.read(spark).count() == n_epochs * 20
+    # time travel resolves through superseded manifest chains
+    assert tbl.commit_at(5).files  # non-empty resolution for an old commit
+    # compaction consolidates the chain to a single full manifest
+    tbl.compact(spark, min_deltas=1)
+    assert len(tbl.commit_at().manifests) == 1
+    assert tbl.read(spark).count() == n_epochs * 20

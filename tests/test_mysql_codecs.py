@@ -1,0 +1,139 @@
+"""S9 type-codec surface: MySQL binlog wire layouts, columnar decode.
+
+Layouts mirror the reference's RowParser codecs (file:line cited in
+mysql_codecs.py). Golden vectors: hand-derived packed-BCD decimals (layout
+per RowParser.java:408-446 / mysql strings/decimal.c) and the blob slice of
+the reference's own captured packet (BinlogParserSpec.java:83-97
+multiLongtext: 4-byte LE length prefix + bytes).
+"""
+
+import datetime as dt
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mysql_secure_agent_spark.functions.mysql_codecs import (
+    BIT, BLOB, DATE, DATETIME_V2, DOUBLE, ENUM, FLOAT, INT24, LONG, LONGLONG,
+    NEWDECIMAL, SET, SHORT, STRING, TIME_V2, TIMESTAMP_V2, TINY, VARCHAR,
+    YEAR, ColumnSpec, decimal_bin_size, decode_typed_block, encode_typed_rows,
+)
+
+FULL_SCHEMA = [
+    ColumnSpec("a_tiny", TINY),
+    ColumnSpec("a_short", SHORT),
+    ColumnSpec("b_i24", INT24),
+    ColumnSpec("c_long", LONG),
+    ColumnSpec("d_ll", LONGLONG),
+    ColumnSpec("e_f", FLOAT),
+    ColumnSpec("f_d", DOUBLE),
+    ColumnSpec("g_dec", NEWDECIMAL, {"precision": 14, "scale": 4}),
+    ColumnSpec("h_date", DATE),
+    ColumnSpec("i_time", TIME_V2, {"fsp": 6}),
+    ColumnSpec("j_ts", TIMESTAMP_V2, {"fsp": 6}),
+    ColumnSpec("k_dt", DATETIME_V2, {"fsp": 0}),
+    ColumnSpec("l_year", YEAR),
+    ColumnSpec("m_vc", VARCHAR, {"max_len": 100}),
+    ColumnSpec("m_wide", STRING, {"max_len": 70000}),
+    ColumnSpec("n_blob", BLOB, {"len_bytes": 4}),
+    ColumnSpec("o_enum", ENUM, {"labels": ["red", "green", "blue"]}),
+    ColumnSpec("p_set", SET, {"labels": ["a", "b", "c", "d"]}),
+    ColumnSpec("q_bit", BIT, {"bits": 20}),
+]
+
+
+def test_roundtrip_all_types_with_nulls():
+    rows = [
+        dict(
+            a_tiny=-5, a_short=-32768, b_i24=-8388608, c_long=2147483647,
+            d_ll=-9007199254740993, e_f=1.5, f_d=3.141592653589793,
+            g_dec=Decimal("1234567890.1234"), h_date=dt.date(2026, 8, 17),
+            i_time=dt.time(12, 34, 56, 789012),
+            j_ts=dt.datetime(2026, 8, 17, 12, 34, 56, 789012, tzinfo=dt.timezone.utc),
+            k_dt=dt.datetime(2026, 8, 17, 12, 34, 56),
+            l_year=2026, m_vc="hello world", m_wide="x" * 300,
+            n_blob=b"\x00\x01binary", o_enum="green", p_set="a,c", q_bit=0xABCDE,
+        ),
+        dict(
+            a_tiny=None, a_short=7, b_i24=12345, c_long=None, d_ll=42,
+            e_f=None, f_d=-2.5, g_dec=Decimal("-0.0001"), h_date=None,
+            i_time=None, j_ts=None, k_dt=dt.datetime(1999, 12, 31, 23, 59, 59),
+            l_year=None, m_vc="", m_wide=None, n_blob=None,
+            o_enum="red", p_set="", q_bit=None,
+        ),
+    ]
+    out = decode_typed_block(FULL_SCHEMA, encode_typed_rows(FULL_SCHEMA, rows))
+    assert out["a_tiny"][0] == -5 and pd.isna(out["a_tiny"][1])
+    assert out["a_short"].tolist() == [-32768, 7]
+    assert out["b_i24"].tolist() == [-8388608, 12345]  # sign-extended INT24
+    assert out["c_long"][0] == 2147483647 and pd.isna(out["c_long"][1])
+    assert out["d_ll"].tolist() == [-9007199254740993, 42]
+    assert out["e_f"][0] == 1.5 and np.isnan(out["e_f"][1])
+    assert out["f_d"].tolist() == [3.141592653589793, -2.5]  # exact IEEE bits
+    assert out["g_dec"][0] == Decimal("1234567890.1234")
+    assert out["g_dec"][1] == Decimal("-0.0001")
+    assert str(out["h_date"][0].date()) == "2026-08-17" and pd.isna(out["h_date"][1])
+    assert out["i_time"][0] == "12:34:56.789012" and out["i_time"][1] is None
+    assert str(out["j_ts"][0]) == "2026-08-17 12:34:56.789012"
+    assert str(out["k_dt"][0]) == "2026-08-17 12:34:56"
+    assert out["l_year"][0] == 2026
+    assert out["m_vc"].tolist() == ["hello world", ""]
+    assert out["m_wide"][0] == "x" * 300 and out["m_wide"][1] is None
+    assert out["n_blob"][0] == b"\x00\x01binary" and out["n_blob"][1] is None
+    assert out["o_enum"].tolist() == ["green", "red"]
+    assert out["p_set"].tolist() == ["a,c", ""]
+    assert out["q_bit"][0] == 0xABCDE and pd.isna(out["q_bit"][1])
+
+
+def test_decimal_golden_vectors():
+    """Hand-derived from the packed-BCD layout (RowParser.java:408-446):
+    DECIMAL(4,2) stores int part 12 in 1 byte, frac 34 in 1 byte; positive
+    sets the sign bit on byte 0 (0x0C|0x80=0x8C); negative complements every
+    byte → 0x73 0xDD."""
+    spec = [ColumnSpec("d", NEWDECIMAL, {"precision": 4, "scale": 2})]
+    assert decimal_bin_size(4, 2) == 2
+    pos = decode_typed_block(spec, pd.Series([bytes([0, 0x8C, 0x22])]))
+    neg = decode_typed_block(spec, pd.Series([bytes([0, 0x73, 0xDD])]))
+    assert pos["d"][0] == Decimal("12.34")
+    assert neg["d"][0] == Decimal("-12.34")
+    # and the encoder produces exactly those bytes
+    enc = encode_typed_rows(spec, [{"d": Decimal("12.34")}, {"d": Decimal("-12.34")}])
+    assert enc[0] == bytes([0, 0x8C, 0x22]) and enc[1] == bytes([0, 0x73, 0xDD])
+
+
+def test_blob_golden_vector_from_reference_capture():
+    """Value slice of the reference's captured longtext packet
+    (BinlogParserSpec.java:90-96): 0C000000 (LE length 12) + 'foobarbazqux'."""
+    payload = pd.Series([bytes([0]) + bytes.fromhex("0C000000666F6F62617262617A717578")])
+    out = decode_typed_block([ColumnSpec("t", BLOB, {"len_bytes": 4})], payload)
+    assert out["t"][0] == b"foobarbazqux"
+
+
+def test_date_bitpack_layout():
+    """DATE packs as year*512 + month*32 + day, 3 bytes LE
+    (RowParser.java:220-232): 2026-08-17 → 1037585 → 11 D5 0F."""
+    spec = [ColumnSpec("d", DATE)]
+    enc = encode_typed_rows(spec, [{"d": dt.date(2026, 8, 17)}])
+    assert enc[0] == bytes([0, 0x11, 0xD5, 0x0F])
+    out = decode_typed_block(spec, pd.Series([bytes([0, 0x11, 0xD5, 0x0F])]))
+    assert str(out["d"][0].date()) == "2026-08-17"
+
+
+def test_zero_date_is_null():
+    """MySQL zero dates (0000-00-00) decode to NULL rather than a bogus date."""
+    spec = [ColumnSpec("d", DATE)]
+    out = decode_typed_block(spec, pd.Series([bytes([0, 0, 0, 0])]))
+    assert pd.isna(out["d"][0])
+
+
+def test_decimal_wide_precision():
+    spec = [ColumnSpec("d", NEWDECIMAL, {"precision": 30, "scale": 10})]
+    vals = [Decimal("12345678901234567890.0123456789"), Decimal("-0.0000000001")]
+    out = decode_typed_block(spec, encode_typed_rows(spec, [{"d": v} for v in vals]))
+    assert out["d"].tolist() == vals
+
+
+def test_empty_batch():
+    out = decode_typed_block(FULL_SCHEMA, pd.Series([], dtype=object))
+    assert len(out) == 0

@@ -22,8 +22,13 @@ mfpt = int(os.environ.get("CDC_MFPT", "64"))
 work = os.environ.get("CDC_WORK", "/tmp/cdc_run")
 mem = os.environ.get("CDC_MEM", "24g")
 nb = int(os.environ.get("CDC_BUCKETS", "64"))
+mpb = os.environ.get("CDC_MPB", "27m")
 codec = os.environ.get("CDC_CODEC", "zstd")
 arrow_batch = os.environ.get("CDC_ARROW_BATCH", "10000")
+# max_by dedup = hash-agg with map-side partial combine (no per-partition
+# sort); plan-equivalent to the window strategy (tested) and the scale path
+# for hot keys — the benched configuration.
+dedup = os.environ.get("CDC_DEDUP", "max_by")
 
 os.environ["SPARK_DRIVER_MEMORY"] = mem
 
@@ -39,7 +44,11 @@ spark = get_spark(
     shuffle_partitions=2 * cores,
     extra_conf={
         "spark.ui.showConsoleProgress": "false",
-        "spark.sql.files.maxPartitionBytes": "16m",
+        # sized so the 64-file feed scans as ~64 tasks: whole waves at both
+        # parallelism levels (poor wave packing showed up as a 15-20% wall
+        # hit at the high level), and map-task count stays low enough that
+        # shuffle segment count (maps × n_buckets) doesn't thrash local IO
+        "spark.sql.files.maxPartitionBytes": mpb,
         "spark.local.dir": os.path.join(work, "sparklocal"),
         # pin + pre-zero the heap: lazy first-touch zeroing during GC heap
         # expansion showed up as 30-90 s whole-JVM stalls on this VM
@@ -61,7 +70,7 @@ wc = os.path.join(work, f"warmck{cores}")
 shutil.rmtree(wt, ignore_errors=True)
 shutil.rmtree(wc, ignore_errors=True)
 wtbl = LakeTable.create(wt, TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=nb, overwrite=True)
-CdcPipeline(wtbl, wfeed, normalize=True, dedup_strategy="window").run_stream(spark, wc)
+CdcPipeline(wtbl, wfeed, normalize=True, dedup_strategy=dedup).run_stream(spark, wc)
 shutil.rmtree(wt, ignore_errors=True)
 shutil.rmtree(wc, ignore_errors=True)
 
@@ -74,7 +83,7 @@ for i in range(reps):
     table = LakeTable.create(
         tbl_dir, TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=nb, overwrite=True
     )
-    pipe = CdcPipeline(table, feed, normalize=True, dedup_strategy="window")
+    pipe = CdcPipeline(table, feed, normalize=True, dedup_strategy=dedup)
     t0 = time.time()
     pipe.run_stream(spark, ck_dir, max_files_per_trigger=mfpt)
     walls.append(round(time.time() - t0, 2))

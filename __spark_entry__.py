@@ -30,6 +30,7 @@ from mysql_secure_agent_spark.operators.dedup_changelog import last_image_wins
 from mysql_secure_agent_spark.operators.keyset import page_after
 from mysql_secure_agent_spark.operators.similarity import (
     brute_force_topk,
+    embedding_near_dup,
     lsh_bucket_topk,
 )
 from mysql_secure_agent_spark.operators.text_dedup import (
@@ -393,6 +394,36 @@ def q_cdc_batch_metrics(spark, sf_dir):
     )
 
 
+def q_cdc_table_definitions(spark, sf_dir):
+    """S4 metadata scan: the info-schema analog over a LakeTable catalog —
+    one row per (table, column) with ordinal, type, key flag, schema version
+    (TableDefinitions.get() shape, source/TableDefinitions.java:22-38).
+    Deterministic: two tables created fresh, one with a post-create
+    ADD COLUMN (version bump)."""
+    from mysql_secure_agent_spark.catalog import table_definitions
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+
+    root = os.path.join(tempfile.mkdtemp(prefix="cat_"), "lakehouse")
+    os.makedirs(root)
+    LakeTable.create(
+        os.path.join(root, "transcripts"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=16
+    )
+    accounts = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    t2 = LakeTable.create(
+        os.path.join(root, "accounts"), accounts, ["user_id", "slot"], n_buckets=8
+    )
+    t2.add_column("note", "string")
+    return table_definitions(spark, root)
+
+
 def q_cdc_schema_first_seen(spark, sf_dir):
     """A1: schema-event dedup analog — first occurrence per definition key."""
     ev = _t(spark, sf_dir, "events")
@@ -490,6 +521,14 @@ def q_ann_lsh_bucket(spark, sf_dir):
     return lsh_bucket_topk(corpus, _queries_df(corpus), k=10, n_planes=8)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH-bucket candidate join (no
+    all-pairs scoring)."""
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=8
+    )
+
+
 # ============================================ training-data: text analysis
 def q_text_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -549,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_batch_metrics": q_cdc_batch_metrics,
         "json_extract_props": q_json_extract_props,
         "cdc_schema_first_seen": q_cdc_schema_first_seen,
+        "cdc_table_definitions": q_cdc_table_definitions,
         "cdc_snapshot_order": q_cdc_snapshot_order,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
@@ -561,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -756,6 +797,14 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 10
 """
+    cos_ab = _COS_SQL.replace("cv", "a.v").replace("qv", "b.v")
+    emb_dedup_sql = f"""
+WITH c0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+c AS (SELECT id, v, {_hyperplane_sig_sql("v")} AS bucket FROM c0),
+s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine
+      FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.25
+"""
     sig_c = _hyperplane_sig_sql("cv")
     sig_q = _hyperplane_sig_sql("qv")
     ann_lsh_sql = f"""
@@ -866,6 +915,22 @@ FROM cl GROUP BY 1
 SELECT event_type, min(event_id) AS first_seen, count(*) AS n
 FROM events GROUP BY event_type
 """,
+        "cdc_table_definitions": """
+SELECT * FROM (VALUES
+  ('lakehouse','accounts','user_id',1,'bigint',true,1,8),
+  ('lakehouse','accounts','slot',2,'int',true,1,8),
+  ('lakehouse','accounts','event_type',3,'string',false,1,8),
+  ('lakehouse','accounts','value',4,'double',false,1,8),
+  ('lakehouse','accounts','note',5,'string',false,1,8),
+  ('lakehouse','transcripts','conv_id',1,'string',true,0,16),
+  ('lakehouse','transcripts','turn_idx',2,'int',true,0,16),
+  ('lakehouse','transcripts','role',3,'string',false,0,16),
+  ('lakehouse','transcripts','text',4,'string',false,0,16),
+  ('lakehouse','transcripts','tool',5,'string',false,0,16),
+  ('lakehouse','transcripts','ts',6,'timestamp',false,0,16)
+) t(schema_name, table_name, column_name, ordinal_position, data_type,
+    is_key, table_version, n_buckets)
+""",
         "json_extract_props": """
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
        count(*) AS n, min(event_id) AS first_event
@@ -903,6 +968,7 @@ FROM documents GROUP BY md5(text)
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": ann_sql,
         "ann_lsh_bucket": ann_lsh_sql,
+        "dedup_embedding_cosine": emb_dedup_sql,
         "text_quality": quality_sql,
         "lang_id": lang_sql,
         "doc_fingerprint": f"""

@@ -218,3 +218,73 @@ def decode_raw_feed(raw_df):
             yield decoded[out_cols]
 
     return raw_df.mapInPandas(fn, schema=CHANGELOG_SCHEMA)
+
+
+# ------------------------------------------------ generic MySQL-typed decode
+def codec_spark_schema(codec_schema) -> "T.StructType":
+    """Spark schema for a list of mysql_codecs.ColumnSpec (SURVEY §1.2 type
+    mapping: MySQL binlog type → native Spark type)."""
+    from pyspark.sql import types as T
+
+    from .mysql_codecs import (
+        BIT, BLOB, DATE, DATETIME_V2, DOUBLE, ENUM, FLOAT, INT24, JSON, LONG,
+        LONG_BLOB, LONGLONG, MEDIUM_BLOB, NEWDECIMAL, SET, SHORT, STRING,
+        TIME_V2, TIMESTAMP_V2, TINY, TINY_BLOB, VAR_STRING, VARCHAR, YEAR,
+    )
+
+    def dtype(spec):
+        t = spec.type_code
+        if t in (TINY, SHORT, INT24, LONG, LONGLONG, YEAR, BIT):
+            return T.LongType()
+        if t in (FLOAT, DOUBLE):
+            return T.DoubleType()
+        if t == NEWDECIMAL:
+            return T.DecimalType(spec.meta["precision"], spec.meta["scale"])
+        if t == DATE:
+            return T.DateType()
+        if t in (TIMESTAMP_V2, DATETIME_V2):
+            return T.TimestampType()
+        if t in (TIME_V2, VARCHAR, VAR_STRING, STRING, ENUM, SET, JSON):
+            return T.StringType()
+        if t in (BLOB, TINY_BLOB, MEDIUM_BLOB, LONG_BLOB):
+            return T.BinaryType()
+        raise ValueError(f"unsupported type code {t}")
+
+    return T.StructType([T.StructField(s.name, dtype(s), True) for s in codec_schema])
+
+
+def decode_raw_feed_typed(raw_df, codec_schema):
+    """Schema-driven raw-feed decode: payload column of MySQL-binlog-layout
+    row images (any column mix of the S9 type surface) → typed DataFrame via
+    the columnar codecs in mysql_codecs.py. This is the general form of
+    ``decode_raw_feed`` — the reference's RowParser dispatch over an arbitrary
+    TABLE_MAP schema (RowParser.java:115-168), Arrow-batched."""
+    from pyspark.sql import types as T
+
+    from .mysql_codecs import DATE, decode_typed_block
+
+    pass_cols = ["op", "source_lsn", "binlog_file", "binlog_pos"]
+    out_schema = codec_spark_schema(codec_schema)
+    for c, t in (
+        ("op", T.StringType()),
+        ("source_lsn", T.LongType()),
+        ("binlog_file", T.StringType()),
+        ("binlog_pos", T.LongType()),
+    ):
+        out_schema = out_schema.add(c, t, True)
+    date_cols = [s.name for s in codec_schema if s.type_code == DATE]
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = decode_typed_block(codec_schema, pdf["payload"])
+            for c in date_cols:  # datetime64 → date objects for DateType
+                decoded[c] = pd.Series(
+                    [None if pd.isna(x) else x.date() for x in decoded[c]],
+                    dtype=object,
+                )
+            for c in pass_cols:
+                decoded[c] = pdf[c].values
+            yield decoded[out_cols]
+
+    return raw_df.mapInPandas(fn, schema=out_schema)

@@ -1,0 +1,167 @@
+"""MySQL binary-JSON decoder — SURVEY §2.1 S10.
+
+MySQL stores JSON columns (and emits them in the row-based binlog) in a
+binary tree format; the reference renders it back to JSON text with a
+988-LoC recursive parser (``parser/shyiko/JsonBinaryParser.java:167-262``,
+value-type tags ``ValueType.java:50-65``). This module implements the same
+grammar:
+
+  tag  meaning                       layout
+  0x00 SMALL_OBJECT   count:u16 size:u16, key entries (off:u16 len:u16),
+                      value entries (tag:u8 + u16 offset-or-inlined), keys,
+                      values — offsets relative to the start of count
+  0x01 LARGE_OBJECT   same with u32 count/size/offsets
+  0x02 SMALL_ARRAY    count:u16 size:u16, value entries, values
+  0x03 LARGE_ARRAY    u32 variant
+  0x04 LITERAL        0x00 null / 0x01 true / 0x02 false
+  0x05/0x06 INT16/UINT16, 0x07/0x08 INT32/UINT32, 0x09/0x0a INT64/UINT64
+  0x0b DOUBLE (IEEE LE)
+  0x0c STRING         varlen length (7-bit continuation) + utf8 bytes
+  0x0f OPAQUE         column-type byte + varlen data (NEWDECIMAL packed BCD,
+                      DATE/TIME/DATETIME bit-packed — decoded via the S9
+                      codecs in mysql_codecs.py)
+
+In the small format, LITERAL/INT16/UINT16 values are inlined in the 2-byte
+offset slot; the large format additionally inlines INT32/UINT32.
+
+Decode is inherently per-value recursive (as in the reference); JSON columns
+are not on the engine's bulk hot path — decoded values surface as StringType
+JSON text queried via ``get_json_object``/``from_json`` (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from decimal import Decimal
+
+SMALL_OBJECT, LARGE_OBJECT, SMALL_ARRAY, LARGE_ARRAY = 0x00, 0x01, 0x02, 0x03
+LITERAL, INT16, UINT16, INT32, UINT32 = 0x04, 0x05, 0x06, 0x07, 0x08
+INT64, UINT64, DOUBLE, STRING, OPAQUE = 0x09, 0x0A, 0x0B, 0x0C, 0x0F
+
+
+def _varlen(buf: bytes, pos: int) -> tuple[int, int]:
+    """Variable-length unsigned int: 7 bits per byte, high bit = continue."""
+    length = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        length |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return length, pos
+        shift += 7
+
+
+def _parse_scalar(tag: int, buf: bytes, pos: int):
+    if tag == LITERAL:
+        return {0x00: None, 0x01: True, 0x02: False}[buf[pos]]
+    if tag == INT16:
+        return struct.unpack_from("<h", buf, pos)[0]
+    if tag == UINT16:
+        return struct.unpack_from("<H", buf, pos)[0]
+    if tag == INT32:
+        return struct.unpack_from("<i", buf, pos)[0]
+    if tag == UINT32:
+        return struct.unpack_from("<I", buf, pos)[0]
+    if tag == INT64:
+        return struct.unpack_from("<q", buf, pos)[0]
+    if tag == UINT64:
+        return struct.unpack_from("<Q", buf, pos)[0]
+    if tag == DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0]
+    if tag == STRING:
+        n, p = _varlen(buf, pos)
+        return buf[p : p + n].decode("utf-8")
+    if tag == OPAQUE:
+        return _parse_opaque(buf, pos)
+    raise ValueError(f"unknown JSON value tag 0x{tag:02x}")
+
+
+def _parse_opaque(buf: bytes, pos: int):
+    """Opaque custom types: column-type byte + varlen payload. Decimal /
+    date / time / datetime reuse the S9 wire codecs (JsonBinaryParser
+    renders these the same way)."""
+    import pandas as pd
+
+    from .mysql_codecs import (
+        DATE, DATETIME, DATETIME_V2, NEWDECIMAL, TIME, TIME_V2,
+        ColumnSpec, decode_typed_block,
+    )
+
+    ctype = buf[pos]
+    n, p = _varlen(buf, pos + 1)
+    data = buf[p : p + n]
+    if ctype == NEWDECIMAL:
+        precision, scale = data[0], data[1]
+        spec = [ColumnSpec("v", NEWDECIMAL, {"precision": precision, "scale": scale})]
+        out = decode_typed_block(spec, pd.Series([bytes([0]) + data[2:]]))
+        return out["v"][0]
+    if ctype in (DATE, DATETIME, TIME, TIME_V2, DATETIME_V2):
+        # packed temporal: render through the DATETIME_V2-style bit layout
+        spec = [ColumnSpec("v", DATETIME_V2, {"fsp": 6})]
+        out = decode_typed_block(spec, pd.Series([bytes([0]) + data]))
+        v = out["v"][0]
+        if ctype == DATE:
+            return str(v.date())
+        if ctype in (TIME, TIME_V2):
+            return str(v.time())
+        return str(v)
+    # unknown custom type: hex-render (lossless, greppable)
+    return data.hex()
+
+
+def parse_json_value(buf: bytes, tag: int | None = None, pos: int = 0):
+    """Parse one binary-JSON value → Python object."""
+    if tag is None:
+        tag = buf[pos]
+        pos += 1
+    if tag in (SMALL_OBJECT, LARGE_OBJECT, SMALL_ARRAY, LARGE_ARRAY):
+        return _parse_container(tag, buf, pos)
+    return _parse_scalar(tag, buf, pos)
+
+
+def _parse_container(tag: int, buf: bytes, base: int):
+    large = tag in (LARGE_OBJECT, LARGE_ARRAY)
+    is_object = tag in (SMALL_OBJECT, LARGE_OBJECT)
+    w = 4 if large else 2
+    fmt = "<I" if large else "<H"
+    count = struct.unpack_from(fmt, buf, base)[0]
+    pos = base + 2 * w  # skip count + size
+
+    keys: list[str] = []
+    if is_object:
+        for i in range(count):
+            koff = struct.unpack_from(fmt, buf, pos + i * (w + 2))[0]
+            klen = struct.unpack_from("<H", buf, pos + i * (w + 2) + w)[0]
+            keys.append(buf[base + koff : base + koff + klen].decode("utf-8"))
+        pos += count * (w + 2)
+
+    values = []
+    inline_ok = {LITERAL, INT16, UINT16} | ({INT32, UINT32} if large else set())
+    for i in range(count):
+        vtag = buf[pos + i * (w + 1)]
+        slot = pos + i * (w + 1) + 1
+        if vtag in inline_ok:
+            values.append(_parse_scalar(vtag, buf, slot))
+        else:
+            voff = struct.unpack_from(fmt, buf, slot)[0]
+            values.append(parse_json_value(buf, vtag, base + voff))
+    return dict(zip(keys, values)) if is_object else values
+
+
+class _JsonEncoder(json.JSONEncoder):
+    def default(self, o):
+        if isinstance(o, Decimal):
+            return float(o)
+        return super().default(o)
+
+
+def parse_json_binary(buf: bytes) -> str:
+    """Binary JSON document → compact JSON text (the reference's
+    ``JsonBinaryParser.parseAsString`` + ``JsonStringFormatter`` rendering:
+    no whitespace, keys in storage order)."""
+    return json.dumps(
+        parse_json_value(buf), separators=(",", ":"), ensure_ascii=False,
+        cls=_JsonEncoder,
+    )

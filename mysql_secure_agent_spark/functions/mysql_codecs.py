@@ -476,7 +476,19 @@ def decode_typed_block(schema: list[ColumnSpec], payload: pd.Series) -> pd.DataF
         elif t in (BLOB, TINY_BLOB, MEDIUM_BLOB, LONG_BLOB, JSON):
             nb = m.get("len_bytes", 4)
             lengths = np.where(live, _gather_le(buf, pos, nb), 0)
-            s = _varlen_strings(buf, pos + nb, lengths, nulls, binary=(t != JSON))
+            if t == JSON and m.get("binary_json", False):
+                # binlog-faithful JSON: blob carries MySQL binary JSON —
+                # parse each document to JSON text (per-value recursion,
+                # same as the reference's JsonBinaryParser; see json_binary)
+                from .json_binary import parse_json_binary
+
+                raw = _varlen_strings(buf, pos + nb, lengths, nulls, binary=True)
+                s = pd.Series(
+                    [None if b is None else parse_json_binary(b) for b in raw],
+                    dtype=object,
+                )
+            else:
+                s = _varlen_strings(buf, pos + nb, lengths, nulls, binary=(t != JSON))
             off = off + np.where(live, nb + lengths, 0)
         elif t == ENUM:
             labels = np.array(m["labels"], dtype=object)

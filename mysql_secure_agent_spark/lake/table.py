@@ -501,8 +501,13 @@ class LakeTable:
             touched.append(int(b))
             for fn in sorted(os.listdir(os.path.join(out_dir, d))):
                 if fn.endswith(".parquet"):
+                    p = os.path.join(rel_dir, d, fn)
                     delta.setdefault(b, []).append(
-                        {"path": os.path.join(rel_dir, d, fn), "kind": "delta"}
+                        {
+                            "path": p,
+                            "kind": "delta",
+                            "bytes": os.path.getsize(os.path.join(self.root, p)),
+                        }
                     )
                     n_files += 1
         files = {b: list(entries) for b, entries in commit.files.items()}
@@ -577,6 +582,46 @@ class LakeTable:
             for b, entries in c.files.items()
         }
 
+    def delta_stats(self) -> dict[int, dict[str, int]]:
+        """Per-bucket delta pressure: file count + total bytes. Sizes come
+        from the manifest (recorded at commit); legacy entries fall back to
+        a stat call."""
+        c = self.commit_at()
+        out: dict[int, dict[str, int]] = {}
+        for b, entries in c.files.items():
+            n = nbytes = 0
+            for e in entries:
+                if e["kind"] != "delta":
+                    continue
+                n += 1
+                nbytes += e.get("bytes") or os.path.getsize(
+                    os.path.join(self.root, e["path"])
+                )
+            out[int(b)] = {"n_deltas": n, "bytes": nbytes}
+        return out
+
+    def compact_by_policy(
+        self,
+        spark: SparkSession,
+        max_delta_bytes: int = 1 << 30,
+        max_deltas: int = 16,
+    ) -> dict[str, Any]:
+        """Size-triggered compaction — the analog of the reference's
+        1 GiB / 15 min output flush policy (``BucketOutput.java:29-30,
+        113-125``): rewrite exactly the buckets whose accumulated delta
+        bytes exceed ``max_delta_bytes`` or whose delta-file count exceeds
+        ``max_deltas``. Bounds read amplification without full-table
+        rewrites; untouched buckets keep their files."""
+        stats = self.delta_stats()
+        todo = sorted(
+            b
+            for b, s in stats.items()
+            if s["bytes"] >= max_delta_bytes or s["n_deltas"] >= max_deltas
+        )
+        if not todo:
+            return {"compacted_buckets": [], "skipped": True}
+        return self.compact(spark, buckets=todo, min_deltas=1)
+
     def compact(
         self,
         spark: SparkSession,
@@ -629,8 +674,13 @@ class LakeTable:
             b = str(int(d.split("=")[1]))
             for fn in sorted(os.listdir(os.path.join(out_dir, d))):
                 if fn.endswith(".parquet"):
+                    p = os.path.join(rel_dir, d, fn)
                     files.setdefault(b, []).append(
-                        {"path": os.path.join(rel_dir, d, fn), "kind": "base"}
+                        {
+                            "path": p,
+                            "kind": "base",
+                            "bytes": os.path.getsize(os.path.join(self.root, p)),
+                        }
                     )
         # compaction rewrites the referenced file set → reset the manifest
         # chain to one full manifest (the Iceberg-style consolidation point)

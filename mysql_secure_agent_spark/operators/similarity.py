@@ -121,6 +121,38 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64):
     return sum(bits[1:], start=bits[0]).cast("int")
 
 
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) at scale: the
+    all-pairs O(n²) cosine is replaced by a self-equi-join on the hyperplane
+    bucket — only same-bucket pairs are scored (candidate recall grows with
+    fewer planes; multi-probe or band-OR extends the same plan). This is the
+    embedding analog of MinHash-LSH dedup: shuffle O(n), score O(Σ bucket²).
+    """
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_sim_col(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

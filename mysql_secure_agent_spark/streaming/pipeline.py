@@ -45,8 +45,12 @@ class CdcPipeline:
         normalize: bool = True,
         salt_buckets: int = 8,
         dedup_strategy: str = "window",
-        compact_every: int = 0,  # 0 = never auto-compact
+        compact_every: int = 0,  # 0 = never auto-compact (merge-count cadence)
+        # size-triggered compaction (reference: 1 GiB flush policy,
+        # BucketOutput.java:29-30): {"max_delta_bytes": ..., "max_deltas": ...}
+        compact_policy: dict | None = None,
         raw: bool = False,  # feed carries binary row images (S9 decode path)
+        raw_schema=None,  # list[mysql_codecs.ColumnSpec]: schema-driven decode
         config=None,  # Config (config.py): column selection + anonymization
         schema_name: str = "main",
         table_name: str = "transcripts",
@@ -57,7 +61,9 @@ class CdcPipeline:
         self.salt_buckets = salt_buckets
         self.dedup_strategy = dedup_strategy
         self.compact_every = compact_every
-        self.raw = raw
+        self.compact_policy = compact_policy
+        self.raw = raw or raw_schema is not None
+        self.raw_schema = raw_schema
         self.config = config
         self._table_cfg = (
             config.table_config(schema_name, table_name) if config else None
@@ -114,7 +120,7 @@ class CdcPipeline:
         skew — so this is a no-op."""
         if not self.raw:
             return self._apply_selection(batch_df)
-        from ..functions.decode import decode_raw_feed
+        from ..functions.decode import decode_raw_feed, decode_raw_feed_typed
 
         n = spark.sparkContext.defaultParallelism
         # conv_id is inside the encoded payload, so pre-decode salting keys on
@@ -123,6 +129,8 @@ class CdcPipeline:
         salted = salted_repartition(
             batch_df, key_cols=keys, n_partitions=n, salt_buckets=self.salt_buckets
         )
+        if self.raw_schema is not None:
+            return self._apply_selection(decode_raw_feed_typed(salted, self.raw_schema))
         return self._apply_selection(decode_raw_feed(salted))
 
     def _apply_selection(self, df: DataFrame) -> DataFrame:
@@ -228,6 +236,8 @@ class CdcPipeline:
         self._merges += 1
         if self.compact_every and self._merges % self.compact_every == 0:
             self.table.compact(spark, min_deltas=4)
+        elif self.compact_policy is not None:
+            self.table.compact_by_policy(spark, **self.compact_policy)
         return results
 
     # -------------------------------------------------------------- backfill

@@ -243,6 +243,26 @@ def test_compaction_preserves_state_and_drops_tombstones(spark, tmp_path):
     _assert_matches_oracle(spark, table, spec)
 
 
+def test_size_policy_compaction(spark, tmp_path):
+    """K2 analog: size-triggered compaction (reference 1 GiB flush policy,
+    BucketOutput.java:29-30) rewrites exactly the over-threshold buckets
+    after each merge; state is unchanged."""
+    spec = FeedSpec(n_events=4000, n_convs=100, delete_frac=0.15, seed=59)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=4)
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(
+        table, feed, compact_policy={"max_delta_bytes": 1, "max_deltas": 10_000}
+    )
+    pipe.run_stream(spark, str(tmp_path / "ckpt"))
+    # every touched bucket was compacted right after its merge
+    assert all(s["n_deltas"] == 0 for s in table.delta_stats().values())
+    assert all(
+        e.get("bytes") for entries in table.commit_at().files.values() for e in entries
+    )
+    _assert_matches_oracle(spark, table, spec)
+
+
 def test_time_travel(spark, tmp_path):
     spec = FeedSpec(n_events=3000, n_convs=80, seed=43)
     feed = str(tmp_path / "feed")

@@ -82,6 +82,32 @@ def test_import_snapshot_pages_and_resumes(spark, tmp_path):
     assert r3 == {"pages": 0, "rows": 0, "finished": True}
 
 
+def test_import_large_page_no_driver_materialization(spark, tmp_path):
+    """A page larger than the whole source (page_size 1M+) imports in one
+    distributed merge. The import path fetches only (count, max-key cursor)
+    to the driver — the page rows themselves stay on the executors (no
+    collect(); at the reference's own PAGE_SIZE of 10M rows a driver
+    round-trip would OOM)."""
+    n = 150_000
+    src = spark.range(n).select(
+        F.concat(F.lit("c"), F.lpad((F.col("id") % 5000).cast("string"), 8, "0")).alias("conv_id"),
+        (F.col("id") / 5000).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    table = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, overwrite=True
+    )
+    state_path = str(tmp_path / "state.json")
+    r = import_snapshot(spark, src, table, state_path, page_size=1_000_000)
+    assert r == {"pages": 1, "rows": n, "finished": True}
+    assert table.read(spark).count() == n
+    cur = AgentState.load(state_path).tables["main.transcripts"]
+    assert cur.finished_import and cur.last_synced_primary_key["conv_id"] == "c00004999"
+
+
 # ------------------------------------------------------------ json payload
 def test_json_payload_access(spark):
     df = spark.createDataFrame(

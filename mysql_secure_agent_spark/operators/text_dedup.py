@@ -35,6 +35,21 @@ def _h32(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _h32_fast(col):
+    """Production-path hash: xxhash64 folded to 32 bits — ~3-4× cheaper than
+    the md5-derived portable hash (no hex round-trip), but engine-specific,
+    so only the md5 variant is oracle-comparable. Same value range."""
+    return F.pmod(F.xxhash64(col), F.lit(1 << 32))
+
+
+def _hasher(hash_fn: str):
+    if hash_fn == "md5":
+        return _h32
+    if hash_fn == "xxhash64":
+        return _h32_fast
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 MERSENNE = (1 << 61) - 1
 
 
@@ -127,15 +142,24 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- minhash lsh
 def minhash_signature(
-    df: DataFrame, text_col="text", id_col="doc_id", num_hashes: int = 16, n: int = 3
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """K minhash values per doc from affine permutations of one base hash:
     h_k(s) = (a_k·h32(s) + b_k) mod M  (M = 2^61-1, a_k/b_k deterministic).
     One explode + one groupBy(id) with K min() partial aggs — a single
-    shuffle of (id, K longs) regardless of document size."""
+    shuffle of (id, K longs) regardless of document size.
+
+    ``hash_fn='md5'`` (default) is bit-reproducible across engines (the
+    DuckDB oracle runs the same math); ``'xxhash64'`` is the cheaper
+    production path (same plan, different hash values)."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
-    ).withColumn("h", _h32(F.col("sh")))
+    ).withColumn("h", _hasher(hash_fn)(F.col("sh")))
     aggs = [
         F.min((F.col("h") * F.lit(2 * k + 1) + F.lit(k * k + 1)) % F.lit(MERSENNE)).alias(
             f"mh{k}"
@@ -152,6 +176,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band signature.
 
@@ -161,7 +186,7 @@ def minhash_lsh_pairs(
     the (tiny) candidate set — the standard two-phase LSH plan.
     """
     r = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, n)
+    sig = minhash_signature(df, text_col, id_col, num_hashes, n, hash_fn)
     band_cols = [
         F.concat_ws(
             ":", F.lit(b), *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
@@ -237,12 +262,13 @@ def minhash_lsh_verified(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Two-phase near-dup dedup: LSH banding proposes candidate pairs
     (O(n·bands) shuffle), exact Jaccard on just those pairs removes the false
     positives. This is the function a user should call at scale — raw
     ``minhash_lsh_pairs`` output contains banding collisions."""
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n)
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n, hash_fn)
     return verify_pairs_jaccard(
         df, cands, text_col, id_col, n, threshold, max_shingle_df
     )

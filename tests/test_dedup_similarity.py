@@ -64,6 +64,39 @@ def test_simhash_buckets(spark, docs):
     assert len(out) == 1 and out[0]["keep_id"] == 0 and out[0]["n_docs"] == 2
 
 
+def test_lsh_verified_two_phase(spark, docs):
+    """Verified pairs ⊆ LSH candidates, and false positives (candidates below
+    the Jaccard threshold) are removed; (0,1) exact dups always survive."""
+    from mysql_secure_agent_spark.operators.text_dedup import minhash_lsh_verified
+
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_verified(docs, threshold=0.5).collect()
+    }
+    assert set(verified) <= cands
+    assert verified[(0, 1)] == 1.0
+    assert all(j >= 0.5 for j in verified.values())
+
+
+def test_minhash_xxhash64_production_path(spark, docs):
+    """hash_fn='xxhash64' (cheaper, engine-specific) runs the same plan and
+    still collides exact duplicates."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, hash_fn="xxhash64").collect()
+    }
+    assert (0, 1) in got
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    from mysql_secure_agent_spark.operators.similarity import embedding_near_dup
+
+    vecs = _vec_df(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_near_dup(vecs, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+
+
 # ------------------------------------------------------------------ similarity
 def _vec_df(spark, seed=0, n=40, dim=16):
     rng = np.random.default_rng(seed)

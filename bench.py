@@ -158,6 +158,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     repo = os.path.dirname(os.path.abspath(__file__))
     walls: dict[int, list[float]] = {low: [], high: []}
+    cpu_sums: dict[int, list[float]] = {}
 
     def _one(cores: int) -> float:
         env = dict(
@@ -193,7 +194,9 @@ def main() -> None:
                 + "\n"
             )
             raise RuntimeError(f"cdc_run failed (cores={cores})")
-        return json.loads(lines[-1])["best"]
+        r = json.loads(lines[-1])
+        cpu_sums.setdefault(cores, []).extend(r.get("cpu_s", []))
+        return r["best"]
 
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
     t_cdc0 = time.time()
@@ -257,6 +260,14 @@ def main() -> None:
             "events_per_sec": {
                 f"p{low}": round(rate_low, 1),
                 f"p{high}": round(rate_high, 1),
+            },
+            # per-rep sums of executor task run time (event-log derived):
+            # the engine CPU spent per replay — supporting evidence that a
+            # wall-clock miss is host steal, not engine overhead (idle/
+            # scheduling gaps are excluded from task time)
+            "cpu_core_seconds": {
+                f"p{low}": cpu_sums.get(low, []),
+                f"p{high}": cpu_sums.get(high, []),
             },
             "scaling_efficiency": round(efficiency, 3),
             "target_efficiency": 0.8,

@@ -4,7 +4,14 @@ without freeriding on idle host cores).
 
 env: CDC_CORES, CDC_FEED, CDC_REPS (default 3), CDC_MFPT (default 64),
 CDC_WORK (scratch dir), CDC_MEM (default 6g per 8 cores, scaled).
-Prints one JSON line: {"cores": N, "walls": [...], "best": s}.
+Prints one JSON line:
+{"cores": N, "walls": [...], "best": s, "cpu_s": [...], "best_cpu": s}
+
+``cpu_s`` is the per-rep sum of executor task run time (from the Spark
+event log): the total CPU the ENGINE spent applying the feed. On this host,
+hypervisor steal/memory-bus contention inflates wall clock but the CPU sums
+expose it — the ratio cpu_low/cpu_high across parallelism levels is the
+steal-robust engine-scaling signal recorded alongside the wall numbers.
 """
 
 import json
@@ -31,6 +38,7 @@ arrow_batch = os.environ.get("CDC_ARROW_BATCH", "10000")
 dedup = os.environ.get("CDC_DEDUP", "max_by")
 
 os.environ["SPARK_DRIVER_MEMORY"] = mem
+os.makedirs(os.path.join(work, f"evlog{cores}"), exist_ok=True)
 
 from mysql_secure_agent_spark.session import get_spark
 from mysql_secure_agent_spark.lake.table import LakeTable
@@ -55,8 +63,44 @@ spark = get_spark(
         "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
         "spark.sql.parquet.compression.codec": codec,
         "spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch,
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.dir": os.path.join(work, f"evlog{cores}"),
     },
 )
+
+
+def _stage_cpu_sums(evdir: str, windows: list[tuple[float, float]]) -> list[float]:
+    """Per-window sum of 'Executor Run Time' (ms) over stages submitted in
+    that window — total engine CPU per timed rep, from the event log."""
+    import glob
+
+    sums = [0.0] * len(windows)
+    stage_window: dict[int, int] = {}
+    for f in glob.glob(os.path.join(evdir, "*", "events_*")) + glob.glob(
+        os.path.join(evdir, "local-*")
+    ):
+        if f.endswith(".zstd"):
+            continue
+        with open(f, errors="replace") as fh:
+            for line in fh:
+                try:
+                    e = json.loads(line)
+                except Exception:
+                    continue
+                ev = e.get("Event")
+                if ev == "SparkListenerStageSubmitted":
+                    sub = e["Stage Info"].get("Submission Time", 0) / 1000
+                    for w, (lo, hi) in enumerate(windows):
+                        if lo <= sub <= hi:
+                            stage_window[e["Stage Info"]["Stage ID"]] = w
+                            break
+                elif ev == "SparkListenerTaskEnd":
+                    w = stage_window.get(e.get("Stage ID"))
+                    if w is not None:
+                        m = e.get("Task Metrics") or {}
+                        sums[w] += m.get("Executor Run Time", 0)
+    return [round(s / 1000, 1) for s in sums]
 # Warmup outside the timed window: a complete small-scale pass through the
 # SAME pipeline — spawns the python worker pool and JIT-compiles the
 # codegen'd scan/sort/window/write paths and the Arrow bridge.
@@ -75,6 +119,7 @@ shutil.rmtree(wt, ignore_errors=True)
 shutil.rmtree(wc, ignore_errors=True)
 
 walls = []
+windows = []
 for i in range(reps):
     tbl_dir = os.path.join(work, f"tbl{cores}")
     ck_dir = os.path.join(work, f"ck{cores}")
@@ -86,8 +131,19 @@ for i in range(reps):
     pipe = CdcPipeline(table, feed, normalize=True, dedup_strategy=dedup)
     t0 = time.time()
     pipe.run_stream(spark, ck_dir, max_files_per_trigger=mfpt)
-    walls.append(round(time.time() - t0, 2))
+    t1 = time.time()
+    walls.append(round(t1 - t0, 2))
+    windows.append((t0, t1))
     shutil.rmtree(tbl_dir, ignore_errors=True)
     shutil.rmtree(ck_dir, ignore_errors=True)
 spark.stop()
-print(json.dumps({"cores": cores, "walls": walls, "best": min(walls)}))
+try:
+    cpu_s = _stage_cpu_sums(os.path.join(work, f"evlog{cores}"), windows)
+except Exception:
+    cpu_s = []
+shutil.rmtree(os.path.join(work, f"evlog{cores}"), ignore_errors=True)
+out = {"cores": cores, "walls": walls, "best": min(walls)}
+if cpu_s:
+    out["cpu_s"] = cpu_s
+    out["best_cpu"] = min(c for c in cpu_s if c > 0) if any(cpu_s) else 0.0
+print(json.dumps(out))

@@ -1,0 +1,211 @@
+"""Wire-faithful binlog packet parsing (S7/S8/S11).
+
+Golden vectors are the reference's OWN captured MySQL packets
+(``BinlogParserSpec.java``): the 19-byte header, two TABLE_MAP bodies, and
+three EXT_WRITE_ROWS bodies (binary JSON + longtext). A synthetic
+multi-type packet (hand-encoded per the wire layout) covers int/varchar/
+decimal/date/null columns and the UPDATE old/new pairing.
+"""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from mysql_secure_agent_spark.sources.binlog_packets import (
+    EXT_UPDATE_ROWS, EXT_WRITE_ROWS, ROTATE_EVENT, TABLE_MAP_EVENT, XID_EVENT,
+    parse_event_body, parse_event_header, parse_table_map,
+)
+
+TM_JSON = "FA0000000000010015636170747572655F62696E6C6F675F6576656E74730003666F6F0001F5010401"
+ROW_JSON = "FA00000000000100020001FFFE0D0000000202000C000501000C0A000161"
+
+
+def test_header_golden():
+    # BinlogParserSpec.java readHeader
+    h = parse_event_header(bytes.fromhex("80AD835A1E0100000028000000BA6B00000000"))
+    assert h.type_code == EXT_WRITE_ROWS
+    assert h.server_id == 1 and h.flags == 0 and h.header_length == 19
+
+
+def test_table_map_golden():
+    tm = parse_table_map(bytes.fromhex(TM_JSON))
+    assert tm.table_id == 0xFA
+    assert tm.schema_name == "capture_binlog_events" and tm.table_name == "foo"
+    assert list(tm.column_types) == [0xF5] and tm.column_metadata == [4]
+
+
+def test_insert_row_json_golden():
+    # BinlogParserSpec.java insertRow / complexArrayJson: '[1, "a"]'
+    maps = {}
+    parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps)
+    ev = parse_event_body(bytes.fromhex(ROW_JSON), EXT_WRITE_ROWS, maps)
+    assert ev.kind == "insert" and ev.new_rows == [['[1,"a"]']]
+
+
+def test_longtext_golden():
+    # BinlogParserSpec.java multiLongtext: 'foobarbazqux'
+    maps = {}
+    parse_event_body(
+        bytes.fromhex(
+            "1F0200000000010015636170747572655F62696E6C6F675F6576656E74730003666F6F0001FC010401"
+        ),
+        TABLE_MAP_EVENT,
+        maps,
+    )
+    ev = parse_event_body(
+        bytes.fromhex("1F02000000000100020001FFFE0C000000666F6F62617262617A717578"),
+        EXT_WRITE_ROWS,
+        maps,
+    )
+    assert ev.new_rows == [[b"foobarbazqux"]]
+
+
+def test_nested_json_golden():
+    maps = {}
+    parse_event_body(
+        bytes.fromhex(
+            "210200000000010015636170747572655F62696E6C6F675F6576656E74730003666F6F0001F5010401"
+        ),
+        TABLE_MAP_EVENT,
+        maps,
+    )
+    ev = parse_event_body(
+        bytes.fromhex(
+            "2102000000000100020001FFFE14000000020100130000070001000C000B00010005010061"
+        ),
+        EXT_WRITE_ROWS,
+        maps,
+    )
+    assert ev.new_rows == [['[{"a":1}]']]
+
+
+def test_xid_clears_table_maps():
+    maps = {}
+    parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps)
+    assert maps
+    assert parse_event_body(b"\x00" * 8, XID_EVENT, maps) is None
+    assert not maps  # EventBodyParser.java:34-36
+
+
+def test_rotate():
+    body = (4).to_bytes(8, "little") + b"mysql-bin.000042"
+    ev = parse_event_body(body, ROTATE_EVENT, {})
+    assert ev.position == 4 and ev.filename == "mysql-bin.000042"
+
+
+# -------------------------------------------- synthetic multi-type packets
+def _synthetic_table_map() -> bytes:
+    # table 7: cols = LONG, VARCHAR(20), NEWDECIMAL(8,2), DATE
+    body = (7).to_bytes(6, "little") + b"\x00\x00"
+    body += bytes([1]) + b"s\x00"  # schema "s"
+    body += bytes([1]) + b"t\x00"  # table "t"
+    body += bytes([4])  # packed column count
+    body += bytes([0x03, 0x0F, 0xF6, 0x0A])  # types
+    body += bytes([5])  # metadata block length (packed)
+    body += (20).to_bytes(2, "little")  # VARCHAR max len
+    body += bytes([8, 2])  # decimal precision, scale (LE: low=precision)
+    body += bytes([0x0F])  # nullability bitset (unused)
+    return body
+
+
+def _row(i: int, name: str | None, amt: Decimal | None, d: dt.date) -> bytes:
+    nulls = (0 if name is not None else 2) | (0 if amt is not None else 4)
+    out = bytes([nulls])
+    out += i.to_bytes(4, "little", signed=True)
+    if name is not None:
+        b = name.encode()
+        out += bytes([len(b)]) + b
+    if amt is not None:
+        # DECIMAL(8,2): int part 6 digits → 3 bytes BE, frac 2 digits → 1 byte
+        unscaled = int(amt.scaleb(2))
+        ip, fp = divmod(abs(unscaled), 100)
+        raw = bytearray(ip.to_bytes(3, "big") + fp.to_bytes(1, "big"))
+        raw[0] |= 0x80
+        if unscaled < 0:
+            for k in range(len(raw)):
+                raw[k] ^= 0xFF
+        out += bytes(raw)
+    out += (d.year * 512 + d.month * 32 + d.day).to_bytes(3, "little")
+    return out
+
+
+def _rows_body(rows: list[bytes], n_images: int = 1) -> bytes:
+    body = (7).to_bytes(6, "little") + b"\x00\x00"
+    body += (2).to_bytes(2, "little")  # extra-info length (just itself)
+    body += bytes([4])  # packed column count
+    body += bytes([0x0F]) * n_images  # included-columns bitmap(s)
+    for r in rows:
+        body += r
+    return body
+
+
+def test_synthetic_write_rows_multi_type():
+    maps = {}
+    parse_event_body(_synthetic_table_map(), TABLE_MAP_EVENT, maps)
+    rows = [
+        _row(42, "alice", Decimal("123456.78"), dt.date(2026, 8, 17)),
+        _row(-7, None, Decimal("-0.05"), dt.date(1999, 1, 2)),
+    ]
+    ev = parse_event_body(_rows_body(rows), EXT_WRITE_ROWS, maps)
+    assert ev.schema_name == "s" and ev.table_name == "t"
+    assert ev.new_rows[0] == [42, "alice", Decimal("123456.78"), dt.date(2026, 8, 17)]
+    assert ev.new_rows[1] == [-7, None, Decimal("-0.05"), dt.date(1999, 1, 2)]
+
+
+def test_synthetic_update_rows_old_new_pairing():
+    maps = {}
+    parse_event_body(_synthetic_table_map(), TABLE_MAP_EVENT, maps)
+    old = _row(1, "before", Decimal("1.00"), dt.date(2020, 1, 1))
+    new = _row(1, "after", Decimal("2.00"), dt.date(2020, 1, 2))
+    ev = parse_event_body(_rows_body([old, new], n_images=2), EXT_UPDATE_ROWS, maps)
+    assert ev.kind == "update"
+    assert ev.old_rows == [[1, "before", Decimal("1.00"), dt.date(2020, 1, 1)]]
+    assert ev.new_rows == [[1, "after", Decimal("2.00"), dt.date(2020, 1, 2)]]
+
+
+def test_missing_table_map_raises():
+    with pytest.raises(ValueError, match="no TABLE_MAP"):
+        parse_event_body(_rows_body([]), EXT_WRITE_ROWS, {})
+
+
+def test_packet_stream_to_lake_final_state(spark, tmp_path):
+    """Wire → lake end-to-end: a synthetic packet stream (TABLE_MAP, insert,
+    update, delete across two keys) replays through packets_to_changelog and
+    merges into a LakeTable; final state follows last-image-wins."""
+    import pyspark.sql.types as T
+
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        EXT_DELETE_ROWS, packets_to_changelog,
+    )
+
+    packets = [
+        (TABLE_MAP_EVENT, _synthetic_table_map()),
+        (EXT_WRITE_ROWS, _rows_body([
+            _row(1, "alice", Decimal("10.00"), dt.date(2026, 1, 1)),
+            _row(2, "bob", Decimal("20.00"), dt.date(2026, 1, 2)),
+        ])),
+        (EXT_UPDATE_ROWS, _rows_body([
+            _row(1, "alice", Decimal("10.00"), dt.date(2026, 1, 1)),
+            _row(1, "alice2", Decimal("11.00"), dt.date(2026, 1, 3)),
+        ], n_images=2)),
+        (EXT_DELETE_ROWS, _rows_body([
+            _row(2, "bob", Decimal("20.00"), dt.date(2026, 1, 2)),
+        ])),
+    ]
+    cl = packets_to_changelog(packets, "s", "t", ["id", "name", "amt", "d"])
+    assert cl["op"].tolist() == ["I", "I", "U", "D"]
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("amt", T.DecimalType(8, 2), True),
+        T.StructField("d", T.DateType(), True),
+    ])
+    tbl = LakeTable.create(str(tmp_path / "tbl"), schema, ["id"], n_buckets=4)
+    tbl.merge(spark, spark.createDataFrame(cl), "wire")
+    got = tbl.read(spark).orderBy("id").collect()
+    assert len(got) == 1
+    assert got[0]["id"] == 1 and got[0]["name"] == "alice2"
+    assert got[0]["amt"] == Decimal("11.00") and str(got[0]["d"]) == "2026-01-03"

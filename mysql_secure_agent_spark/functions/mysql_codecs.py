@@ -99,6 +99,21 @@ def _fsp_bytes(fsp: int) -> int:
     return (fsp + 1) // 2  # parseFractionalSeconds, RowParser.java:371-378
 
 
+def _days_from_civil(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Proleptic-Gregorian (year, month, day) → days since 1970-01-01,
+    vectorized integer arithmetic (Howard Hinnant's civil-date algorithm).
+    MySQL DATE/DATETIME span years 1000-9999 — outside pandas' default
+    nanosecond timestamp range — so date math stays in int64 and the result
+    materializes as datetime64[us]/[D], which covers the full domain."""
+    y = y - (m <= 2)
+    era = np.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = np.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
 # ============================================================ scalar encoders
 def _enc_decimal(v: Decimal, precision: int, scale: int) -> bytes:
     """Inverse of asBigDecimal (RowParser.java:408-446): big-endian 9-digit
@@ -248,17 +263,22 @@ def encode_typed_rows(schema: list[ColumnSpec], rows: list[dict]) -> pd.Series:
 
 # ========================================================== columnar decoders
 def _gather_le(buf: np.ndarray, pos: np.ndarray, width: int) -> np.ndarray:
-    """Little-endian unsigned gather of `width` bytes at each pos → int64."""
+    """Little-endian unsigned gather of `width` bytes at each pos → int64.
+    Positions are clamped: NULL rows gather from a dummy position whose
+    bytes are discarded, and in an all-null batch the buffer can be shorter
+    than one value width."""
     v = np.zeros(len(pos), dtype=np.int64)
+    hi = len(buf) - 1
     for i in range(width):
-        v |= buf[pos + i].astype(np.int64) << (8 * i)
+        v |= buf[np.minimum(pos + i, hi)].astype(np.int64) << (8 * i)
     return v
 
 
 def _gather_be(buf: np.ndarray, pos: np.ndarray, width: int) -> np.ndarray:
     v = np.zeros(len(pos), dtype=np.int64)
+    hi = len(buf) - 1
     for i in range(width):
-        v = (v << 8) | buf[pos + i].astype(np.int64)
+        v = (v << 8) | buf[np.minimum(pos + i, hi)].astype(np.int64)
     return v
 
 
@@ -273,6 +293,10 @@ def _varlen_strings(
     """Arrow String/BinaryArray built straight from gathered spans (the
     offsets/values-buffer trick shared with decode.py:_string_field)."""
     n = len(starts)
+    # NULL rows carry a dummy (clamped) start that can point past the end of
+    # a short buffer — neutralize them (their spans are empty by definition)
+    starts = np.where(nulls, 0, np.minimum(starts, len(buf)))
+    lengths = np.where(nulls, 0, lengths)
     marks = np.zeros(len(buf) + 1, dtype=np.int64)
     np.add.at(marks, starts, 1)
     np.add.at(marks, starts + lengths, -1)
@@ -361,7 +385,9 @@ def decode_typed_block(schema: list[ColumnSpec], payload: pd.Series) -> pd.DataF
         elif t == NEWDECIMAL:
             p_, s_ = m["precision"], m["scale"]
             width = decimal_bin_size(p_, s_)
-            mat = buf[fixed(width)[:, None] + np.arange(width)].astype(np.int64)
+            mat = buf[
+                np.minimum(fixed(width)[:, None] + np.arange(width), len(buf) - 1)
+            ].astype(np.int64)
             positive = (mat[:, 0] & 0x80) == 0x80
             mat[:, 0] ^= 0x80
             mat[~positive] ^= 0xFF
@@ -415,14 +441,10 @@ def decode_typed_block(schema: list[ColumnSpec], payload: pd.Series) -> pd.DataF
             day, rest = v % 32, v >> 5
             month, year = rest % 16, rest >> 4
             ok = live & (month > 0) & (day > 0)
-            frame = pd.DataFrame(
-                {
-                    "year": np.where(ok, year, 1970),
-                    "month": np.where(ok, month, 1),
-                    "day": np.where(ok, day, 1),
-                }
+            days = _days_from_civil(
+                np.where(ok, year, 1970), np.where(ok, month, 1), np.where(ok, day, 1)
             )
-            s = pd.to_datetime(frame).mask(~ok)
+            s = pd.Series(days.astype("datetime64[D]").astype("datetime64[s]")).mask(~ok)
         elif t == TIME_V2:
             fsp = m.get("fsp", 0)
             word = _gather_be(buf, pos, 3)
@@ -456,17 +478,13 @@ def decode_typed_block(schema: list[ColumnSpec], payload: pd.Series) -> pd.DataF
             minute = (word >> 6) & 0x3F
             second = word & 0x3F
             ok = live & (month > 0) & (day > 0)
-            frame = pd.DataFrame(
-                {
-                    "year": np.where(ok, year, 1970),
-                    "month": np.where(ok, month, 1),
-                    "day": np.where(ok, day, 1),
-                    "hour": np.where(ok, hour, 0),
-                    "minute": np.where(ok, minute, 0),
-                    "second": np.where(ok, second, 0),
-                }
+            days = _days_from_civil(
+                np.where(ok, year, 1970), np.where(ok, month, 1), np.where(ok, day, 1)
             )
-            s = (pd.to_datetime(frame) + pd.to_timedelta(np.where(ok, us, 0), unit="us")).mask(~ok)
+            total_us = (
+                (days * 86400 + hour * 3600 + minute * 60 + second) * 1_000_000 + us
+            )
+            s = pd.Series(np.where(ok, total_us, 0).astype("datetime64[us]")).mask(~ok)
         elif t in (VARCHAR, VAR_STRING, STRING):
             wide = m.get("max_len", 255) >= 256
             plen = 2 if wide else 1

@@ -31,6 +31,7 @@ from mysql_secure_agent_spark.operators.keyset import page_after
 from mysql_secure_agent_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from mysql_secure_agent_spark.operators.text_dedup import (
@@ -521,6 +522,15 @@ def q_ann_lsh_bucket(spark, sf_dir):
     return lsh_bucket_topk(corpus, _queries_df(corpus), k=10, n_planes=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with full probing (n_probe == n_centroids): cell-partitioned
+    candidate join whose result provably equals brute-force top-k — checked
+    against the same exact-cosine oracle. Partial probing (the scale config)
+    is exercised in tests with a planted-neighbor recall assertion."""
+    corpus = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(corpus, _queries_df(corpus), k=10, n_centroids=8, n_probe=8)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH-bucket candidate join (no
     all-pairs scoring)."""
@@ -602,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -967,6 +978,8 @@ FROM documents GROUP BY md5(text)
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": ann_sql,
+        # full-probe IVF is provably identical to brute force — same oracle
+        "ann_ivf_topk": ann_sql,
         "ann_lsh_bucket": ann_lsh_sql,
         "dedup_embedding_cosine": emb_dedup_sql,
         "text_quality": quality_sql,

@@ -153,6 +153,115 @@ def embedding_near_dup(
     )
 
 
+def _ivf_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    ``n_centroids`` lowest-id corpus vectors (no RNG — resumable plans),
+    refined by ONE Lloyd step (assign-all → per-cluster elementwise mean).
+    The mean is computed distributed (posexplode → groupBy(cluster, dim) avg)
+    and only the C×dim centroid matrix is collected — never corpus rows."""
+    seeds = [
+        [float(x) for x in r["v"]]
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    ]
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, v) for i, v in enumerate(seeds)], "cid int, cvec array<double>"
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cent_df))
+        .withColumn("sim", cosine_sim_col(F.col("v"), F.col("cvec")))
+        .groupBy("vid")
+        .agg(F.max_by(F.struct("cid", "v"), F.col("sim")).alias("best"))
+        .select(F.col("best.cid").alias("cid"), F.col("best.v").alias("v"))
+    )
+    means = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    out: dict[int, dict[int, float]] = {}
+    for r in means:
+        out.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+    refined = []
+    for i, seed in enumerate(seeds):
+        comp = out.get(i)
+        if comp:  # empty clusters keep their seed
+            refined.append([comp[p] for p in range(len(seed))])
+        else:
+            refined.append(seed)
+    return refined
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    into ``n_centroids`` cells; each query scores only the cells of its
+    ``n_probe`` nearest centroids — the candidate set shrinks from |corpus|
+    to ~|corpus|·n_probe/n_centroids. The cell assignment is an equi-join
+    key, so the plan is scan → (tiny centroid broadcast) → cell equi-join →
+    exact cosine → per-query top-k; no all-pairs anywhere.
+
+    With ``n_probe == n_centroids`` every cell is probed and the result is
+    EXACTLY brute-force top-k (each corpus vector lives in one cell) —
+    the correctness gate the oracle checks; recall < 1 only when probing
+    fewer cells (the scale configuration).
+    """
+    cents = _ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cid int, cvec array<double>"
+    )
+    c_assign = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        .join(F.broadcast(cent_df))
+        .withColumn("sim", cosine_sim_col(F.col("_cv"), F.col("cvec")))
+        .groupBy("neighbor_id")
+        .agg(F.max_by(F.struct("cid", "_cv"), F.col("sim")).alias("b"))
+        .select("neighbor_id", F.col("b.cid").alias("cid"), F.col("b._cv").alias("_cv"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    q_probe = (
+        queries.select("query_id", F.col("query_vec").alias("_qv"))
+        .join(F.broadcast(cent_df))
+        .withColumn("sim", cosine_sim_col(F.col("_qv"), F.col("cvec")))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "_qv", "cid")
+    )
+    scored = (
+        c_assign.join(F.broadcast(q_probe), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim_col(F.col("_cv"), F.col("_qv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

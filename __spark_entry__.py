@@ -501,6 +501,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_hashes=16, bands=4)
 
 
+def q_dedup_minhash_lsh_fast(spark, sf_dir):
+    """Production-path MinHash-LSH: same single-shuffle banding plan with
+    xxhash64 as the base hash (~3-4× cheaper than the md5-derived portable
+    hash). No SQL oracle — xxhash64 is engine-specific; plan and semantics
+    are those of the oracle-checked md5 variant (rows-only check)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, hash_fn="xxhash64"
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), bits=32)
 
@@ -608,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,

@@ -55,6 +55,7 @@ HEADLINE = [
     "join_enrich",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_bucket",

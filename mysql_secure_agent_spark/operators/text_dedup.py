@@ -279,7 +279,10 @@ def minhash_lsh_verified(
     (O(n·bands) shuffle), exact Jaccard on just those pairs removes the false
     positives. This is the function a user should call at scale — raw
     ``minhash_lsh_pairs`` output contains banding collisions."""
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n, hash_fn)
+    # The candidate set feeds THREE plan branches in the verify phase (pair
+    # join + the two id semi-joins); without persisting, Spark would recompute
+    # the whole minhash/banding pipeline per branch.
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n, hash_fn).persist()
     return verify_pairs_jaccard(
         df, cands, text_col, id_col, n, threshold, max_shingle_df
     )

@@ -14,13 +14,28 @@ Measures:
    0.93 from 4→16 procs but only 0.78 from 8→32 (hypervisor oversubscription
    — the guest even books missing jiffies). 4→16 therefore measures ENGINE
    scaling rather than the box's 32-vCPU contention, and is exactly the
-   N→4N shape the rule asks for. Each (level, rep) is a fresh taskset-pinned
-   JVM; reps interleave across levels so host drift biases neither; the
-   per-level MINIMUM is the capability reading (the host shows minutes-scale
-   contention phases with 2-3× wall inflation).
+   N→4N shape the rule asks for.
+
+   PRE-REGISTERED sampling design (fixed before any measurement; nothing is
+   conditioned on the interim metric value — the r2 adaptive
+   sample-until-pass loop is gone):
+     * SPARK_GRAFT_BENCH_REPS (default 3) interleaved (low, high) JVM pairs;
+     * each JVM runs exactly SPARK_GRAFT_BENCH_JVM_REPS (default 3) timed
+       replays — the SAME count at both levels;
+     * the only early stop is a metric-BLIND wall budget
+       (SPARK_GRAFT_BENCH_BUDGET, default 2400 s): after a completed pair,
+       if elapsed > budget and both levels have ≥ 2 JVM runs, stop.
+   Every wall sample is recorded. Efficiency is reported two ways over the
+   full sample set: per-level MINIMUM (capability — the host shows
+   minutes-scale contention phases with 2-3× wall inflation, and each rep
+   is a fresh taskset-pinned JVM so minima are honest) and per-level MEDIAN
+   (typical). The headline is the minimum-based figure; both are printed.
 2. Headline query latencies from __spark_entry__.queries() at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forced end-to-end with
    a noop sink (so column pruning can't skip the measured work), best of 2.
+   ``spark.catalog.clearCache()`` runs between queries so no query reads
+   blocks persisted by an earlier one (the r2 dedup_minhash_lsh number was
+   contaminated by exactly that).
 
 Prints ONE JSON line on stdout. Also rewrites BENCH/BASELINE.md with the
 measured table.
@@ -28,7 +43,7 @@ measured table.
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32, headline
 queries), SPARK_GRAFT_HIGH_CPUS (default 16) / low = high//4 (CDC levels),
 SPARK_GRAFT_BENCH_EVENTS (default 640M·sf), SPARK_GRAFT_BENCH_REPS (default
-4), SPARK_GRAFT_BENCH_MEM (24g).
+3 pairs), SPARK_GRAFT_BENCH_JVM_REPS (default 3), SPARK_GRAFT_BENCH_MEM (24g).
 """
 
 from __future__ import annotations
@@ -163,15 +178,17 @@ def main() -> None:
     walls: dict[int, list[float]] = {low: [], high: []}
     cpu_sums: dict[int, list[float]] = {}
 
+    jvm_reps = int(os.environ.get("SPARK_GRAFT_BENCH_JVM_REPS", "3"))
+
     def _one(cores: int) -> float:
         env = dict(
             os.environ,
             CDC_CORES=str(cores),
             CDC_FEED=feed_dir,
             CDC_WORK=work_dir,
-            # multiple timed runs per JVM amortize the warmup; the high level
-            # is cheap and noisier → sample it harder
-            CDC_REPS="2" if cores == low else "4",
+            # pre-registered design: the SAME number of timed runs per JVM at
+            # both levels (unequal counts asymmetrically favor one minimum)
+            CDC_REPS=str(jvm_reps),
             CDC_MFPT="64",
             CDC_MEM=f"{max(cores, 8)}g",
             CDC_BUCKETS="128",
@@ -204,35 +221,31 @@ def main() -> None:
         walls[cores].extend(r["walls"])  # record every sample
         return r["best"]
 
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
+    # Fixed, pre-registered design: `reps` interleaved (low, high) JVM pairs,
+    # each JVM running `jvm_reps` timed replays. The ONLY early stop is
+    # metric-blind: a wall budget checked after completed pairs (host
+    # contention phases can inflate a pair 3×; stopping on elapsed time does
+    # not condition on the efficiency value). No extension, no resampling.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
     t_cdc0 = time.time()
     for i in range(reps):
         _one(low)
         _one(high)
-        # wall budget: host contention phases can inflate reps 3×+; once both
-        # levels have ≥2 samples, stop rather than blow the round budget
-        # (minima over the completed interleaved reps remain the reading)
         if i >= 1 and time.time() - t_cdc0 > budget_s:
             break
 
-    def _eff() -> float:
-        return (n_events / min(walls[high])) / (
-            (n_events / min(walls[low])) * (high / low)
-        )
+    import statistics
 
-    # Adaptive extension: the host shows hour-scale contention phases during
-    # which EVERY rep inflates (memory-bus noise, asymmetric across levels).
-    # While the min-based reading is below target and budget remains, keep
-    # sampling interleaved pairs — all walls are recorded, minima reported.
-    while _eff() < 0.8 and time.time() - t_cdc0 < budget_s:
-        _one(low)
-        _one(high)
     t_low, t_high = min(walls[low]), min(walls[high])
     timings[f"cdc_stream_merge_p{low}"] = round(t_low, 3)
     timings[f"cdc_stream_merge_p{high}"] = round(t_high, 3)
     rate_low, rate_high = n_events / t_low, n_events / t_high
-    # headline: plain per-level-best ratio (no pairing games)
+    # headline: per-level best over ALL recorded samples (capability under
+    # fresh-JVM isolation); the median-based estimator is reported alongside
     efficiency = rate_high / (rate_low * (high / low))
+    med_low = statistics.median(walls[low])
+    med_high = statistics.median(walls[high])
+    efficiency_median = (n_events / med_high) / ((n_events / med_low) * (high / low))
 
     # ---- headline queries at full parallelism ------------------------------
     spark = _make_session(cpus, work_dir)
@@ -242,6 +255,11 @@ def main() -> None:
     qs = entrymod.queries()
     for name in HEADLINE:
         fn = qs[name]
+        # Cross-query isolation: drop every cached plan/block before each
+        # query so a persist() inside one operator can never plan-match and
+        # fake-accelerate a later query (r2's dedup_minhash_lsh read blocks
+        # leaked by dedup_lsh_verified and recorded 0.588 s vs ~10 s real).
+        spark.catalog.clearCache()
         best = None
         for _ in range(2):  # second run = steady state (plan/IO caches warm)
             t0 = time.time()
@@ -276,7 +294,13 @@ def main() -> None:
                 f"p{high}": cpu_sums.get(high, []),
             },
             "scaling_efficiency": round(efficiency, 3),
+            "scaling_efficiency_median": round(efficiency_median, 3),
             "target_efficiency": 0.8,
+            "design": {
+                "pairs_planned": reps,
+                "timed_runs_per_jvm": jvm_reps,
+                "adaptive_extension": False,
+            },
         },
     }
 
@@ -288,20 +312,26 @@ def main() -> None:
             f"- input: {n_events:,} synthetic change events (seed 42, Zipf 1.2), sf={sf}\n"
             "- pipeline: readStream → foreachBatch → single-shuffle bucket-clustered\n"
             "  window dedup → Arrow normalize UDF → bucket-aligned merge-on-read commit\n"
-            f"- best of {reps} runs per level (VM scheduling jitter; min = capability)\n\n"
-            "| parallelism | best wall (s) | events/sec | all reps (s) |\n|---|---|---|---|\n"
-            f"| {low} pinned CPUs | {timings[f'cdc_stream_merge_p{low}']} | {rate_low:,.0f} | {walls[low]} |\n"
-            f"| {high} pinned CPUs | {timings[f'cdc_stream_merge_p{high}']} | {rate_high:,.0f} | {walls[high]} |\n\n"
-            f"**Scaling efficiency (N={low} → 4N={high}, per-level best)**: "
-            f"{efficiency:.3f} (target ≥ 0.8).\n"
+            f"- samples actually collected: {len(walls[low])} (low) / {len(walls[high])} (high)\n"
+            f"- pre-registered fixed design: {reps} interleaved (low, high) JVM pairs ×\n"
+            f"  {jvm_reps} timed replays per JVM (SAME count at both levels); no extension\n"
+            "  or resampling conditioned on the metric; the only early stop is a\n"
+            "  metric-blind wall budget. All samples recorded below.\n\n"
+            "| parallelism | best wall (s) | median wall (s) | events/sec (best) | all reps (s) |\n|---|---|---|---|---|\n"
+            f"| {low} pinned CPUs | {timings[f'cdc_stream_merge_p{low}']} | {med_low:.2f} | {rate_low:,.0f} | {walls[low]} |\n"
+            f"| {high} pinned CPUs | {timings[f'cdc_stream_merge_p{high}']} | {med_high:.2f} | {rate_high:,.0f} | {walls[high]} |\n\n"
+            f"**Scaling efficiency (N={low} → 4N={high})**: per-level best "
+            f"{efficiency:.3f}, per-level median {efficiency_median:.3f} "
+            "(target ≥ 0.8).\n"
             "Levels 4/16: a pure-userspace spin benchmark shows this host retains\n"
             "only 0.78 per-core throughput from 8→32 procs (hypervisor\n"
             "oversubscription) but 0.93 from 4→16 — so 4→16 measures the ENGINE's\n"
             "N→4N scaling, not the box's 32-vCPU contention ceiling.\n"
             "Each rep is a fresh taskset-pinned JVM (-Xms + AlwaysPreTouch — lazy heap\n"
             "zeroing otherwise causes 30-90 s whole-JVM stalls on this VM); reps\n"
-            "interleave across levels; minima reported (contention phases inflate\n"
-            "individual reps 2-3×).\n\n"
+            "interleave across levels (contention phases inflate individual reps\n"
+            "2-3×, so the per-level minimum is the capability reading; the median\n"
+            "is the typical one — both reported).\n\n"
             "## Headline query latencies (noop sink, local[%d], %s)\n\n" % (cpus, sf_dir)
             + "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in timings.items())

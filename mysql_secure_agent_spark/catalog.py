@@ -59,7 +59,7 @@ def table_definitions(spark: SparkSession, root_dir: str) -> DataFrame:
     rows = []
     for ref, table in discover_tables(root_dir).items():
         schema_name, table_name = ref.split(".", 1)
-        commit = table.commit_at()
+        commit = table.commit_at(resolve=False)
         keys = set(commit.key_cols)
         for i, (col, dtype) in enumerate(commit.schema, start=1):
             rows.append(

@@ -168,7 +168,12 @@ class Commit:
             key_cols=d["key_cols"],
             bucket_cols=d["bucket_cols"],
             n_buckets=d["n_buckets"],
-            bucket_function=d.get("bucket_function", "xxhash64"),
+            # Legacy default for commits written before the field existed:
+            # the LAST pre-field code generation bucketed with murmur3
+            # (F.hash) — the xxhash64 era predates it and no on-disk tables
+            # from that era survive (the format was < 1 commit old). Tables
+            # written since the field exists always carry it explicitly.
+            bucket_function=d.get("bucket_function", "murmur3"),
             # legacy manifests (pre-manifest-list) inlined the file listing
             files=d.get("files", {}),
             manifests=d.get("manifests", []),
@@ -242,11 +247,18 @@ class LakeTable:
         with open(self._current_path()) as f:
             return int(f.read().strip())
 
-    def commit_at(self, version: int | None = None) -> Commit:
+    def commit_at(self, version: int | None = None, resolve: bool = True) -> Commit:
+        """Load a commit. ``resolve=True`` materializes the full file listing
+        from the manifest chain into ``commit.files`` (needed by readers,
+        compaction, vacuum). ``resolve=False`` skips that: the merge/metadata
+        paths only need schema/keys/applied-batches, and resolving O(live
+        files) per micro-batch would make commit-time driver memory grow with
+        table size — at 10^10 events the listing is millions of entries while
+        a merge only APPENDS a delta manifest."""
         v = self.current_version() if version is None else version
         with open(os.path.join(self._commits_dir, f"v{v:08d}.json")) as f:
             commit = Commit.from_json(f.read())
-        if commit.manifests:  # resolve the manifest chain (adds only)
+        if resolve and commit.manifests:  # resolve the manifest chain (adds only)
             files: dict[str, list[dict[str, Any]]] = {}
             for name in commit.manifests:
                 for b, entries in self._load_manifest(name).items():
@@ -438,7 +450,10 @@ class LakeTable:
         """
         t0 = time.time()
         batch_id = str(batch_id)
-        commit = self.commit_at()
+        # resolve=False: a merge only APPENDS a delta manifest — it never
+        # needs the resolved table listing, so merge-path driver memory is
+        # O(batch) regardless of how many live files the table has.
+        commit = self.commit_at(resolve=False)
         if commit.is_applied(batch_id):
             return {"skipped": True, "batch_id": batch_id}
 
@@ -510,10 +525,6 @@ class LakeTable:
                         }
                     )
                     n_files += 1
-        files = {b: list(entries) for b, entries in commit.files.items()}
-        for b, entries in delta.items():
-            files.setdefault(b, []).extend(entries)
-
         try:
             stats = obs_out.get
             n_in = obs_in.get["rows_in"]
@@ -562,7 +573,9 @@ class LakeTable:
             bucket_cols=commit.bucket_cols,
             n_buckets=commit.n_buckets,
             bucket_function=commit.bucket_function,
-            files=files,
+            # files deliberately unresolved (not persisted by to_json anyway);
+            # readers resolve via the manifest chain
+            files={},
             manifests=self._extend_manifests(commit, version, delta),
             applied_batches=applied,
             applied_hwm=hwm,
@@ -708,18 +721,21 @@ class LakeTable:
     # ------------------------------------------------------ schema evolution
     def add_column(self, name: str, ddl_type: str) -> int:
         """ADD COLUMN: metadata-only commit; old files read the column as NULL."""
-        commit = self.commit_at()
+        commit = self.commit_at(resolve=False)
         if name in {n for n, _ in commit.schema}:
             return commit.version  # idempotent
+        version = commit.version + 1
         new_commit = Commit(
-            version=commit.version + 1,
+            version=version,
             schema=commit.schema + [(name, ddl_type)],
             key_cols=commit.key_cols,
             bucket_cols=commit.bucket_cols,
             n_buckets=commit.n_buckets,
             bucket_function=commit.bucket_function,
-            files=commit.files,
-            manifests=list(commit.manifests),
+            files={},
+            # empty delta: keeps the chain, and snapshots legacy inline file
+            # listings into a manifest (to_json never persists `files`)
+            manifests=self._extend_manifests(commit, version, {}),
             applied_batches=dict(commit.applied_batches),
             applied_hwm=commit.applied_hwm,
             parent=commit.version,

@@ -44,7 +44,7 @@ def import_snapshot(
     ``max_pages`` limits work per call (crash-injection in tests / paced
     backfill alongside a live stream, T7).
     """
-    key_cols = table.commit_at().key_cols
+    key_cols = table.commit_at(resolve=False).key_cols
     state = AgentState.load(state_path) if os.path.exists(state_path) else AgentState()
     tstate = state.tables.get(table_key, TableState())
     if tstate.finished_import:

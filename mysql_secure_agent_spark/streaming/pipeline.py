@@ -89,7 +89,7 @@ class CdcPipeline:
         type differs from the target (idempotent on replay — a re-applied
         micro-batch sees both already satisfied). Mirrors the reference's
         any-schema-change refresh (``Updater.java:188-217``)."""
-        current = dict(self.table.commit_at().schema)
+        current = dict(self.table.commit_at(resolve=False).schema)
         out = []
         for d in self._ddl_events():
             if d["action"] == "ADD_COLUMN" and d["column_name"] not in current:
@@ -140,7 +140,7 @@ class CdcPipeline:
         columns are always kept."""
         if self._table_cfg is None:
             return df
-        keep = set(self.table.commit_at().key_cols) | {
+        keep = set(self.table.commit_at(resolve=False).key_cols) | {
             "op", "source_lsn", "binlog_file", "binlog_pos",
         }
         payload = [c for c in df.columns if c not in keep]
@@ -158,7 +158,7 @@ class CdcPipeline:
         (Updater.java:103-112) with its golden vectors."""
         hashed: list[str] = []
         if self._table_cfg is not None:
-            cols = [n for n, _ in self.table.commit_at().schema]
+            cols = [n for n, _ in self.table.commit_at(resolve=False).schema]
             hashed = self._table_cfg.hashed_columns(cols)
         if not self.normalize and not hashed:
             return None

@@ -78,15 +78,33 @@ def _parse_scalar(tag: int, buf: bytes, pos: int):
     raise ValueError(f"unknown JSON value tag 0x{tag:02x}")
 
 
+def _micros_suffix(micros: int) -> str:
+    """Fractional-seconds rendering: 6-digit zero-padded, trailing zeros
+    trimmed, omitted entirely when 0 (JsonStringFormatter.appendTime +
+    appendSixDigitUnsignedInt(trimTrailingZeros=true),
+    JsonStringFormatter.java:315-325)."""
+    if micros == 0:
+        return ""
+    return "." + f"{micros:06d}".rstrip("0")
+
+
 def _parse_opaque(buf: bytes, pos: int):
-    """Opaque custom types: column-type byte + varlen payload. Decimal /
-    date / time / datetime reuse the S9 wire codecs (JsonBinaryParser
-    renders these the same way)."""
+    """Opaque custom types: column-type byte + varlen payload.
+
+    Temporal values are stored as one 8-byte *little-endian* signed int64
+    (MySQL ``Json_datetime::to_packed`` / ``TIME_to_longlong_packed``):
+    ``value = raw >> 24`` holds the DATETIME_V2-style bit-packed fields and
+    the low 24 bits hold microseconds (JsonBinaryParser.java:715-806 —
+    parseDate/parseTime/parseDatetime all read ``readInt64()`` LE). This is
+    NOT the 5-byte big-endian column wire format used in row images.
+    TIMESTAMP/TIMESTAMP_V2 route through the datetime renderer, as in the
+    reference's parseOpaque dispatch (JsonBinaryParser.java:671-683).
+    """
     import pandas as pd
 
     from .mysql_codecs import (
         DATE, DATETIME, DATETIME_V2, NEWDECIMAL, TIME, TIME_V2,
-        ColumnSpec, decode_typed_block,
+        TIMESTAMP, TIMESTAMP_V2, ColumnSpec, decode_typed_block,
     )
 
     ctype = buf[pos]
@@ -97,18 +115,43 @@ def _parse_opaque(buf: bytes, pos: int):
         spec = [ColumnSpec("v", NEWDECIMAL, {"precision": precision, "scale": scale})]
         out = decode_typed_block(spec, pd.Series([bytes([0]) + data[2:]]))
         return out["v"][0]
-    if ctype in (DATE, DATETIME, TIME, TIME_V2, DATETIME_V2):
-        # packed temporal: render through the DATETIME_V2-style bit layout
-        spec = [ColumnSpec("v", DATETIME_V2, {"fsp": 6})]
-        out = decode_typed_block(spec, pd.Series([bytes([0]) + data]))
-        v = out["v"][0]
-        if ctype == DATE:
-            return str(v.date())
+    if ctype in (DATE, DATETIME, TIME, TIME_V2, DATETIME_V2, TIMESTAMP, TIMESTAMP_V2):
+        raw = struct.unpack("<q", data[:8])[0]
+        value = raw >> 24  # arithmetic shift: sign (bit 63..) preserved
         if ctype in (TIME, TIME_V2):
-            return str(v.time())
-        return str(v)
-    # unknown custom type: hex-render (lossless, greppable)
-    return data.hex()
+            # Negative TIME packs as the negation of the positive packed
+            # word (my_time.c TIME_to_longlong_packed); unpack the absolute
+            # value and carry the sign into the rendering, as the
+            # reference's valueTime does (JsonStringFormatter.java:182-190).
+            negative = value < 0
+            if negative:
+                raw = -raw
+                value = raw >> 24
+            hour = (value >> 12) & 0x3FF  # 10 bits
+            minute = (value >> 6) & 0x3F
+            sec = value & 0x3F
+            micros = raw & 0xFFFFFF
+            sign = "-" if negative else ""
+            return f"{sign}{hour:02d}:{minute:02d}:{sec:02d}{_micros_suffix(micros)}"
+        # DATE / DATETIME / TIMESTAMP family: sign bit always 1 (value >= 0)
+        year_month = (value >> 22) & 0x1FFFF  # 17 bits
+        year, month = year_month // 13, year_month % 13
+        day = (value >> 17) & 0x1F
+        if ctype == DATE:
+            return f"{year:04d}-{month:02d}-{day:02d}"
+        hour = (value >> 12) & 0x1F
+        minute = (value >> 6) & 0x3F
+        sec = value & 0x3F
+        micros = raw & 0xFFFFFF
+        return (
+            f"{year:04d}-{month:02d}-{day:02d} "
+            f"{hour:02d}:{minute:02d}:{sec:02d}{_micros_suffix(micros)}"
+        )
+    # unknown custom type: base64, matching the reference's valueOpaque
+    # (JsonStringFormatter.java:199-203 printBase64Binary)
+    import base64
+
+    return base64.b64encode(data).decode("ascii")
 
 
 def parse_json_value(buf: bytes, tag: int | None = None, pos: int = 0):

@@ -110,3 +110,63 @@ def test_json_column_through_codec_path():
 def test_unknown_tag_raises():
     with pytest.raises(ValueError):
         parse_json_value(bytes([0x77, 0x00]))
+
+
+# --- opaque temporals -------------------------------------------------------
+# MySQL packs JSON temporal scalars as OPAQUE(column-type, 8-byte LE int64)
+# where the int64 is TIME_to_longlong_packed output: bit-packed fields in
+# raw>>24 and microseconds in the low 24 bits (JsonBinaryParser.java:715-806).
+
+
+def _opaque(ctype: int, raw: int) -> bytes:
+    return bytes([0x0F, ctype, 8]) + struct.pack("<q", raw)
+
+
+def _dt_packed(year, month, day, hour=0, minute=0, sec=0, micros=0) -> int:
+    ym = year * 13 + month
+    word = (ym << 22) | (day << 17) | (hour << 12) | (minute << 6) | sec
+    return (word << 24) | micros
+
+
+def _time_packed(hour, minute, sec, micros=0, negative=False) -> int:
+    raw = (((hour << 12) | (minute << 6) | sec) << 24) | micros
+    return -raw if negative else raw
+
+
+def test_opaque_date():
+    v = _opaque(10, _dt_packed(2023, 7, 15))  # DATE=10
+    assert parse_json_value(v) == "2023-07-15"
+
+
+def test_opaque_datetime_micros_trimmed():
+    # micros 789000 renders ".789": 6-digit pad then trailing-zero trim
+    v = _opaque(18, _dt_packed(2023, 7, 15, 12, 34, 56, 789000))  # DATETIME_V2
+    assert parse_json_value(v) == "2023-07-15 12:34:56.789"
+    v = _opaque(12, _dt_packed(1999, 12, 31, 23, 59, 59))  # DATETIME, no fsp
+    assert parse_json_value(v) == "1999-12-31 23:59:59"
+
+
+def test_opaque_timestamp_routes_as_datetime():
+    # parseOpaque dispatch sends TIMESTAMP/TIMESTAMP_V2 to parseDatetime
+    # (JsonBinaryParser.java:678-683)
+    for ctype in (7, 17):
+        v = _opaque(ctype, _dt_packed(2020, 1, 2, 3, 4, 5, 60000))
+        assert parse_json_value(v) == "2020-01-02 03:04:05.06"
+
+
+def test_opaque_time_positive_and_negative():
+    v = _opaque(11, _time_packed(13, 14, 15, 500000))  # TIME=11
+    assert parse_json_value(v) == "13:14:15.5"
+    v = _opaque(19, _time_packed(0, 0, 1, negative=True))  # TIME_V2=19
+    assert parse_json_value(v) == "-00:00:01"
+    v = _opaque(11, _time_packed(838, 59, 59, negative=True))  # MySQL min TIME
+    assert parse_json_value(v) == "-838:59:59"
+
+
+def test_opaque_unknown_type_base64():
+    # non-temporal opaque renders base64, as valueOpaque does
+    # (JsonStringFormatter.java:199-203)
+    v = bytes([0x0F, 254, 3]) + b"abc"  # STRING column type, arbitrary bytes
+    import base64
+
+    assert parse_json_value(v) == base64.b64encode(b"abc").decode()

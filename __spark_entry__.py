@@ -238,8 +238,9 @@ def q_cdc_decode_types(spark, sf_dir):
 
     import pandas as pd
     from mysql_secure_agent_spark.functions.mysql_codecs import (
-        BIT, BLOB, DATE, DATETIME_V2, DOUBLE, ENUM, INT24, NEWDECIMAL, SET,
-        TIME_V2, YEAR, ColumnSpec, decode_typed_block, encode_typed_rows,
+        BIT, BLOB, DATE, DATETIME, DATETIME_V2, DOUBLE, ENUM, INT24,
+        NEWDECIMAL, SET, TIME, TIME_V2, TIMESTAMP, YEAR, ColumnSpec,
+        decode_typed_block, encode_typed_rows,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -279,6 +280,12 @@ def q_cdc_decode_types(spark, sf_dir):
         ColumnSpec("yr", YEAR),
         ColumnSpec("dbl", DOUBLE),
         ColumnSpec("bl", BLOB, {"len_bytes": 4}),
+        # signed TIME_V2 (full ±838h domain, biased fixed-point) + the
+        # legacy pre-5.6 trio (RowParser.java:234-244, 270-279, 296-313)
+        ColumnSpec("tneg", TIME_V2, {"fsp": 6}),
+        ColumnSpec("ltm", TIME),
+        ColumnSpec("lts", TIMESTAMP),
+        ColumnSpec("ldt", DATETIME),
     ]
     set_labels = ["a", "b", "c", "d"]
 
@@ -287,8 +294,21 @@ def q_cdc_decode_types(spark, sf_dir):
             rows = []
             for r in pdf.to_dict("records"):
                 secs = r["secs"]
+                eid = int(r["event_id"])
+                tneg_sign = "-" if eid % 7 == 0 else ""
+                ltm_sign = "-" if eid % 5 == 0 else ""
                 rows.append(
                     {
+                        "tneg": (
+                            f"{tneg_sign}{eid % 839:02d}:{eid % 59 + 1:02d}"
+                            f":{eid // 7 % 60:02d}.{eid * 137 % 1000000:06d}"
+                        ),
+                        "ltm": (
+                            f"{ltm_sign}{eid % 300:02d}:{eid % 59 + 1:02d}"
+                            f":{eid // 3 % 60:02d}"
+                        ),
+                        "lts": eid * 97 % 2000000000,
+                        "ldt": pd.Timestamp(r["dt"]).floor("s").to_pydatetime(),
                         "amt": r["amt"],
                         "d": r["d"],
                         "dt": r["dt"],
@@ -309,12 +329,20 @@ def q_cdc_decode_types(spark, sf_dir):
             dec["d"] = pd.Series(
                 [None if pd.isna(x) else x.date() for x in dec["d"]], dtype=object
             )
+            # legacy timestamp/datetime → wall-clock strings (TZ-independent
+            # compare; str(pd.Timestamp) omits micros when zero, matching the
+            # oracle's VARCHAR cast)
+            for c in ("lts", "ldt"):
+                dec[c] = pd.Series(
+                    [None if pd.isna(x) else str(x) for x in dec[c]], dtype=object
+                )
             dec["event_id"] = pdf["event_id"].values
             yield dec[["event_id"] + [c.name for c in codec_schema]]
 
     out_schema = (
         "event_id long, amt decimal(18,4), d date, dt timestamp, tm string, "
-        "i24 long, en string, st string, bit20 long, yr long, dbl double, bl binary"
+        "i24 long, en string, st string, bit20 long, yr long, dbl double, bl binary, "
+        "tneg string, ltm string, lts string, ldt string"
     )
     decoded = base.mapInPandas(roundtrip, schema=out_schema)
     return decoded.select(
@@ -330,6 +358,10 @@ def q_cdc_decode_types(spark, sf_dir):
         "yr",
         "dbl",
         F.col("bl").cast("string").alias("bl"),
+        "tneg",
+        "ltm",
+        "lts",
+        "ldt",
     )
 
 
@@ -910,7 +942,16 @@ SELECT event_id,
   CAST(event_id % 1048576 AS BIGINT) AS bit20,
   CAST(1901 + event_id % 150 AS BIGINT) AS yr,
   value AS dbl,
-  CASE WHEN event_id % 19 = 0 THEN NULL ELSE props END AS bl
+  CASE WHEN event_id % 19 = 0 THEN NULL ELSE props END AS bl,
+  printf('%s%02d:%02d:%02d.%06d',
+         CASE WHEN event_id % 7 = 0 THEN '-' ELSE '' END,
+         event_id % 839, event_id % 59 + 1, (event_id // 7) % 60,
+         (event_id * 137) % 1000000) AS tneg,
+  printf('%s%02d:%02d:%02d',
+         CASE WHEN event_id % 5 = 0 THEN '-' ELSE '' END,
+         event_id % 300, event_id % 59 + 1, (event_id // 3) % 60) AS ltm,
+  CAST(make_timestamp(((event_id * 97) % 2000000000) * 1000000) AS VARCHAR) AS lts,
+  CAST(date_trunc('second', ts) AS VARCHAR) AS ldt
 FROM events
 """,
         "cdc_hash_anonymize": f"""

@@ -21,9 +21,17 @@ Wire layouts implemented (reference file:line):
                                   mysql/strings/decimal.c)
   DATE                            3B LE, day=v%32, month=(v>>5)%16,
                                   year=v>>9 (:220-232)
-  TIME_V2                         3B BE bit-packed sign/hour/min/sec + fsp
-                                  (:243-268)
+  TIME (pre-5.6)                  3B LE signed packed decimal HHMMSS
+                                  (:234-244; sign per MySQL, see below)
+  TIME_V2                         (3+fsp)B BE biased fixed-point: stored =
+                                  packed + 0x800000<<(8*fsp_bytes), negative
+                                  packed = negated positive word — MySQL
+                                  my_time_packed_to_binary; the reference
+                                  decodes the non-negative subset (:243-268)
+  TIMESTAMP (pre-5.6)             4B LE epoch seconds (:270-279)
   TIMESTAMP_V2                    4B BE epoch seconds + fsp (:281-294)
+  DATETIME (pre-5.6)              8B LE packed decimal YYYYMMDDHHMMSS
+                                  (:296-313)
   DATETIME_V2                     5B BE bit-packed, yearMonth=year*13+month
                                   (:315-338, :327-331)
   YEAR                            1900 + byte (:171-173)
@@ -40,6 +48,7 @@ the analog of the reference's live-capture harness
 
 from __future__ import annotations
 
+import datetime as _dt
 import struct
 from dataclasses import dataclass, field
 from decimal import Context, Decimal
@@ -115,6 +124,29 @@ def _days_from_civil(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
 
 
 # ============================================================ scalar encoders
+def _time_parts(v) -> tuple[bool, int, int, int, int]:
+    """Normalize a TIME-ish value (datetime.time, timedelta, or
+    '[-]HHH:MM:SS[.ffffff]' string) to (negative, h, m, s, micros).
+    MySQL TIME spans ±838:59:59 — beyond datetime.time — so strings and
+    timedeltas are first-class inputs."""
+    if isinstance(v, str):
+        neg = v.startswith("-")
+        hh, mm, rest = v.lstrip("-").split(":")
+        if "." in rest:
+            ss, frac = rest.split(".")
+            us = int(frac.ljust(6, "0")[:6])
+        else:
+            ss, us = rest, 0
+        return neg, int(hh), int(mm), int(ss), us
+    if isinstance(v, _dt.timedelta):
+        neg = v < _dt.timedelta(0)
+        if neg:
+            v = -v
+        secs = v.days * 86400 + v.seconds
+        return neg, secs // 3600, secs % 3600 // 60, secs % 60, v.microseconds
+    return False, v.hour, v.minute, v.second, v.microsecond
+
+
 def _enc_decimal(v: Decimal, precision: int, scale: int) -> bytes:
     """Inverse of asBigDecimal (RowParser.java:408-446): big-endian 9-digit
     groups, partial groups in DIG_TO_BYTES bytes, sign bit on byte 0,
@@ -179,15 +211,36 @@ def _enc_value(spec: ColumnSpec, v: Any) -> bytes:
         packed = v.year * 512 + v.month * 32 + v.day
         return packed.to_bytes(3, "little")
     if t == TIME_V2:
+        # MySQL my_time_packed_to_binary: one biased big-endian fixed-point
+        # over (3 + fsp) bytes — stored = sign*(hms<<8nb + frac) + bias.
+        # For non-negative values this is bit-identical to the reference's
+        # sign-bit-plus-fields view (RowParser.java:246-268).
         fsp = m.get("fsp", 0)
-        h, mi, s = v.hour, v.minute, v.second
-        word = (1 << 23) | (h << 12) | (mi << 6) | s  # sign=1 (non-negative)
-        out = word.to_bytes(3, "big")
         nb = _fsp_bytes(fsp)
-        if nb:
-            frac = v.microsecond // (100 ** (3 - nb))
-            out += frac.to_bytes(nb, "big")
-        return out
+        neg, h, mi, s, us = _time_parts(v)
+        packed = ((h << 12) | (mi << 6) | s) << (8 * nb) | (us // 100 ** (3 - nb))
+        if neg:
+            packed = -packed
+        bias = 0x800000 << (8 * nb)
+        return (packed + bias).to_bytes(3 + nb, "big")
+    if t == TIME:
+        # pre-5.6: 3B LE signed packed decimal HHMMSS (RowParser.java:234-244)
+        neg, h, mi, s, _ = _time_parts(v)
+        packed = h * 10000 + mi * 100 + s
+        if neg:
+            packed = -packed
+        return (packed & 0xFFFFFF).to_bytes(3, "little")
+    if t == TIMESTAMP:
+        # pre-5.6: 4B LE epoch seconds (RowParser.java:270-279)
+        secs = int(v.timestamp()) if hasattr(v, "timestamp") else int(v)
+        return secs.to_bytes(4, "little")
+    if t == DATETIME:
+        # pre-5.6: 8B LE packed decimal YYYYMMDDHHMMSS (RowParser.java:296-313)
+        packed = (
+            (v.year * 10000 + v.month * 100 + v.day) * 1_000_000
+            + v.hour * 10000 + v.minute * 100 + v.second
+        )
+        return packed.to_bytes(8, "little")
     if t == TIMESTAMP_V2:
         fsp = m.get("fsp", 0)
         secs = int(v.timestamp()) if hasattr(v, "timestamp") else int(v)
@@ -312,6 +365,22 @@ def _varlen_strings(
     s = arr.to_pandas().astype(object)
     s[nulls] = None
     return s
+
+
+def _render_hms(
+    neg: np.ndarray, hour: np.ndarray, minute: np.ndarray, second: np.ndarray,
+    us: np.ndarray, with_frac: bool,
+) -> np.ndarray:
+    """Vectorized '[-]HH:MM:SS[.ffffff]' rendering shared by both TIME
+    codecs (hour may exceed 2 digits: MySQL TIME spans ±838 hours —
+    np.char.zfill would TRUNCATE to its width, so pad conditionally)."""
+    hstr = hour.astype("U4")
+    txt = np.where(hour < 10, np.char.add("0", hstr), hstr)
+    for part in (minute, second):
+        txt = np.char.add(np.char.add(txt, ":"), np.char.zfill(part.astype("U2"), 2))
+    if with_frac:
+        txt = np.char.add(np.char.add(txt, "."), np.char.zfill(us.astype("U6"), 6))
+    return np.where(neg, np.char.add("-", txt), txt)
 
 
 def _fsp_us(buf, pos, fsp: int) -> np.ndarray:
@@ -446,20 +515,54 @@ def decode_typed_block(schema: list[ColumnSpec], payload: pd.Series) -> pd.DataF
             )
             s = pd.Series(days.astype("datetime64[D]").astype("datetime64[s]")).mask(~ok)
         elif t == TIME_V2:
+            # biased big-endian fixed-point over (3+fsp) bytes; sign = word
+            # below bias (MySQL my_time_packed_to_binary — the reference
+            # decodes the non-negative subset, RowParser.java:246-268)
             fsp = m.get("fsp", 0)
-            word = _gather_be(buf, pos, 3)
-            us = _fsp_us(buf, pos + 3, fsp)
-            off = off + np.where(live, 3 + _fsp_bytes(fsp), 0)
-            hour = (word >> 12) & 0x3FF
-            minute = (word >> 6) & 0x3F
-            second = word & 0x3F
-            txt = np.char.zfill(hour.astype("U4"), 2)
-            for sep, part, w in ((":", minute, 2), (":", second, 2)):
-                txt = np.char.add(np.char.add(txt, sep), np.char.zfill(part.astype("U2"), w))
-            if fsp:
-                txt = np.char.add(np.char.add(txt, "."), np.char.zfill(us.astype("U6"), 6))
-            s = pd.Series(txt, dtype=object)
+            nb = _fsp_bytes(fsp)
+            w = _gather_be(buf, fixed(3 + nb), 3 + nb) - (0x800000 << (8 * nb))
+            neg = w < 0
+            a = np.abs(w)
+            hms = a >> (8 * nb)
+            us = (a & ((1 << (8 * nb)) - 1)) * (100 ** (3 - nb))
+            s = pd.Series(
+                _render_hms(
+                    neg, (hms >> 12) & 0x3FF, (hms >> 6) & 0x3F, hms & 0x3F,
+                    us, with_frac=fsp > 0,
+                ),
+                dtype=object,
+            )
             s[nulls] = None
+        elif t == TIME:
+            # pre-5.6: 3B LE signed packed decimal HHMMSS (RowParser.java:234-244)
+            v = _sign_extend(_gather_le(buf, fixed(3), 3), 24)
+            neg = v < 0
+            a = np.abs(v)
+            s = pd.Series(
+                _render_hms(
+                    neg, a // 10000, (a // 100) % 100, a % 100,
+                    np.zeros(n, dtype=np.int64), with_frac=False,
+                ),
+                dtype=object,
+            )
+            s[nulls] = None
+        elif t == TIMESTAMP:
+            # pre-5.6: 4B LE epoch seconds (RowParser.java:270-279)
+            secs = _gather_le(buf, fixed(4), 4)
+            s = pd.Series((secs * 1_000_000).astype("datetime64[us]")).mask(nulls)
+        elif t == DATETIME:
+            # pre-5.6: 8B LE packed decimal YYYYMMDDHHMMSS (RowParser.java:296-313)
+            v = _gather_le(buf, fixed(8), 8)
+            second, v = v % 100, v // 100
+            minute, v = v % 100, v // 100
+            hour, d = v % 100, v // 100
+            day, month, year = d % 100, (d // 100) % 100, d // 10000
+            ok = live & (month > 0) & (day > 0)
+            days = _days_from_civil(
+                np.where(ok, year, 1970), np.where(ok, month, 1), np.where(ok, day, 1)
+            )
+            total_us = (days * 86400 + hour * 3600 + minute * 60 + second) * 1_000_000
+            s = pd.Series(np.where(ok, total_us, 0).astype("datetime64[us]")).mask(~ok)
         elif t == TIMESTAMP_V2:
             fsp = m.get("fsp", 0)
             secs = _gather_be(buf, pos, 4)

@@ -185,6 +185,11 @@ def _sx(v: int, bits: int) -> int:
     return v - (1 << bits) if v >= 1 << (bits - 1) else v
 
 
+def _render_hms(neg: bool, h: int, m: int, s: int, us: int, frac: bool) -> str:
+    txt = f"{h:02d}:{m:02d}:{s:02d}" + (f".{us:06d}" if frac else "")
+    return "-" + txt if neg else txt
+
+
 def _fsp(r: BinlogReader, meta: int) -> int:
     n = (meta + 1) // 2
     if n == 0:
@@ -250,10 +255,35 @@ def _parse_value(r: BinlogReader, type_code: int, meta: int, length: int):
         if day == 0 or month == 0:
             return None
         return dt.date(year, month, day)
-    if t == 0x13:  # TIME_V2
-        word = r.u_be(3)
-        us = _fsp(r, meta)
-        return dt.time((word >> 12) & 0x3FF, (word >> 6) & 0x3F, word & 0x3F, us)
+    if t == 0x13:  # TIME_V2: biased BE fixed-point over (3+fsp) bytes
+        # (MySQL my_time_packed_to_binary; sign = word below bias — the
+        # reference decodes the non-negative subset, RowParser.java:246-268).
+        # Rendered as the canonical '[-]HH:MM:SS[.ffffff]' string, matching
+        # mysql_codecs.decode_typed_block — MySQL TIME spans +/-838 hours,
+        # beyond datetime.time.
+        nb = (meta + 1) // 2
+        w = r.u_be(3 + nb) - (0x800000 << (8 * nb))
+        neg, a = w < 0, abs(w)
+        hms = a >> (8 * nb)
+        us = (a & ((1 << (8 * nb)) - 1)) * 100 ** (3 - nb)
+        return _render_hms(neg, (hms >> 12) & 0x3FF, (hms >> 6) & 0x3F,
+                           hms & 0x3F, us, meta > 0)
+    if t == 0x0B:  # TIME pre-5.6: 3B LE signed packed decimal HHMMSS
+        v = _sx(r.u_le(3), 24)  # (RowParser.java:234-244)
+        neg, a = v < 0, abs(v)
+        return _render_hms(neg, a // 10000, (a // 100) % 100, a % 100, 0, False)
+    if t == 0x07:  # TIMESTAMP pre-5.6: 4B LE epoch seconds (RowParser.java:270-279)
+        secs = r.u_le(4)
+        return dt.datetime.fromtimestamp(secs, dt.timezone.utc).replace(tzinfo=None)
+    if t == 0x0C:  # DATETIME pre-5.6: 8B LE packed YYYYMMDDHHMMSS
+        v = r.u_le(8)  # (RowParser.java:296-313)
+        second, v = v % 100, v // 100
+        minute, v = v % 100, v // 100
+        hour, d = v % 100, v // 100
+        day, month, year = d % 100, (d // 100) % 100, d // 10000
+        if month == 0 or day == 0:
+            return None
+        return dt.datetime(year, month, day, hour, minute, second)
     if t == 0x11:  # TIMESTAMP_V2 (BE epoch seconds)
         secs = r.u_be(4)
         us = _fsp(r, meta)

@@ -209,3 +209,41 @@ def test_packet_stream_to_lake_final_state(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["id"] == 1 and got[0]["name"] == "alice2"
     assert got[0]["amt"] == Decimal("11.00") and str(got[0]["d"]) == "2026-01-03"
+
+
+def test_parse_value_temporal_wire_paths():
+    """Direct wire decode of the temporal codecs, including the legacy
+    pre-5.6 trio (RowParser.java:234-244, 270-279, 296-313) and negative
+    TIME_V2 (biased fixed-point, MySQL my_time_packed_to_binary)."""
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        BinlogReader, _parse_value,
+    )
+
+    # legacy TIME 0x0B: 123456 packed decimal, LE
+    r = BinlogReader((123456).to_bytes(3, "little"))
+    assert _parse_value(r, 0x0B, 0, 0) == "12:34:56"
+    r = BinlogReader((-8385959 & 0xFFFFFF).to_bytes(3, "little"))
+    assert _parse_value(r, 0x0B, 0, 0) == "-838:59:59"
+
+    # legacy TIMESTAMP 0x07: LE epoch seconds
+    r = BinlogReader((86400 + 3723).to_bytes(4, "little"))
+    assert _parse_value(r, 0x07, 0, 0) == dt.datetime(1970, 1, 2, 1, 2, 3)
+
+    # legacy DATETIME 0x0C: packed decimal YYYYMMDDHHMMSS, LE
+    r = BinlogReader((19991231235959).to_bytes(8, "little"))
+    assert _parse_value(r, 0x0C, 0, 0) == dt.datetime(1999, 12, 31, 23, 59, 59)
+    r = BinlogReader((0).to_bytes(8, "little"))
+    assert _parse_value(r, 0x0C, 0, 0) is None  # zero-date
+
+    # TIME_V2 0x13 fsp=6: positive keeps the reference layout; negative is
+    # the negated packed word under the bias
+    word = (1 << 23) | (12 << 12) | (34 << 6) | 56
+    r = BinlogReader(word.to_bytes(3, "big") + (789012).to_bytes(3, "big"))
+    assert _parse_value(r, 0x13, 6, 0) == "12:34:56.789012"
+    packed = (((838 << 12) | (59 << 6) | 59) << 24) | 999999
+    stored = (0x800000 << 24) - packed
+    r = BinlogReader(stored.to_bytes(6, "big"))
+    assert _parse_value(r, 0x13, 6, 0) == "-838:59:59.999999"
+    # fsp=0 negative
+    r = BinlogReader((0x800000 - ((1 << 12) | (2 << 6) | 3)).to_bytes(3, "big"))
+    assert _parse_value(r, 0x13, 0, 0) == "-01:02:03"

@@ -134,3 +134,69 @@ def test_set_roundtrip_membership(vals):
     for got, exp in zip(out, vals):
         members = set(got.split(",")) - {""}
         assert members == exp
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),  # negative
+            st.integers(0, 838), st.integers(0, 59), st.integers(0, 59),
+            st.integers(0, 999999),
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.sampled_from([0, 2, 4, 6]),
+)
+def test_time_v2_signed_full_domain_roundtrip(vals, fsp):
+    """Full MySQL TIME domain ±838:59:59.ffffff through the biased
+    fixed-point wire format, at every fsp width."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import TIME_V2
+
+    spec = ColumnSpec("v", TIME_V2, {"fsp": fsp})
+    texts = []
+    for neg, h, m, s, us in vals:
+        us -= us % (100 ** (3 - (fsp + 1) // 2)) if fsp < 6 else 0
+        if fsp == 0:
+            us = 0
+        sign = "-" if neg and (h or m or s or us) else ""
+        frac = f".{us:06d}" if fsp else ""
+        texts.append(f"{sign}{h:02d}:{m:02d}:{s:02d}{frac}")
+    out = decode_typed_block([spec], encode_typed_rows([spec], [{"v": t} for t in texts]))
+    assert out["v"].tolist() == texts
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(min_value=dt.datetime(1000, 1, 1),
+                     max_value=dt.datetime(9999, 12, 31)) | st.none(),
+        min_size=1, max_size=40,
+    )
+)
+def test_legacy_datetime_roundtrip(vals):
+    """Pre-5.6 DATETIME: packed-decimal seconds precision."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import DATETIME
+
+    spec = ColumnSpec("v", DATETIME)
+    out = _roundtrip(spec, [None if v is None else v.replace(microsecond=0) for v in vals])
+    for got, exp in zip(out, vals):
+        if exp is None:
+            assert pd.isna(got)
+        else:
+            assert got.to_pydatetime() == exp.replace(microsecond=0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 2**31 - 1) | st.none(), min_size=1, max_size=40))
+def test_legacy_timestamp_roundtrip(vals):
+    """Pre-5.6 TIMESTAMP: LE epoch seconds."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import TIMESTAMP
+
+    spec = ColumnSpec("v", TIMESTAMP)
+    out = _roundtrip(spec, vals)
+    for got, exp in zip(out, vals):
+        if exp is None:
+            assert pd.isna(got)
+        else:
+            assert got == pd.Timestamp(exp, unit="s")

@@ -137,3 +137,71 @@ def test_decimal_wide_precision():
 def test_empty_batch():
     out = decode_typed_block(FULL_SCHEMA, pd.Series([], dtype=object))
     assert len(out) == 0
+
+
+def test_legacy_pre56_temporal_roundtrip():
+    """Pre-5.6 codecs: TIME 3B LE packed decimal (RowParser.java:234-244),
+    TIMESTAMP 4B LE epoch seconds (:270-279), DATETIME 8B LE packed decimal
+    YYYYMMDDHHMMSS (:296-313)."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        DATETIME, TIME, TIMESTAMP,
+    )
+
+    schema = [
+        ColumnSpec("t", TIME),
+        ColumnSpec("ts", TIMESTAMP),
+        ColumnSpec("d", DATETIME),
+    ]
+    rows = [
+        dict(t=dt.time(12, 34, 56),
+             ts=dt.datetime(2026, 8, 17, 1, 2, 3, tzinfo=dt.timezone.utc),
+             d=dt.datetime(1999, 12, 31, 23, 59, 59)),
+        dict(t="-838:59:59", ts=0, d=dt.datetime(1000, 1, 1, 0, 0, 0)),
+        dict(t=None, ts=None, d=None),
+    ]
+    out = decode_typed_block(schema, encode_typed_rows(schema, rows))
+    assert out["t"].tolist() == ["12:34:56", "-838:59:59", None]
+    assert str(out["ts"][0]) == "2026-08-17 01:02:03"
+    assert str(out["ts"][1]) == "1970-01-01 00:00:00" and pd.isna(out["ts"][2])
+    assert str(out["d"][0]) == "1999-12-31 23:59:59"
+    assert str(out["d"][1]) == "1000-01-01 00:00:00" and pd.isna(out["d"][2])
+
+
+def test_legacy_time_golden_wire_bytes():
+    """123456 decimal-packed = 0x01E240 → LE bytes 40 E2 01; negative is the
+    3-byte two's complement."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import TIME
+
+    spec = [ColumnSpec("t", TIME)]
+    enc = encode_typed_rows(spec, [{"t": "12:34:56"}, {"t": "-00:00:01"}])
+    assert enc[0] == bytes([0, 0x40, 0xE2, 0x01])
+    assert enc[1] == bytes([0]) + (-1 & 0xFFFFFF).to_bytes(3, "little")
+
+
+def test_time_v2_negative_all_fsp():
+    """Negative TIME_V2 stores the negated packed word under the
+    0x800000<<8nb bias (MySQL my_time_packed_to_binary); check the full fsp
+    domain and that positive values keep the reference-compatible layout."""
+    for fsp, frac_txt in ((0, ""), (2, ".120000"), (4, ".123400"), (6, ".123456")):
+        spec = [ColumnSpec("t", TIME_V2, {"fsp": fsp})]
+        us = {0: 0, 2: 120000, 4: 123400, 6: 123456}[fsp]
+        vals = [
+            dt.time(1, 2, 3, us),
+            "-838:59:59" + frac_txt,
+            "-00:00:01",
+        ]
+        out = decode_typed_block(spec, encode_typed_rows(spec, [{"t": v} for v in vals]))
+        exp_frac = frac_txt if fsp else ""
+        assert out["t"][0] == "01:02:03" + exp_frac
+        assert out["t"][1] == "-838:59:59" + exp_frac
+        assert out["t"][2] == "-00:00:01" + (".000000" if fsp else "")
+
+
+def test_time_v2_positive_wire_layout_unchanged():
+    """Non-negative TIME_V2 bytes must equal the pre-sign-support layout:
+    3B BE word with top bit set + separate BE fsp bytes (what the reference
+    parses, RowParser.java:246-268)."""
+    spec = [ColumnSpec("t", TIME_V2, {"fsp": 6})]
+    enc = encode_typed_rows(spec, [{"t": dt.time(12, 34, 56, 789012)}])
+    word = (1 << 23) | (12 << 12) | (34 << 6) | 56
+    assert enc[0] == bytes([0]) + word.to_bytes(3, "big") + (789012).to_bytes(3, "big")

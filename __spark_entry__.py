@@ -535,9 +535,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_minhash_lsh_fast(spark, sf_dir):
     """Production-path MinHash-LSH: same single-shuffle banding plan with
-    xxhash64 as the base hash (~3-4× cheaper than the md5-derived portable
-    hash). No SQL oracle — xxhash64 is engine-specific; plan and semantics
-    are those of the oracle-checked md5 variant (rows-only check)."""
+    xxhash64 as the base hash and each band signature compacted to ONE
+    xxhash64 long (8-byte fixed-width join key vs the md5 path's ~60-byte
+    string). Measured ~10% faster end-to-end at sf0.1 — the pipeline is
+    explode/shuffle-bound, so the cheaper hash alone is not a large win;
+    the fixed-width shuffle key is what matters at scale. No SQL oracle —
+    xxhash64 is engine-specific; plan and semantics are those of the
+    oracle-checked md5 variant (rows-only check)."""
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, hash_fn="xxhash64"
     )

@@ -36,9 +36,12 @@ def _h32(col):
 
 
 def _h32_fast(col):
-    """Production-path hash: xxhash64 folded to 32 bits — ~3-4× cheaper than
-    the md5-derived portable hash (no hex round-trip), but engine-specific,
-    so only the md5 variant is oracle-comparable. Same value range."""
+    """Production-path hash: xxhash64 folded to 32 bits. The hash itself is
+    much cheaper than md5 (no hex round-trip), but the LSH pipeline is
+    explode/shuffle-bound, so the measured END-TO-END gain is modest (~10%
+    at the sf0.1 bench, mostly from the fixed-width band keys it enables —
+    see minhash_lsh_pairs). Engine-specific: only the md5 variant is
+    oracle-comparable. Same value range."""
     return F.pmod(F.xxhash64(col), F.lit(1 << 32))
 
 
@@ -88,6 +91,25 @@ def dedup_exact(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- shingle postings
+def _shingle_postings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """The (id, shingle) inverted-index table every shingle-based operator
+    starts from — factored out so two-phase pipelines can compute the
+    corpus explode ONCE and share it across phases."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
+    )
+
+
+def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """The skew valve: drop shingles whose document frequency exceeds the
+    cap (a broadcast anti-join — the hot set is small by construction)."""
+    hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") > max_shingle_df
+    )
+    return sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+
+
 # ------------------------------------------------------------- ngram jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -111,14 +133,9 @@ def ngram_jaccard_pairs(
     underestimate it for documents containing hot shingles). Pass ``None`` to
     disable (exact Jaccard over the full universe).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
-    )
+    sh = _shingle_postings(df, text_col, id_col, n)
     if max_shingle_df is not None:
-        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
-            F.col("df_") > max_shingle_df
-        )
-        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+        sh = _drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("l")
@@ -148,6 +165,7 @@ def minhash_signature(
     num_hashes: int = 16,
     n: int = 3,
     hash_fn: str = "md5",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """K minhash values per doc from affine permutations of one base hash:
     h_k(s) = (a_k·h32(s) + b_k) mod M  (M = 2^61-1, a_k/b_k deterministic).
@@ -157,9 +175,9 @@ def minhash_signature(
     ``hash_fn='md5'`` (default) is bit-reproducible across engines (the
     DuckDB oracle runs the same math); ``'xxhash64'`` is the cheaper
     production path (same plan, different hash values)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
-    ).withColumn("h", _hasher(hash_fn)(F.col("sh")))
+    if postings is None:
+        postings = _shingle_postings(df, text_col, id_col, n)
+    sh = postings.withColumn("h", _hasher(hash_fn)(F.col("sh")))
     aggs = [
         F.min((F.col("h") * F.lit(2 * k + 1) + F.lit(k * k + 1)) % F.lit(MERSENNE)).alias(
             f"mh{k}"
@@ -177,6 +195,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     hash_fn: str = "md5",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band signature.
 
@@ -184,15 +203,29 @@ def minhash_lsh_pairs(
     candidate (probability 1-(1-j^r)^b for Jaccard j). Shuffle is O(n·bands);
     candidate verification (exact Jaccard) is left to ngram_jaccard_pairs on
     the (tiny) candidate set — the standard two-phase LSH plan.
+
+    Band keys: the portable md5 path joins on the oracle-reproducible
+    '<band>:<mh..>' string; the xxhash64 production path compacts each band
+    signature to ONE xxhash64 long — an 8-byte fixed-width shuffle/join key
+    instead of a ~60-byte string (a 2^-64 band-collision false-candidate
+    risk, removed by the verify phase).
     """
     r = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, n, hash_fn)
-    band_cols = [
-        F.concat_ws(
-            ":", F.lit(b), *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
-        ).alias("band_key")
-        for b in range(bands)
-    ]
+    sig = minhash_signature(df, text_col, id_col, num_hashes, n, hash_fn, postings)
+    if hash_fn == "xxhash64":
+        band_cols = [
+            F.xxhash64(F.lit(b), *[F.col(f"mh{b * r + i}") for i in range(r)]).alias(
+                "band_key"
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.concat_ws(
+                ":", F.lit(b), *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
+            ).alias("band_key")
+            for b in range(bands)
+        ]
     exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("band_key"))
     pairs = (
         exploded.alias("l")
@@ -212,6 +245,7 @@ def verify_pairs_jaccard(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 1000,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for the given candidate pairs
     (columns id_a, id_b) — the verification half of two-phase LSH dedup.
@@ -222,16 +256,11 @@ def verify_pairs_jaccard(
     Pairs sharing zero shingles drop out (inner join) — they cannot pass any
     threshold > 0.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
-    )
+    sh = postings if postings is not None else _shingle_postings(df, text_col, id_col, n)
     if max_shingle_df is not None:
         # document frequency over the FULL corpus (the cap semantics), but
         # everything downstream touches only candidate documents' postings
-        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
-            F.col("df_") > max_shingle_df
-        )
-        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+        sh = _drop_hot_shingles(sh, max_shingle_df)
     cand = F.broadcast(candidates.select("id_a", "id_b"))
     cand_ids = F.broadcast(
         candidates.select(F.col("id_a").alias("id"))
@@ -278,13 +307,31 @@ def minhash_lsh_verified(
     """Two-phase near-dup dedup: LSH banding proposes candidate pairs
     (O(n·bands) shuffle), exact Jaccard on just those pairs removes the false
     positives. This is the function a user should call at scale — raw
-    ``minhash_lsh_pairs`` output contains banding collisions."""
-    # The candidate set feeds THREE plan branches in the verify phase (pair
-    # join + the two id semi-joins); without persisting, Spark would recompute
-    # the whole minhash/banding pipeline per branch.
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n, hash_fn).persist()
+    ``minhash_lsh_pairs`` output contains banding collisions.
+
+    Materialization strategy (both via ``localCheckpoint``, which stores
+    partitions on executors WITHOUT registering in the CacheManager — so no
+    cache entry can leak into later queries' plans and nothing needs a
+    caller-side unpersist):
+
+    * the corpus (id, shingle) postings table is computed ONCE (lazy
+      checkpoint) and shared by the minhash aggregation and the verify join —
+      previously both phases re-exploded the full corpus;
+    * the candidate set (tiny by construction) is checkpointed eagerly: it
+      feeds three plan branches in verify (pair join + two id semi-joins),
+      which would otherwise each recompute the whole banding pipeline.
+
+    On a multi-executor cluster, executor loss invalidates local checkpoints
+    — a resilient deployment of this two-phase plan would write the postings
+    to a reliable ``checkpoint()`` dir (or a table) instead; the plan shape
+    is unchanged.
+    """
+    sh = _shingle_postings(df, text_col, id_col, n).localCheckpoint(eager=False)
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, n, hash_fn, postings=sh
+    ).localCheckpoint(eager=True)
     return verify_pairs_jaccard(
-        df, cands, text_col, id_col, n, threshold, max_shingle_df
+        df, cands, text_col, id_col, n, threshold, max_shingle_df, postings=sh
     )
 
 

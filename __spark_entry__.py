@@ -578,10 +578,13 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH-bucket candidate join (no
-    all-pairs scoring)."""
+    """Embedding-cosine near-dup pairs via BANDED hyperplane LSH (no
+    all-pairs scoring): candidates = pairs sharing a bucket in either of 2
+    bands × 8 planes. The bench corpus uses r=8 (256 buckets/band — sized
+    to its ~10³ rows); the operator's scale default is r=16, B=4 (65 536
+    buckets/band, bounding bucket² work at 10^9 rows)."""
     return embedding_near_dup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=8
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=8, bands=2
     )
 
 
@@ -723,16 +726,19 @@ _COS_SQL = (
 )
 
 
-def _hyperplane_sig_sql(vcol: str, n_planes: int = 8) -> str:
+def _hyperplane_sig_sql(vcol: str, n_planes: int = 8, plane_offset: int = 0) -> str:
+    """r-bit signature from planes [plane_offset, plane_offset+n_planes):
+    plane derivation matches similarity._plane_row (md5('{global p}:{i}'))."""
     parts = []
-    for p in range(n_planes):
+    for i_local in range(n_planes):
+        p = plane_offset + i_local
         h = _H32_SQL.format(x=f"concat('{p}', ':', CAST(i AS VARCHAR))")
         proj = (
             f"list_sum(list_transform(range(1, len({vcol}) + 1), "
             f"i -> CAST({vcol}[i] AS DOUBLE) * "
             f"(CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END)))"
         )
-        parts.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        parts.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i_local} ELSE 0 END)")
     return "CAST(" + " + ".join(parts) + " AS INTEGER)"
 
 
@@ -856,11 +862,19 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= 10
 """
     cos_ab = _COS_SQL.replace("cv", "a.v").replace("qv", "b.v")
+    # banded LSH (B=2 bands × r=8 planes): a pair is a candidate if it
+    # shares a bucket in EITHER band — mirrors embedding_near_dup's
+    # band-union candidate generation exactly (band b bucket = b·2^r + sig)
+    emb_band0 = _hyperplane_sig_sql("v", 8, plane_offset=0)
+    emb_band1 = _hyperplane_sig_sql("v", 8, plane_offset=8)
     emb_dedup_sql = f"""
 WITH c0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-c AS (SELECT id, v, {_hyperplane_sig_sql("v")} AS bucket FROM c0),
-s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine
-      FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id)
+buckets AS (SELECT id, unnest([{emb_band0}, 256 + {emb_band1}]) AS bucket FROM c0),
+cand AS (SELECT a.id AS id_a, b.id AS id_b
+         FROM buckets a JOIN buckets b USING (bucket)
+         WHERE a.id < b.id GROUP BY 1, 2),
+s AS (SELECT id_a, id_b, round({cos_ab}, 6) AS cosine
+      FROM cand JOIN c0 a ON a.id = cand.id_a JOIN c0 b ON b.id = cand.id_b)
 SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.25
 """
     sig_c = _hyperplane_sig_sql("cv")

@@ -127,6 +127,53 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
 
 
+def test_embedding_near_dup_banded_recall(spark):
+    """Banded LSH at the scale defaults (r=16, B=4) recalls ≥90% of planted
+    near-dup pairs (~5° apart, cos ≈ 0.996) in a 400-vector random corpus."""
+    from mysql_secure_agent_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.default_rng(7)
+    n, dim, planted = 400, 32, 20
+    base = rng.normal(size=(n, dim)).astype("float64")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    expected = set()
+    for i in range(planted):
+        a, b = 2 * i, 2 * i + 1
+        noise = rng.normal(size=dim)
+        noise -= noise @ base[a] * base[a]  # orthogonal perturbation
+        noise /= np.linalg.norm(noise)
+        base[b] = np.cos(0.09) * base[a] + np.sin(0.09) * noise  # ~5.2°
+        expected.add((a, b))
+    rows = [(int(i), base[i].astype("float32").tolist()) for i in range(n)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(vecs, threshold=0.99).collect()
+    }
+    assert len(got & expected) >= 18  # >=90% recall on planted pairs
+
+
+def test_band_bucket_population_bounded(spark):
+    """The point of banding: per-band bucket population stays ~n/2^r. On a
+    500-vector random corpus with r=12 the largest bucket must be far below
+    the unbanded 8-plane worst case (n/256 expected -> whole-corpus buckets
+    at small r)."""
+    from mysql_secure_agent_spark.operators.similarity import _band_buckets
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i), rng.normal(size=24).astype("float32").tolist()) for i in range(500)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    buckets = vecs.select(
+        F.explode(_band_buckets(F.col("embedding"), 12, 4)).alias("bucket")
+    )
+    top = (
+        buckets.groupBy("bucket").count().agg(F.max("count").alias("mx")).first()["mx"]
+    )
+    # 4096 buckets/band for 500 rows: random signs concentrate a little, but
+    # any bucket holding >5% of the corpus would mean the banding failed.
+    assert top <= 25
+
+
 # ------------------------------------------------------------------ similarity
 def _vec_df(spark, seed=0, n=40, dim=16):
     rng = np.random.default_rng(seed)

@@ -144,6 +144,49 @@ def q_cdc_merge_into_lake(spark, sf_dir):
     )
 
 
+def q_cdc_jsonl_roundtrip(spark, sf_dir):
+    """K1 round-trip (reference-format migration, end to end): the change
+    feed is EXPORTED through the JSONL sink in the reference's exact output
+    shapes (positional stringly-typed upsert/delete lines,
+    ``OutputSpec.java:46-97``), read back off disk through the JSONL source
+    (``from_json`` + positional casts), replayed through a real LakeTable
+    MERGE, and the reconciled state returned. Oracle: the same final-state
+    SQL as the direct replay — so the string render/parse, the sink, the
+    source, and the merge are all proven value-exact in one row."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.sinks.jsonl_changelog import write_jsonl_changelog
+    from mysql_secure_agent_spark.sources.jsonl_changelog import read_jsonl_changelog
+
+    cl = _events_changelog(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "changelog")
+    cols = [
+        ("user_id", "long"),
+        ("slot", "int"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("source_lsn", "long"),
+    ]
+    write_jsonl_changelog(cl, out, "testdata", "events", [n for n, _ in cols])
+    replay = read_jsonl_changelog(spark, out, cols)
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_rt_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, replay, "roundtrip-batch")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_modify_column(spark, sf_dir):
     """T6 MODIFY_COLUMN mid-replay: first half of the feed merges under
     slot:int, then MODIFY COLUMN slot→bigint (existing data rewritten with a
@@ -636,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
+        "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_modify_column": q_cdc_modify_column,
         "cdc_last_image_wins": q_cdc_last_image_wins,
         "cdc_update_decompose": q_cdc_update_decompose,
@@ -894,6 +938,15 @@ WHERE rn <= 10
     return {
         "cdc_apply_changelog": final_state_sql,
         "cdc_merge_into_lake": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # the round-trip must land on the same final state as the direct
+        # replay — same oracle SQL (string render/parse is value-exact)
+        "cdc_jsonl_roundtrip": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot

@@ -62,19 +62,35 @@ def tokens_col(text_col="text"):
 
 
 def shingles_col(text_col="text", n: int = 3):
-    """Distinct word n-gram shingles as an array<string> (1-based element_at,
-    portable to the oracle dialect)."""
+    """Distinct word n-gram shingles as an array<string>.
+
+    ``array_join(slice(toks, i, n))`` instead of n separate 1-based
+    ``element_at`` lookups: higher-order lambdas run INTERPRETED (no
+    whole-stage codegen), and the per-element Cast/element_at expression
+    trees cost ~2.7× the single slice+join (measured 5.0 s vs 13.6 s per
+    core for 260k shingles). Same shingle values either way — the oracle
+    SQL is unchanged."""
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     # guard: Spark sequence(1, k) DESCENDS for k<1 — short texts get no shingles
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) < n, empty).otherwise(F.array_distinct(grams))
+
+
+def _with_min_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ONLY if the plan has fewer partitions than the cluster
+    has slots. The shingle/token explode is the CPU hot spot of every text
+    operator, and its parallelism is inherited from the file splits — a
+    single small input file would otherwise serialize the whole corpus
+    explode onto one core (measured 13.6 s vs 1.3 s at the sf0.1 bench). At
+    100 TB the scan has thousands of splits, the guard is false, and no
+    extra shuffle ever happens; the repartition only fires for inputs so
+    small that shuffling them is free."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -96,7 +112,7 @@ def _shingle_postings(df: DataFrame, text_col: str, id_col: str, n: int) -> Data
     """The (id, shingle) inverted-index table every shingle-based operator
     starts from — factored out so two-phase pipelines can compute the
     corpus explode ONCE and share it across phases."""
-    return df.select(
+    return _with_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
     )
 
@@ -340,7 +356,7 @@ def simhash(df: DataFrame, text_col="text", id_col="doc_id", bits: int = 32) -> 
     """Per-doc simhash: for each bit, sign of Σ over tokens of ±1 (token hash
     bit). Explode + groupBy(id) with `bits` conditional sums — partial-agg
     friendly. Collapsing identical signatures = hamming-0 dedup buckets."""
-    tok = df.select(
+    tok = _with_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t")
     ).withColumn("h", _h32(F.col("t")))
     bit_sums = [

@@ -387,7 +387,13 @@ def q_cdc_decode_types(spark, sf_dir):
         "i24 long, en string, st string, bit20 long, yr long, dbl double, bl binary, "
         "tneg string, ltm string, lts string, ldt string"
     )
-    decoded = base.mapInPandas(roundtrip, schema=out_schema)
+    # the test-side per-row ENCODER dominates this query's cost; the 2 MB
+    # single-file scan gives mapInPandas one partition, serializing it onto
+    # one core (17 s) — the floor spreads it across the cluster (engine-side
+    # decode is columnar numpy either way)
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    decoded = _with_min_parallelism(base).mapInPandas(roundtrip, schema=out_schema)
     return decoded.select(
         "event_id",
         F.col("amt").cast("string").alias("amt"),

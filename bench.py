@@ -61,6 +61,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "cdc_apply_changelog",
     "cdc_merge_into_lake",
+    "cdc_jsonl_roundtrip",
     "cdc_decode_types",
     "dedup_lsh_verified",
     "cdc_last_image_wins",

@@ -187,6 +187,35 @@ def q_cdc_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdc_lake_changefeed(spark, sf_dir):
+    """Incremental changefeed OUT of the lake (read_changes): the feed is
+    merged in two halves, then the second half is read back as a changelog
+    from the table's own lsn-stamped files — net per-key change with op U/D,
+    O(delta) IO (manifest lsn stats skip the first half's files from the
+    listing). Oracle: last event per key among raw events with lsn > mid,
+    restricted to keys that have such events; I/U both render as U (the
+    upsert fold, Updater.java:188-217)."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    mid = (cl.agg(F.max("source_lsn")).first()[0] or 0) // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_cf_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= mid), "half-1")
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > mid), "half-2")
+    return tbl.read_changes(spark, since_lsn=mid).select(
+        "op", "user_id", "slot", "event_type", "value", "source_lsn"
+    )
+
+
 def q_cdc_modify_column(spark, sf_dir):
     """T6 MODIFY_COLUMN mid-replay: first half of the feed merges under
     slot:int, then MODIFY COLUMN slot→bigint (existing data rewritten with a
@@ -686,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
+        "cdc_lake_changefeed": q_cdc_lake_changefeed,
         "cdc_modify_column": q_cdc_modify_column,
         "cdc_last_image_wins": q_cdc_last_image_wins,
         "cdc_update_decompose": q_cdc_update_decompose,
@@ -958,6 +988,18 @@ SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
+""",
+        # net per-key change among events past the midpoint cursor: the lake
+        # stores per-batch last images, so the feed's last-image-per-key over
+        # lsn > mid is exactly what read_changes returns (D stays D, I/U -> U)
+        "cdc_lake_changefeed": _CHANGELOG_CTE
+        + """
+SELECT CASE WHEN op = 'D' THEN 'D' ELSE 'U' END AS op,
+       user_id, slot, event_type, value, source_lsn
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn
+      FROM cl WHERE source_lsn > (SELECT max(source_lsn) FROM cl) // 2)
+WHERE rn = 1
 """,
         "cdc_modify_column": _CHANGELOG_CTE
         + """

@@ -134,6 +134,15 @@ class Commit:
     # Streaming only retries the LATEST unfinished batch — epoch e+1 never
     # starts before every sub-merge of epoch e committed.
     applied_hwm: int = -1
+    # Changefeed retention floor: compaction collapses per-key history (and
+    # drops tombstones), so an incremental reader whose cursor is older than
+    # the highest lsn swallowed by a compaction can no longer get a faithful
+    # delta — the analog of MySQL purging binlogs out from under a replica
+    # (the reference surfaces server error 1236 for that,
+    # ``BinlogClient.java`` reconnect path). read_changes() refuses cursors
+    # below this. -1 = nothing compacted yet (or a pre-field table, where
+    # compacted history is simply not tracked).
+    changefeed_floor: int = -1
 
     def is_applied(self, batch_id: str) -> bool:
         if batch_id in self.applied_batches:
@@ -153,6 +162,7 @@ class Commit:
                 "manifests": self.manifests,
                 "applied_batches": self.applied_batches,
                 "applied_hwm": self.applied_hwm,
+                "changefeed_floor": self.changefeed_floor,
                 "parent": self.parent,
                 "summary": self.summary,
             },
@@ -179,6 +189,7 @@ class Commit:
             manifests=d.get("manifests", []),
             applied_batches=d["applied_batches"],
             applied_hwm=d.get("applied_hwm", -1),
+            changefeed_floor=d.get("changefeed_floor", -1),
             parent=d.get("parent"),
             summary=d.get("summary", {}),
         )
@@ -381,14 +392,31 @@ class LakeTable:
 
     # ------------------------------------------------------------------ read
     def _read_files(
-        self, spark: SparkSession, commit: Commit, buckets: list[int] | None = None
+        self,
+        spark: SparkSession,
+        commit: Commit,
+        buckets: list[int] | None = None,
+        min_lsn_exclusive: int | None = None,
     ) -> DataFrame | None:
-        """Raw base+delta rows (with system columns) for the given buckets."""
+        """Raw base+delta rows (with system columns) for the given buckets.
+
+        ``min_lsn_exclusive`` skips files whose recorded lsn_max is ≤ the
+        cursor — listing-level pruning: an incremental reader of a 10^6-file
+        table opens only the files its cursor can touch, no footer reads.
+        Entries without recorded stats (legacy/modify-rewrite) are kept —
+        parquet row-group stats still prune them executor-side."""
         paths: list[str] = []
         for b, entries in commit.files.items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            paths.extend(os.path.join(self.root, e["path"]) for e in entries)
+            for e in entries:
+                if (
+                    min_lsn_exclusive is not None
+                    and e.get("lsn_max") is not None
+                    and e["lsn_max"] <= min_lsn_exclusive
+                ):
+                    continue
+                paths.append(os.path.join(self.root, e["path"]))
         if not paths:
             return None
         # Explicit schema → files written before an ADD COLUMN project the new
@@ -420,6 +448,64 @@ class LakeTable:
             raw, key_cols=commit.key_cols, order_col=SYS_LSN, strategy=strategy
         )
         return reconciled.filter(~F.col(SYS_DELETED)).select(*cols)
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_lsn: int,
+        to_lsn: int | None = None,
+        strategy: str = "max_by",
+    ) -> DataFrame:
+        """Incremental changefeed OUT of the lake: the net change per key in
+        ``(since_lsn, to_lsn]`` as changelog rows (``op`` U/D + payload +
+        ``source_lsn``) — directly consumable by another ``merge()``, the
+        JSONL sink, or a downstream training-data refresh ("what changed
+        since my last snapshot"). The lake becomes a replication SOURCE, not
+        just a sink — the reference's agent is exactly this read against
+        MySQL's binlog (``BinlogClient.java`` tail loop), re-expressed over
+        the table's own lsn-stamped files.
+
+        Cost is O(delta), not O(table): file entries carry their lsn range
+        in the manifest, so files at or below the cursor are dropped from
+        the LISTING (no footer reads, no tasks); within surviving files the
+        lsn predicate prunes parquet row groups executor-side. A consumer
+        polling a 10^10-row table reads only the micro-batches it missed.
+
+        Cursors older than ``changefeed_floor`` raise: compaction collapsed
+        that history (dropped intermediate images and tombstones), the same
+        way a purged binlog invalidates a lagging replica (MySQL error 1236
+        — the reference reconnect path surfaces it rather than silently
+        missing deletes). Poll faster than you compact, or gate compaction
+        on downstream cursors.
+        """
+        commit = self.commit_at()
+        if since_lsn < commit.changefeed_floor:
+            raise ValueError(
+                f"changefeed cursor {since_lsn} predates compacted history "
+                f"(floor {commit.changefeed_floor}): deltas before the floor "
+                "were collapsed and tombstones dropped; re-read the full "
+                "table state instead"
+            )
+        cols = [n for n, _ in commit.schema]
+        out_schema = T.StructType(
+            [T.StructField("op", T.StringType(), False)]
+            + [T.StructField(n, _type_from_ddl(dt), True) for n, dt in commit.schema]
+            + [T.StructField("source_lsn", T.LongType(), True)]
+        )
+        raw = self._read_files(spark, commit, min_lsn_exclusive=since_lsn)
+        if raw is None:
+            return spark.createDataFrame([], out_schema)
+        win = raw.filter(F.col(SYS_LSN) > F.lit(since_lsn))
+        if to_lsn is not None:
+            win = win.filter(F.col(SYS_LSN) <= F.lit(to_lsn))
+        last = last_image_wins(
+            win, key_cols=commit.key_cols, order_col=SYS_LSN, strategy=strategy
+        )
+        return last.select(
+            F.when(F.col(SYS_DELETED), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            *cols,
+            F.col(SYS_LSN).alias("source_lsn"),
+        )
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -474,20 +560,40 @@ class LakeTable:
             F.col(SYS_LSN).cast("long").alias(SYS_LSN),
             (F.col(op_col) == F.lit("D")).alias(SYS_DELETED),
         ).observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
-        # THE one exchange of the merge: cluster on bucket_cols into exactly
-        # n_buckets partitions. bucket_cols ⊆ key_cols, so this partitioning
-        # satisfies the dedup's required distribution (window partitionBy /
-        # groupBy on key_cols) — Catalyst elides the dedup exchange — AND
-        # partition id == pmod(murmur3(bucket_cols), n_buckets) == _bucket, so
-        # the final partitionBy("_bucket") write needs no repartition either.
-        # One shuffle total: scan → cluster → dedup → normalize → write.
-        clustered = projected.repartition(commit.n_buckets, *commit.bucket_cols)
-        deduped = last_image_wins(
-            clustered,
-            key_cols=commit.key_cols,
-            order_col=SYS_LSN,
-            strategy=dedup_strategy,
-        ).observe(
+        # Two exchange strategies, both ending bucket-aligned (partition id ==
+        # pmod(murmur3(bucket_cols), n_buckets) == _bucket, so the final
+        # partitionBy("_bucket") write needs no further repartition):
+        #
+        # * default ('window'/'max_by'): ONE exchange — an explicit
+        #   repartition(n_buckets, bucket_cols) that the dedup rides
+        #   (bucket_cols ⊆ key_cols satisfies its required distribution, so
+        #   Catalyst elides the dedup's own exchange). Every raw row image
+        #   crosses the wire once.
+        # * 'max_by_partial': the dedup aggregates FIRST on its own exchange —
+        #   Catalyst then plans a partial (map-side) aggregate, so duplicate
+        #   images of a key collapse inside each scan task and only partial
+        #   maxima cross the wire; a SECOND exchange bucket-aligns the
+        #   survivors (one row per key per batch). Two exchanges, but
+        #   exchange 1 shrinks by the within-task duplicate factor and
+        #   exchange 2 is O(distinct keys) — the winning trade whenever the
+        #   change feed revisits keys (hot-key/Zipf feeds, exactly where one
+        #   full-row exchange hurts most at 100 TB).
+        if dedup_strategy == "max_by_partial":
+            deduped = last_image_wins(
+                projected,
+                key_cols=commit.key_cols,
+                order_col=SYS_LSN,
+                strategy="max_by",
+            ).repartition(commit.n_buckets, *commit.bucket_cols)
+        else:
+            clustered = projected.repartition(commit.n_buckets, *commit.bucket_cols)
+            deduped = last_image_wins(
+                clustered,
+                key_cols=commit.key_cols,
+                order_col=SYS_LSN,
+                strategy=dedup_strategy,
+            )
+        deduped = deduped.observe(
             obs_out,
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col(SYS_DELETED).cast("int")).alias("deletes"),
@@ -563,6 +669,14 @@ class LakeTable:
             "skipped": False,
         }
 
+        # File-level lsn range (batch-level stats — conservative but exact at
+        # the batch boundary): lets incremental readers skip whole files from
+        # the LISTING, before any footer is opened (see read_changes).
+        if lsn_min is not None and lsn_max is not None:
+            for entries in delta.values():
+                for e in entries:
+                    e["lsn_min"], e["lsn_max"] = int(lsn_min), int(lsn_max)
+
         applied = dict(commit.applied_batches)
         applied[batch_id] = version
         applied, hwm = self._prune_applied(applied, commit.applied_hwm)
@@ -579,6 +693,7 @@ class LakeTable:
             manifests=self._extend_manifests(commit, version, delta),
             applied_batches=applied,
             applied_hwm=hwm,
+            changefeed_floor=commit.changefeed_floor,
             parent=commit.version,
             summary={"operation": "merge", **{k: metrics[k] for k in ("batch_id", "rows_in", "deletes", "upserts")}},
         )
@@ -658,6 +773,25 @@ class LakeTable:
         if not todo:
             return {"compacted_buckets": [], "skipped": True}
 
+        # Compaction collapses history: whatever lsn range it rewrites is no
+        # longer faithfully replayable (intermediate images and tombstones
+        # are gone) — raise the changefeed floor to its ceiling. Entries
+        # missing recorded stats (legacy) fall back to one footer scan of
+        # exactly those files, paid here at compaction time, never on read.
+        rewritten = [e for b, es in commit.files.items() if int(b) in todo for e in es]
+        known = [e["lsn_max"] for e in rewritten if e.get("lsn_max") is not None]
+        unknown = [
+            os.path.join(self.root, e["path"])
+            for e in rewritten
+            if e.get("lsn_max") is None
+        ]
+        floor = max(known, default=-1)
+        if unknown:
+            _, _, _, mx = _footer_stats(unknown)
+            if mx is not None:
+                floor = max(floor, int(mx))
+        floor = max(floor, commit.changefeed_floor)
+
         raw = self._read_files(spark, commit, todo)
         # Same fused single-exchange plan as merge(): cluster on bucket_cols
         # into n_buckets partitions, dedup rides it, write is bucket-aligned.
@@ -688,13 +822,15 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(out_dir, d))):
                 if fn.endswith(".parquet"):
                     p = os.path.join(rel_dir, d, fn)
-                    files.setdefault(b, []).append(
-                        {
-                            "path": p,
-                            "kind": "base",
-                            "bytes": os.path.getsize(os.path.join(self.root, p)),
-                        }
-                    )
+                    _, _, mn, mx = _footer_stats([os.path.join(self.root, p)])
+                    entry: dict[str, Any] = {
+                        "path": p,
+                        "kind": "base",
+                        "bytes": os.path.getsize(os.path.join(self.root, p)),
+                    }
+                    if mn is not None and mx is not None:
+                        entry["lsn_min"], entry["lsn_max"] = int(mn), int(mx)
+                    files.setdefault(b, []).append(entry)
         # compaction rewrites the referenced file set → reset the manifest
         # chain to one full manifest (the Iceberg-style consolidation point)
         new_commit = Commit(
@@ -708,6 +844,7 @@ class LakeTable:
             manifests=[self._write_manifest(f"m{version:08d}.full.json", files)],
             applied_batches=dict(commit.applied_batches),
             applied_hwm=commit.applied_hwm,
+            changefeed_floor=floor,
             parent=commit.version,
             summary={"operation": "compact", "buckets": todo},
         )
@@ -738,6 +875,7 @@ class LakeTable:
             manifests=self._extend_manifests(commit, version, {}),
             applied_batches=dict(commit.applied_batches),
             applied_hwm=commit.applied_hwm,
+            changefeed_floor=commit.changefeed_floor,
             parent=commit.version,
             summary={"operation": "add_column", "column": name, "type": ddl_type},
         )
@@ -787,6 +925,7 @@ class LakeTable:
             manifests=[self._write_manifest(f"m{version:08d}.full.json", files)],
             applied_batches=dict(commit.applied_batches),
             applied_hwm=commit.applied_hwm,
+            changefeed_floor=commit.changefeed_floor,
             parent=commit.version,
             summary={"operation": "modify_column", "column": name, "type": ddl_type},
         )

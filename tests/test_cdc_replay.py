@@ -65,7 +65,7 @@ def test_backfill_matches_oracle(spark, tmp_path, spec):
     _assert_matches_oracle(spark, table, spec)
 
 
-@pytest.mark.parametrize("dedup_strategy", ["window", "max_by"])
+@pytest.mark.parametrize("dedup_strategy", ["window", "max_by", "max_by_partial"])
 def test_stream_matches_oracle(spark, tmp_path, dedup_strategy):
     spec = FeedSpec(n_events=6000, n_convs=200, seed=23)
     feed = str(tmp_path / "feed")
@@ -184,6 +184,32 @@ def test_merge_plan_single_exchange(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_merge_plan_partial_agg_strategy(spark, tmp_path):
+    """'max_by_partial': the dedup aggregate plans a map-side partial pass
+    (duplicate key images collapse before the wire) and the bucket-aligning
+    exchange carries only the aggregated survivors — two exchanges total."""
+    from pyspark.sql import functions as F
+    from mysql_secure_agent_spark.operators.dedup_changelog import last_image_wins
+
+    table = _make_table(str(tmp_path / "tbl"))
+    commit = table.commit_at()
+    spec = FeedSpec(n_events=500, n_convs=20, seed=3)
+    cl, _ = generate_changelog(spec)
+    df = spark.createDataFrame(cl)
+    projected = df.select(
+        *[c for c, _ in commit.schema], F.col("source_lsn"),
+        (F.col("op") == "D").alias("_deleted"),
+    )
+    deduped = last_image_wins(projected, commit.key_cols, strategy="max_by")
+    aligned = deduped.repartition(commit.n_buckets, *commit.bucket_cols)
+    plan = (
+        aligned.withColumn("_bucket", table._bucket_expr(commit))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert "partial_max" in plan or "partial" in plan.lower()
 
 
 def test_kill_resume_exactly_once(spark, tmp_path):

@@ -32,10 +32,14 @@ nb = int(os.environ.get("CDC_BUCKETS", "64"))
 mpb = os.environ.get("CDC_MPB", "27m")
 codec = os.environ.get("CDC_CODEC", "zstd")
 arrow_batch = os.environ.get("CDC_ARROW_BATCH", "10000")
-# max_by dedup = hash-agg with map-side partial combine (no per-partition
-# sort); plan-equivalent to the window strategy (tested) and the scale path
-# for hot keys — the benched configuration.
-dedup = os.environ.get("CDC_DEDUP", "max_by")
+# max_by_partial: the dedup aggregates on its own exchange, so Catalyst
+# plans a map-side partial aggregate — duplicate key images collapse inside
+# the scan tasks and only partial maxima cross the wire; a second exchange
+# bucket-aligns the (per-key) survivors. Measured on the 64M-event feed:
+# p16 CPU 299 vs 476 task-cpu-s against the single-exchange max_by (the
+# byte savings matter exactly when concurrent streams contend for memory
+# bandwidth), p4 within noise. Result-identical to window/max_by (tested).
+dedup = os.environ.get("CDC_DEDUP", "max_by_partial")
 
 os.environ["SPARK_DRIVER_MEMORY"] = mem
 os.makedirs(os.path.join(work, f"evlog{cores}"), exist_ok=True)
@@ -49,7 +53,7 @@ from pyspark.sql import functions as F
 spark = get_spark(
     app_name=f"cdc_run_{cores}",
     cores=cores,
-    shuffle_partitions=2 * cores,
+    shuffle_partitions=int(os.environ.get("CDC_SHUFFLE", 2 * cores)),
     extra_conf={
         "spark.ui.showConsoleProgress": "false",
         # sized so the 64-file feed scans as ~64 tasks: whole waves at both
@@ -66,6 +70,9 @@ spark = get_spark(
         # throughput batch work wants the throughput collector.
         "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
         "spark.sql.parquet.compression.codec": codec,
+        # shuffle/spill block codec (lz4 default; zstd trades CPU for bytes —
+        # relevant when the host is memory-bandwidth constrained)
+        "spark.io.compression.codec": os.environ.get("CDC_IOCODEC", "lz4"),
         "spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch,
         "spark.eventLog.enabled": "true",
         "spark.eventLog.compress": "false",

@@ -309,15 +309,32 @@ class CdcPipeline:
         ``idle_stop_seconds`` stops the query after that long with no data
         batch (drain semantics for tests/bounded runs); ``max_runtime_seconds``
         is a hard cap. Resume is the standard checkpoint restart.
+
+        The monitor never stops the query while a micro-batch is mid-merge:
+        "idle" is measured only between batches (``busy`` flag), and the stop
+        path drains the in-flight batch first. Interrupting foreachBatch
+        would abort a merge that the checkpoint thinks is still pending —
+        harmless for convergence (replay is idempotent) but it turns a clean
+        drain into a spurious failure, and a stop-interrupted py4j call can
+        surface a pathologically long exception message.
         """
         import time as _time
 
-        state = {"last_data": _time.time(), "last_beat": _time.time(), "batches": 0}
+        state = {
+            "last_data": _time.time(),
+            "last_beat": _time.time(),
+            "batches": 0,
+            "busy": False,
+        }
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
-            self.apply_batch(spark, batch_df, epoch_id)
-            state["last_data"] = _time.time()
-            state["batches"] += 1
+            state["busy"] = True
+            try:
+                self.apply_batch(spark, batch_df, epoch_id)
+                state["last_data"] = _time.time()
+                state["batches"] += 1
+            finally:
+                state["busy"] = False
 
         stream = (
             spark.readStream.schema(RAW_CHANGELOG_SCHEMA if self.raw else CHANGELOG_SCHEMA)
@@ -336,6 +353,8 @@ class CdcPipeline:
             while q.isActive:
                 _time.sleep(min(trigger_seconds, 0.2))
                 now = _time.time()
+                if state["busy"]:
+                    continue  # a merge is in flight: neither idle nor NOP
                 if now - max(state["last_data"], state["last_beat"]) >= heartbeat_seconds:
                     self.table.heartbeat()
                     state["last_beat"] = now
@@ -353,6 +372,10 @@ class CdcPipeline:
             if q.exception() is not None:
                 raise q.exception()
         finally:
+            # drain: let an in-flight batch commit before stopping (bounded)
+            t_drain = _time.time()
+            while state["busy"] and _time.time() - t_drain < 120:
+                _time.sleep(0.1)
             if q.isActive:
                 q.stop()
             q.awaitTermination()

@@ -43,6 +43,9 @@ class FeedSpec:
     # values unchanged, the engine rewrites existing data with a cast)
     ddl_modify_turn_to_long_at_frac: float | None = None
     base_ts: str = "2026-01-01"
+    # conv_id namespace prefix — sharded (multi-source) fixtures give each
+    # shard its own prefix so key spaces are disjoint, like a sharded fleet
+    conv_prefix: str = "c"
 
 
 def generate_changelog(spec: FeedSpec) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -96,7 +99,7 @@ def generate_changelog(spec: FeedSpec) -> tuple[pd.DataFrame, pd.DataFrame]:
     op[order] = op_sorted
 
     # --- payload -------------------------------------------------------------
-    conv_id = np.char.add("c", np.char.zfill(conv.astype("<U8"), 8))
+    conv_id = np.char.add(spec.conv_prefix, np.char.zfill(conv.astype("<U8"), 8))
     role = ROLES[(turn % 4 + (conv % 2)) % 4]
     tool_idx = rng.integers(0, len(TOOLS), size=n)
     tool = TOOLS[tool_idx].astype(object)

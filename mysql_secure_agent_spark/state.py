@@ -37,6 +37,61 @@ class BinlogPosition:
 
 
 @dataclass
+class GtidSet:
+    """Per-source applied watermark — the MySQL ``gtid_executed`` analog for
+    multi-source (sharded) ingest: N upstream shards each with an independent
+    binlog/lsn sequence feeding ONE lake table. ``sources`` maps source id →
+    highest applied per-source lsn. Events at or below the watermark are
+    already applied and get filtered before any shuffle on resume/replay.
+
+    The reference tracks a single (file, pos) because it tails one server
+    (``state/AgentState.java:14-17``); a sharded fleet needs one watermark
+    per source — exactly what MySQL encodes as a GTID set
+    (``server_uuid:1-N`` per source). String form mirrors that shape:
+    ``"s0:1-123,s1:1-45"``.
+    """
+
+    sources: dict[str, int] = field(default_factory=dict)
+
+    def covers(self, source: str, lsn: int) -> bool:
+        return lsn <= self.sources.get(source, -1)
+
+    def advance(self, source: str, lsn: int) -> None:
+        if lsn > self.sources.get(source, -1):
+            self.sources[source] = int(lsn)
+
+    def merge(self, other: "GtidSet") -> None:
+        for s, l in other.sources.items():
+            self.advance(s, l)
+
+    def to_string(self) -> str:
+        return ",".join(f"{s}:1-{l}" for s, l in sorted(self.sources.items()))
+
+    @staticmethod
+    def from_string(s: str) -> "GtidSet":
+        out = GtidSet()
+        for part in filter(None, (p.strip() for p in s.split(","))):
+            src, rng = part.rsplit(":", 1)
+            out.sources[src] = int(rng.split("-")[-1])
+        return out
+
+    def save(self, path: str) -> None:
+        """Atomic write; caller persists AFTER the data commit it covers
+        (write-data-then-state, ``BucketOutput.java:127-138``)."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"gtid_executed": self.to_string()}))
+        os.replace(tmp, path)
+
+    @staticmethod
+    def load(path: str) -> "GtidSet":
+        if not os.path.exists(path):
+            return GtidSet()
+        with open(path) as f:
+            return GtidSet.from_string(json.load(f).get("gtid_executed", ""))
+
+
+@dataclass
 class TableState:
     # TableState {lastSyncedPrimaryKey, finishedImport} — state/TableState.java:9-12
     last_synced_primary_key: dict[str, object] | None = None

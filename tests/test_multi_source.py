@@ -1,0 +1,194 @@
+"""Multi-source (sharded) ingest: N feeds → one table, GtidSet watermark.
+
+The reference tails exactly one server (one BinlogPosition in AgentState,
+``state/AgentState.java:14-17``); a sharded fleet needs a per-source
+watermark — MySQL's ``gtid_executed``. These tests prove convergence to the
+sequential oracle over the union of shard logs, exactly-once across drains,
+and new-shard pickup.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from mysql_secure_agent_spark import oracle
+from mysql_secure_agent_spark.lake.table import LakeTable
+from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+from mysql_secure_agent_spark.sources.changelog import (
+    FeedSpec,
+    generate_changelog,
+    write_feed,
+)
+from mysql_secure_agent_spark.state import GtidSet
+from mysql_secure_agent_spark.streaming.multi_source import LSN_BITS, MultiSourceIngest
+
+
+def _shard_specs():
+    # disjoint key spaces per shard (conv_prefix), independent lsn sequences
+    return {
+        "shard-a": FeedSpec(n_events=2500, n_convs=60, seed=11, conv_prefix="a"),
+        "shard-b": FeedSpec(n_events=1800, n_convs=40, seed=22, conv_prefix="b"),
+        "shard-c": FeedSpec(n_events=900, n_convs=25, seed=33, conv_prefix="d"),
+    }
+
+
+def _write_shards(tmp_path, specs):
+    feeds = {}
+    for s, spec in specs.items():
+        d = str(tmp_path / s)
+        write_feed(spec, d, n_files=4)
+        feeds[s] = d
+    return feeds
+
+
+def _oracle_state(specs):
+    """Sequential replay over the union of shard logs with namespaced lsns
+    (key spaces disjoint ⇒ cross-shard interleaving is irrelevant)."""
+    parts = []
+    for i, s in enumerate(sorted(specs)):
+        cl, _ = generate_changelog(specs[s])
+        cl = cl.copy()
+        cl["source_lsn"] = cl["source_lsn"] + (i << LSN_BITS)
+        parts.append(cl)
+    return oracle.replay(pd.concat(parts, ignore_index=True))
+
+
+def test_gtidset_roundtrip_and_semantics():
+    g = GtidSet()
+    g.advance("b", 10)
+    g.advance("a", 5)
+    g.advance("a", 3)  # no regression
+    assert g.sources == {"a": 5, "b": 10}
+    assert g.covers("a", 5) and not g.covers("a", 6) and not g.covers("zz", 0)
+    s = g.to_string()
+    assert s == "a:1-5,b:1-10"
+    assert GtidSet.from_string(s).sources == g.sources
+    g2 = GtidSet({"a": 7, "c": 1})
+    g.merge(g2)
+    assert g.sources == {"a": 7, "b": 10, "c": 1}
+
+
+def test_multi_source_run_once_converges_and_skips(spark, tmp_path):
+    specs = _shard_specs()
+    feeds = _write_shards(tmp_path, specs)
+    table = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=8
+    )
+    state = str(tmp_path / "gtid.json")
+    ing = MultiSourceIngest(table, feeds)
+
+    m = ing.run_once(spark, state)
+    assert not m.get("skipped")
+    # gtid_executed covers every shard's full log
+    g = GtidSet.load(state)
+    assert g.sources == {s: specs[s].n_events for s in specs}
+
+    got = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = _oracle_state(specs)[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # second drain: nothing new — metric-level skip, no new commit
+    v = table.current_version()
+    m2 = ing.run_once(spark, state)
+    assert m2["skipped"] and table.current_version() == v
+
+
+def test_multi_source_crash_between_commit_and_state_is_exactly_once(spark, tmp_path):
+    """Crash AFTER the table commit but BEFORE the gtid save: the re-drain
+    reads the same window, derives the same batch id, and the commit log
+    skips it — state then catches up. Exactly-once effect."""
+    specs = {
+        "s0": FeedSpec(n_events=1200, n_convs=30, seed=5, conv_prefix="x"),
+        "s1": FeedSpec(n_events=800, n_convs=20, seed=6, conv_prefix="y"),
+    }
+    feeds = _write_shards(tmp_path, specs)
+    table = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=8
+    )
+    state = str(tmp_path / "gtid.json")
+    ing = MultiSourceIngest(table, feeds)
+    ing.run_once(spark, state)
+    v = table.current_version()
+
+    # simulate the crash point: roll the state file back (commit survived)
+    GtidSet().save(state)
+    m = ing.run_once(spark, state)
+    assert m.get("skipped") in (None, True) or m["batch_id"].startswith("msrc:")
+    assert table.current_version() == v  # no duplicate commit
+    assert GtidSet.load(state).sources == {s: specs[s].n_events for s in specs}
+
+    got = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    exp = _oracle_state(specs)[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_multi_source_new_shard_joins(spark, tmp_path):
+    specs = {
+        "s0": FeedSpec(n_events=1000, n_convs=25, seed=7, conv_prefix="x"),
+    }
+    feeds = _write_shards(tmp_path, specs)
+    table = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=8
+    )
+    state = str(tmp_path / "gtid.json")
+    MultiSourceIngest(table, feeds).run_once(spark, state)
+
+    # a new shard appears; its index extends the fleet and its watermark is
+    # empty → full drain of just the new feed
+    specs["s1"] = FeedSpec(n_events=700, n_convs=15, seed=8, conv_prefix="y")
+    feeds.update(_write_shards(tmp_path, {"s1": specs["s1"]}))
+    MultiSourceIngest(table, feeds).run_once(spark, state)
+
+    got = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    exp = _oracle_state(specs)[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_multi_source_streaming_equals_batch(spark, tmp_path):
+    specs = {
+        "s0": FeedSpec(n_events=1500, n_convs=40, seed=9, conv_prefix="x"),
+        "s1": FeedSpec(n_events=1100, n_convs=30, seed=10, conv_prefix="y"),
+    }
+    feeds = _write_shards(tmp_path, specs)
+    table = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=8
+    )
+    state = str(tmp_path / "gtid.json")
+    ing = MultiSourceIngest(table, feeds)
+    r = ing.run_streams(spark, str(tmp_path / "ckpt"), state)
+    assert r["batches"] >= 2
+    assert GtidSet.load(state).sources == {s: specs[s].n_events for s in specs}
+
+    got = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    exp = _oracle_state(specs)[got.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # resume over the same checkpoints + state: a no-op (all batches replayed
+    # or filtered), table state unchanged
+    v = table.current_version()
+    ing.run_streams(spark, str(tmp_path / "ckpt"), state)
+    assert table.current_version() == v
+
+
+def test_lsn_namespacing_keeps_per_key_order():
+    # two shards, same per-source lsn values: global lsns must not collide
+    # and must preserve per-source order
+    from pyspark.sql import functions as F  # noqa: F401
+
+    assert (1 << LSN_BITS) > 10**10  # headroom above the target event count
+    a = [(0 << LSN_BITS) + x for x in (1, 2, 3)]
+    b = [(1 << LSN_BITS) + x for x in (1, 2, 3)]
+    assert a == sorted(a) and b == sorted(b)
+    assert set(a).isdisjoint(b)

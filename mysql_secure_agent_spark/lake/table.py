@@ -449,6 +449,41 @@ class LakeTable:
         )
         return reconciled.filter(~F.col(SYS_DELETED)).select(*cols)
 
+    def lookup(self, spark: SparkSession, key: dict[str, Any]) -> DataFrame:
+        """Point lookup by (a prefix of) the bucket key — O(bucket), not
+        O(table): the bucket id is computed DRIVER-SIDE with the same
+        Murmur3 math as ``_bucket_expr`` (``lake.bucketing``), so only that
+        bucket's files enter the listing; the key equality predicate then
+        pushes into the parquet scan, and post-compaction base files are
+        key-sorted (``compact(sort_within_buckets=True)``), so row-group
+        stats skip everything but the key's neighborhood. On a 10^10-row
+        table a conversation lookup touches 1/n_buckets of the metadata and
+        a handful of row groups — no full-table reconcile.
+
+        ``key`` must cover all of ``bucket_cols`` (else the bucket is
+        undetermined); extra key columns just add filters.
+        """
+        commit = self.commit_at(resolve=False)
+        missing = [c for c in commit.bucket_cols if c not in key]
+        if missing:
+            raise KeyError(f"lookup key must include bucket cols; missing {missing}")
+        if commit.bucket_function != "murmur3":
+            raise NotImplementedError(
+                f"driver-side bucketing for {commit.bucket_function!r} tables"
+            )
+        from .bucketing import bucket_for
+
+        types = dict(commit.schema)
+        b = bucket_for(
+            [key[c] for c in commit.bucket_cols],
+            [types[c] for c in commit.bucket_cols],
+            commit.n_buckets,
+        )
+        out = self.read(spark, buckets=[b])
+        for c, v in key.items():
+            out = out.filter(F.col(c) == F.lit(v))
+        return out
+
     def read_changes(
         self,
         spark: SparkSession,
@@ -755,10 +790,18 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         min_deltas: int = 1,
+        sort_within_buckets: bool = True,
     ) -> dict[str, Any]:
         """Rewrite buckets with >= min_deltas delta files into a reconciled
         base file; tombstones are dropped (full-bucket rewrite ⇒ nothing older
-        survives for them to mask)."""
+        survives for them to mask).
+
+        ``sort_within_buckets`` (default) orders each rewritten bucket by the
+        key columns, so base-file row groups carry tight key min/max stats —
+        point lookups (``lookup()``) and key-range scans then skip row groups
+        instead of reading the whole bucket. The sort is per-partition (no
+        extra exchange) and compaction is the rare amortized path, so the
+        cost rides the rewrite it was already paying."""
         t0 = time.time()
         commit = self.commit_at()
         counts = {
@@ -803,8 +846,10 @@ class LakeTable:
                 strategy="window",
             )
             .filter(~F.col(SYS_DELETED))
-            .withColumn("_bucket", self._bucket_expr(commit))
         )
+        if sort_within_buckets:
+            reconciled = reconciled.sortWithinPartitions(*commit.key_cols)
+        reconciled = reconciled.withColumn("_bucket", self._bucket_expr(commit))
         version = commit.version + 1
         rel_dir = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.root, rel_dir)

@@ -703,6 +703,149 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+# =================================================== multi-source / lookup
+def q_cdc_multi_source(spark, sf_dir):
+    """Sharded-fleet ingest semantics (streaming/multi_source.py): the feed
+    is split into 3 'shards' by key ownership (user_id mod 3 — disjoint key
+    spaces, independent per-source lsn sequences), per-source lsns are
+    namespaced into one global order (global = source<<44 | lsn), and the
+    merged final state is summarized per source alongside its
+    gtid_executed-style watermark (max per-source lsn SEEN, not max live —
+    deletes advance the watermark too, like a GTID set)."""
+    from mysql_secure_agent_spark.streaming.multi_source import LSN_BITS
+
+    cl = _events_changelog(spark, sf_dir)
+    src = F.pmod(F.col("user_id"), F.lit(3)).cast("int")
+    shifted = cl.withColumn("_src", src).withColumn(
+        "g_lsn",
+        F.col("_src").cast("long") * F.lit(1 << LSN_BITS) + F.col("source_lsn"),
+    )
+    last = last_image_wins(shifted, ["user_id", "slot"], order_col="g_lsn", strategy="max_by")
+    live = (
+        last.filter(F.col("op") != "D")
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("live_keys"))
+    )
+    marks = shifted.groupBy("_src").agg(F.max("source_lsn").alias("gtid_hwm"))
+    return (
+        marks.join(live, "_src", "left")
+        .select(
+            F.col("_src").alias("source_id"),
+            F.col("gtid_hwm"),
+            F.coalesce("live_keys", F.lit(0)).alias("live_keys"),
+        )
+    )
+
+
+def q_cdc_point_lookup(spark, sf_dir):
+    """O(bucket) point lookup: the changelog is merged into a LakeTable
+    bucketed on user_id alone, then lookup(user_id=42) computes the bucket
+    DRIVER-SIDE (pure-Python Murmur3, lake/bucketing.py) and reads only that
+    bucket's files — 1/n_buckets of the listing at any table size. Oracle:
+    the final state restricted to that user."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_lkp_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(
+        root, schema, ["user_id", "slot"], bucket_cols=["user_id"], n_buckets=16
+    )
+    tbl.merge(spark, cl, "entry-batch")
+    return tbl.lookup(spark, {"user_id": 42}).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ============================================== conversation-level operators
+def _doc_turns(spark, sf_dir):
+    """documents reinterpreted as transcript turns: conv = doc_id mod 200,
+    turn order = doc_id (deterministic, oracle-expressible)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("conv"), F.lpad((F.col("doc_id") % 200).cast("string"), 6, "0")
+        ).alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        "text",
+    )
+
+
+_DOC_TURNS_SQL = """
+SELECT 'conv' || lpad(CAST(doc_id % 200 AS VARCHAR), 6, '0') AS conv_id,
+       CAST(doc_id AS INTEGER) AS turn_idx,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+            WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       text
+FROM documents
+"""
+
+_TOK_N_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+def q_transcript_assemble(spark, sf_dir):
+    """Training-example assembly: one row per conversation, turns ordered and
+    rendered 'role: text', with turn/token counts — the conversation-level
+    consumer of the transcript table (operators/transcripts.py). One
+    groupBy(conv_id) shuffle; no windows, no UDFs."""
+    from mysql_secure_agent_spark.operators.transcripts import assemble_conversations
+
+    out = assemble_conversations(_doc_turns(spark, sf_dir))
+    return out.select(
+        "conv_id", "n_turns", "conversation", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def q_transcript_token_budget(spark, sf_dir):
+    """Context-window assembly: keep the longest turn SUFFIX whose token
+    total fits the budget (most-recent context survives). Oracle: reverse
+    cumulative token sums per conversation — a turn survives iff its
+    suffix-sum ≤ budget."""
+    from mysql_secure_agent_spark.operators.transcripts import truncate_to_token_budget
+
+    out = truncate_to_token_budget(_doc_turns(spark, sf_dir), budget=64)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "kept_turns",
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        "conversation",
+    )
+
+
+def q_train_sample_stratified(spark, sf_dir):
+    """Deterministic training-mix sampling: per-language keep rates applied
+    via the portable md5 hash — the same rows are kept on every run/engine,
+    so incremental corpus refreshes keep a stable sample."""
+    from mysql_secure_agent_spark.operators.transcripts import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs,
+        rates={"en": 0.25, "de": 0.5},
+        strata_col="lang",
+        key_col="doc_id",
+        default_rate=1.0,
+    )
+    return out.select("doc_id", "lang")
+
+
 # ==================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full change-feed replay to
@@ -729,6 +872,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_first_seen": q_cdc_schema_first_seen,
         "cdc_table_definitions": q_cdc_table_definitions,
         "cdc_snapshot_order": q_cdc_snapshot_order,
+        "cdc_multi_source": q_cdc_multi_source,
+        "cdc_point_lookup": q_cdc_point_lookup,
+        "transcript_assemble": q_transcript_assemble,
+        "transcript_token_budget": q_transcript_token_budget,
+        "train_sample_stratified": q_train_sample_stratified,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
         "join_enrich": q_join_enrich,
@@ -1121,6 +1269,61 @@ FROM events GROUP BY 1
         "cdc_snapshot_order": """
 SELECT user_id, event_id, event_type, value FROM events
 ORDER BY user_id, event_id LIMIT 500
+""",
+        # shards = user_id mod 3 (disjoint key spaces); global lsn =
+        # source<<44 | per-source lsn; watermark = max lsn SEEN per source
+        "cdc_multi_source": _CHANGELOG_CTE
+        + """
+, s AS (SELECT cl.*, CAST(user_id % 3 AS INTEGER) AS source_id,
+               (user_id % 3) * 17592186044416 + source_lsn AS g_lsn
+        FROM cl)
+, marks AS (SELECT source_id, max(source_lsn) AS gtid_hwm FROM s GROUP BY source_id)
+, live AS (
+  SELECT source_id, count(*) AS live_keys
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                     ORDER BY g_lsn DESC) AS rn FROM s)
+  WHERE rn = 1 AND op <> 'D'
+  GROUP BY source_id)
+SELECT m.source_id, m.gtid_hwm, coalesce(l.live_keys, 0) AS live_keys
+FROM marks m LEFT JOIN live l ON l.source_id = m.source_id
+""",
+        "cdc_point_lookup": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D' AND user_id = 42
+""",
+        "transcript_assemble": f"""
+WITH t AS ({_DOC_TURNS_SQL})
+SELECT conv_id, count(*) AS n_turns,
+       coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx), '') AS conversation,
+       CAST(coalesce(sum({_TOK_N_SQL}), 0) AS BIGINT) AS n_tokens
+FROM t GROUP BY conv_id
+""",
+        # a turn survives iff its suffix token sum (window ordered by
+        # turn_idx DESC) fits the budget — same set as the operator's
+        # longest-fitting-suffix (token counts are non-negative)
+        "transcript_token_budget": f"""
+WITH t AS ({_DOC_TURNS_SQL}),
+w AS (SELECT conv_id, turn_idx, role, text, {_TOK_N_SQL} AS tok,
+             sum({_TOK_N_SQL}) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sufsum
+      FROM t)
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(*) FILTER (WHERE sufsum <= 64) AS kept_turns,
+       CAST(coalesce(sum(tok) FILTER (WHERE sufsum <= 64), 0) AS BIGINT) AS kept_tokens,
+       coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+                FILTER (WHERE sufsum <= 64), '') AS conversation
+FROM w GROUP BY conv_id
+""",
+        "train_sample_stratified": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H32_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 1000000
+      < CAST((CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END) * 1000000 AS BIGINT)
 """,
         "agg_rollup": """
 SELECT event_type, count(*) AS cnt,

@@ -78,6 +78,11 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "cdc_multi_source",
+    "cdc_point_lookup",
+    "transcript_assemble",
+    "transcript_token_budget",
+    "train_sample_stratified",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

@@ -68,7 +68,10 @@ spark = get_spark(
         # ~25% extra CPU AND memory bandwidth on this pipeline (measured
         # A/B at p16: 343 vs 265 task-cpu-seconds, 24.2s vs 19.0s wall) —
         # throughput batch work wants the throughput collector.
-        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        "spark.driver.extraJavaOptions": (
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC "
+            + os.environ.get("CDC_XJAVA", "")
+        ).strip(),
         "spark.sql.parquet.compression.codec": codec,
         # shuffle/spill block codec (lz4 default; zstd trades CPU for bytes —
         # relevant when the host is memory-bandwidth constrained)
@@ -152,7 +155,8 @@ try:
     cpu_s = _stage_cpu_sums(os.path.join(work, f"evlog{cores}"), windows)
 except Exception:
     cpu_s = []
-shutil.rmtree(os.path.join(work, f"evlog{cores}"), ignore_errors=True)
+if not os.environ.get("CDC_KEEP_EVLOG"):  # keep for per-stage diagnostics
+    shutil.rmtree(os.path.join(work, f"evlog{cores}"), ignore_errors=True)
 out = {"cores": cores, "walls": walls, "best": min(walls)}
 if cpu_s:
     out["cpu_s"] = cpu_s

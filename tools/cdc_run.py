@@ -80,6 +80,22 @@ spark = get_spark(
         "spark.eventLog.enabled": "true",
         "spark.eventLog.compress": "false",
         "spark.eventLog.dir": os.path.join(work, f"evlog{cores}"),
+        # The feed dir holds 64 log-segment files; above the default
+        # parallelPartitionDiscovery threshold (32) Spark launches a
+        # cluster-wide listing JOB per micro-batch plan — pure fixed
+        # overhead on a posix dir listing the driver does in microseconds.
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": "4096",
+        # AQE off for the merge job: the pipeline controls its partitioning
+        # explicitly (explicit repartition to n_buckets; dedup keys include
+        # turn_idx so Zipf-hot conversations already spread), so AQE
+        # contributes nothing here but two driver re-plan barriers per
+        # micro-batch (each query stage materializes as its own job) plus a
+        # coalesce of the dedup exchange to a non-multiple of the core count
+        # (22 tasks at p16 = 1.4 waves). Event-log A/B: per-rep inter-job
+        # gap 1.2s -> 0.47s, one 3-stage job per batch. General sessions
+        # (session.get_spark) keep AQE on — ad-hoc queries benefit.
+        "spark.sql.adaptive.enabled": os.environ.get("CDC_AQE", "false"),
+        **json.loads(os.environ.get("CDC_EXTRA_CONF", "{}")),
     },
 )
 

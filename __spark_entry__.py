@@ -846,6 +846,50 @@ def q_train_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_train_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/transcripts.py): concat documents in id
+    order into ~256-token training sequences, SHARDED (floor(doc_id/4096))
+    so the running token sum is a bounded per-shard window — no global
+    single-partition cumsum at 10^9 docs. Oracle: identical window cumsum
+    in SQL."""
+    from mysql_secure_agent_spark.operators.transcripts import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, budget=256, shard_size=4096)
+    return out.select(
+        "shard", "seq", "n_docs", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "text",
+    )
+
+
+def q_events_asof_enrich(spark, sf_dir):
+    """Point-in-time enrichment (operators/asof.py): every event carries the
+    id/value of the user's most recent STRICTLY-earlier purchase — the as-of
+    join Spark lacks, built as one tagged union + one keyed window (single
+    shuffle, no range-join candidate blow-up). event_id is the as-of axis
+    (monotone and unique per user, so ties are impossible). Oracle: DuckDB's
+    native ASOF LEFT JOIN with the same strict inequality."""
+    from mysql_secure_agent_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "event_type", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("asof_eid"),
+        F.col("event_id").alias("last_purchase_id"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_on="event_id",
+        right_on="asof_eid",
+        value_cols=["last_purchase_id", "last_purchase_value"],
+        strict=True,
+    )
+
+
 # ==================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full change-feed replay to
@@ -877,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_assemble": q_transcript_assemble,
         "transcript_token_budget": q_transcript_token_budget,
         "train_sample_stratified": q_train_sample_stratified,
+        "train_pack_sequences": q_train_pack_sequences,
+        "events_asof_enrich": q_events_asof_enrich,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
         "join_enrich": q_join_enrich,
@@ -1324,6 +1370,25 @@ FROM w GROUP BY conv_id
 SELECT doc_id, lang FROM documents
 WHERE {_H32_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 1000000
       < CAST((CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END) * 1000000 AS BIGINT)
+""",
+        "train_pack_sequences": f"""
+WITH t AS (SELECT doc_id, text, {_TOK_N_SQL} AS tok,
+                  CAST(floor(doc_id / 4096) AS BIGINT) AS shard
+           FROM documents),
+w AS (SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pre
+      FROM t)
+SELECT shard, CAST(floor(pre / 256) AS BIGINT) AS seq, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       string_agg(text, chr(10) ORDER BY doc_id) AS text
+FROM w GROUP BY 1, 2
+""",
+        "events_asof_enrich": """
+SELECT l.event_id, l.user_id, l.event_type, l.value,
+       r.event_id AS last_purchase_id, r.value AS last_purchase_value
+FROM events l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.event_id > r.event_id
 """,
         "agg_rollup": """
 SELECT event_type, count(*) AS cnt,

@@ -83,6 +83,8 @@ HEADLINE = [
     "transcript_assemble",
     "transcript_token_budget",
     "train_sample_stratified",
+    "train_pack_sequences",
+    "events_asof_enrich",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

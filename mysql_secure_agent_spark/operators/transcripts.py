@@ -141,6 +141,71 @@ def truncate_to_token_budget(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_size: int = 16384,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences: greedy
+    contiguous fill in ``id_col`` order — the standard concat-short-docs
+    step before a tokenizer truncates/pads to context length.
+
+    A document lands in sequence ``floor(exclusive_prefix_tokens / budget)``
+    of its shard; a sequence may overrun the budget by at most its last
+    document (concat-then-truncate convention, so no token is lost to
+    fragmentation at pack time). Deterministic: same input -> same packing,
+    on every engine.
+
+    Scale shape: packing is SHARDED — the running token sum is windowed per
+    ``floor(id / shard_size)``, so each window sorts a bounded shard, shards
+    pack independently in parallel, and no global single-partition window
+    ever exists (the naive global cumsum is a driver-sized straggler at
+    10^9 docs). Cross-shard sequences are deliberately not formed: the only
+    loss is <= one underfull sequence per shard, negligible for
+    shard_size >> budget/avg_doc_tokens.
+    """
+    from pyspark.sql import Window
+
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    shard = F.floor(F.col(id_col) / F.lit(shard_size)).cast("long")
+    with_tok = df.select(
+        F.col(id_col), F.col(text_col), toks.alias("_tok"), shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (F.sum("_tok").over(w) - F.col("_tok")).alias("_pre")
+    binned = with_tok.select(
+        "*", F.floor(pre / F.lit(budget)).cast("long").alias("seq")
+    )
+    packed = F.sort_array(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    )
+    return (
+        binned.groupBy("shard", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            packed.alias("_docs"),
+        )
+        .select(
+            "shard",
+            "seq",
+            "n_docs",
+            "n_tokens",
+            F.array_join(
+                F.transform("_docs", lambda d: d["t"]), "\n"
+            ).alias("text"),
+        )
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     rates: dict[str, float],

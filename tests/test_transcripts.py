@@ -6,6 +6,7 @@ from pyspark.sql import Row, functions as F
 
 from mysql_secure_agent_spark.operators.transcripts import (
     assemble_conversations,
+    pack_sequences,
     sample_stratified,
     truncate_to_token_budget,
 )
@@ -124,3 +125,51 @@ def test_assemble_matches_pandas_oracle(spark):
         exp,
         check_dtype=False,
     )
+
+
+# ----------------------------------------------------------- pack_sequences
+def test_pack_sequences_greedy_fill(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": ["a b c", "d e", "f g h i", "j", "k l m"],
+            }
+        )
+    )
+    # tokens: 3,2,4,1,3; budget 5, one shard. exclusive prefix: 0,3,5,9,10
+    # seq = pre//5 -> 0,0,1,1,2
+    out = {
+        (r["shard"], r["seq"]): (r["n_docs"], r["n_tokens"], r["text"])
+        for r in pack_sequences(docs, budget=5, shard_size=100).collect()
+    }
+    assert out[(0, 0)] == (2, 5, "a b c\nd e")
+    assert out[(0, 1)] == (2, 5, "f g h i\nj")
+    assert out[(0, 2)] == (1, 3, "k l m")
+
+
+def test_pack_sequences_sharding_is_independent(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(8)), "text": ["x y"] * 8})
+    )
+    # shard_size=4 -> shards {0,1}; each packs its own prefix sums from zero
+    out = pack_sequences(docs, budget=4, shard_size=4).collect()
+    assert {r["shard"] for r in out} == {0, 1}
+    for r in out:
+        assert r["n_docs"] == 2 and r["n_tokens"] == 4
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin_overflow(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e f g", "h"]})
+    )
+    # doc 0 (7 tokens) overflows budget 3 alone in seq 0; doc 1 starts seq 2
+    out = {r["seq"]: r for r in pack_sequences(docs, budget=3, shard_size=10).collect()}
+    assert out[0]["n_docs"] == 1 and out[0]["n_tokens"] == 7
+    assert 2 in out and out[2]["n_docs"] == 1

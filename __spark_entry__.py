@@ -246,6 +246,34 @@ def q_cdc_modify_column(spark, sf_dir):
     )
 
 
+def q_cdc_drop_column(spark, sf_dir):
+    """T6 DROP_COLUMN mid-replay: first half of the feed merges with the
+    event_type column live, then DROP COLUMN event_type (metadata-only; the
+    name goes on dropped_cols so a re-ADD would purge), then the second half
+    merges without it. Final state = plain replay projected without the
+    column — old values must NOT leak back through old files."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    mid = (cl.agg(F.max("source_lsn")).first()[0] or 0) // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_drop_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= mid), "pre-ddl")
+    tbl.drop_column("event_type")
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > mid), "post-ddl")
+    return tbl.read(spark).select(
+        "user_id", "slot", F.col("value").alias("last_value")
+    )
+
+
 def q_cdc_last_image_wins(spark, sf_dir):
     """A3 in isolation: max-lsn image per (user_id, event_type)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
@@ -904,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
         "cdc_modify_column": q_cdc_modify_column,
+        "cdc_drop_column": q_cdc_drop_column,
         "cdc_last_image_wins": q_cdc_last_image_wins,
         "cdc_update_decompose": q_cdc_update_decompose,
         "cdc_keyset_page": q_cdc_keyset_page,
@@ -1199,6 +1228,13 @@ WHERE rn = 1
         + """
 SELECT user_id, CAST(slot AS BIGINT) AS slot,
        event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        "cdc_drop_column": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'

@@ -143,6 +143,20 @@ class Commit:
     # below this. -1 = nothing compacted yet (or a pre-field table, where
     # compacted history is simply not tracked).
     changefeed_floor: int = -1
+    # Names dropped by DROP COLUMN whose physical data may still live in
+    # old files (drop is metadata-only). Projection is by NAME (no Iceberg
+    # field ids), so re-ADDing one of these names without purging would
+    # resurrect the old values — add_column() forces a physical rewrite for
+    # names on this list.
+    dropped_cols: list[str] = field(default_factory=list)
+    # Highest DDL-event lsn applied to this table. DDL idempotence cannot be
+    # judged from schema state alone: ADD(c) then DROP(c) leaves the schema
+    # exactly as if ADD were never applied, so a state-only "pending" check
+    # re-applies the ADD forever (and vice versa). Events at or below this
+    # mark are consumed regardless of what the schema looks like; replaying
+    # a crashed micro-batch sees the mark persisted by the DDL's own commit
+    # and skips it — the same replay-idempotence design as applied_batches.
+    ddl_hwm: int = -1
 
     def is_applied(self, batch_id: str) -> bool:
         if batch_id in self.applied_batches:
@@ -163,6 +177,8 @@ class Commit:
                 "applied_batches": self.applied_batches,
                 "applied_hwm": self.applied_hwm,
                 "changefeed_floor": self.changefeed_floor,
+                "dropped_cols": self.dropped_cols,
+                "ddl_hwm": self.ddl_hwm,
                 "parent": self.parent,
                 "summary": self.summary,
             },
@@ -190,6 +206,8 @@ class Commit:
             applied_batches=d["applied_batches"],
             applied_hwm=d.get("applied_hwm", -1),
             changefeed_floor=d.get("changefeed_floor", -1),
+            dropped_cols=d.get("dropped_cols", []),
+            ddl_hwm=d.get("ddl_hwm", -1),
             parent=d.get("parent"),
             summary=d.get("summary", {}),
         )
@@ -729,6 +747,8 @@ class LakeTable:
             applied_batches=applied,
             applied_hwm=hwm,
             changefeed_floor=commit.changefeed_floor,
+            dropped_cols=list(commit.dropped_cols),
+            ddl_hwm=commit.ddl_hwm,
             parent=commit.version,
             summary={"operation": "merge", **{k: metrics[k] for k in ("batch_id", "rows_in", "deletes", "upserts")}},
         )
@@ -890,6 +910,8 @@ class LakeTable:
             applied_batches=dict(commit.applied_batches),
             applied_hwm=commit.applied_hwm,
             changefeed_floor=floor,
+            dropped_cols=list(commit.dropped_cols),
+            ddl_hwm=commit.ddl_hwm,
             parent=commit.version,
             summary={"operation": "compact", "buckets": todo},
         )
@@ -901,11 +923,31 @@ class LakeTable:
         }
 
     # ------------------------------------------------------ schema evolution
-    def add_column(self, name: str, ddl_type: str) -> int:
-        """ADD COLUMN: metadata-only commit; old files read the column as NULL."""
+    def add_column(
+        self,
+        name: str,
+        ddl_type: str,
+        spark: SparkSession | None = None,
+        ddl_lsn: int | None = None,
+    ) -> int:
+        """ADD COLUMN: metadata-only commit; old files read the column as NULL.
+
+        Re-adding a name that was previously DROPped requires a physical
+        purge first (old files may still hold the old values and projection
+        is by name): pass ``spark`` and the purge-rewrite runs automatically,
+        else this raises."""
         commit = self.commit_at(resolve=False)
         if name in {n for n, _ in commit.schema}:
             return commit.version  # idempotent
+        if name in commit.dropped_cols:
+            if spark is None:
+                raise ValueError(
+                    f"column {name!r} was dropped and old files may still "
+                    "hold its values; pass spark= so add_column can purge, "
+                    "or call purge_dropped_columns() first"
+                )
+            self.purge_dropped_columns(spark)
+            commit = self.commit_at(resolve=False)
         version = commit.version + 1
         new_commit = Commit(
             version=version,
@@ -921,13 +963,106 @@ class LakeTable:
             applied_batches=dict(commit.applied_batches),
             applied_hwm=commit.applied_hwm,
             changefeed_floor=commit.changefeed_floor,
+            dropped_cols=list(commit.dropped_cols),
+            ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
             summary={"operation": "add_column", "column": name, "type": ddl_type},
         )
         self._write_commit(new_commit)
         return new_commit.version
 
-    def modify_column_type(self, spark: SparkSession, name: str, ddl_type: str) -> int:
+    def drop_column(self, name: str, ddl_lsn: int | None = None) -> int:
+        """DROP COLUMN: metadata-only commit — readers project files through
+        the commit schema (``_read_files`` passes an explicit schema), so the
+        physical column in existing files simply stops being read; new merges
+        stop writing it (merge projects to the commit schema). The name goes
+        on ``dropped_cols`` so a later re-ADD forces a physical purge instead
+        of resurrecting stale values (no Iceberg field ids to hide behind).
+
+        The reference models this the same way it models every schema change:
+        a fresh ``tableDefinition`` emitted when the incoming row arity stops
+        matching (``Updater.java:188-217``) — columns are matched by
+        position/name, not id, which is exactly the name-collision hazard
+        ``dropped_cols`` guards."""
+        commit = self.commit_at(resolve=False)
+        if name not in {n for n, _ in commit.schema}:
+            return commit.version  # idempotent
+        if name in set(commit.key_cols) | set(commit.bucket_cols):
+            raise ValueError(f"cannot drop key/bucket column {name!r}")
+        version = commit.version + 1
+        new_commit = Commit(
+            version=version,
+            schema=[(n, dt) for n, dt in commit.schema if n != name],
+            key_cols=commit.key_cols,
+            bucket_cols=commit.bucket_cols,
+            n_buckets=commit.n_buckets,
+            bucket_function=commit.bucket_function,
+            files={},
+            manifests=self._extend_manifests(commit, version, {}),
+            applied_batches=dict(commit.applied_batches),
+            applied_hwm=commit.applied_hwm,
+            changefeed_floor=commit.changefeed_floor,
+            dropped_cols=sorted(set(commit.dropped_cols) | {name}),
+            ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
+            parent=commit.version,
+            summary={"operation": "drop_column", "column": name},
+        )
+        self._write_commit(new_commit)
+        return new_commit.version
+
+    def purge_dropped_columns(self, spark: SparkSession) -> int:
+        """Physically rewrite every live file projected through the current
+        schema, clearing ``dropped_cols``. The rare amortized path (same cost
+        class as compaction); reads already behave as if purged."""
+        commit = self.commit_at()
+        if not commit.dropped_cols:
+            return commit.version
+        raw = self._read_files(spark, commit)
+        version = commit.version + 1
+        files: dict[str, list[dict[str, Any]]] = {}
+        if raw is not None:
+            rewritten = raw.repartition(
+                commit.n_buckets, *commit.bucket_cols
+            ).withColumn("_bucket", self._bucket_expr(commit))
+            rel_dir = os.path.join("data", f"v{version:08d}")
+            out_dir = os.path.join(self.root, rel_dir)
+            rewritten.write.partitionBy("_bucket").parquet(out_dir)
+            for d in sorted(os.listdir(out_dir)):
+                if not d.startswith("_bucket="):
+                    continue
+                b = str(int(d.split("=")[1]))
+                for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                    if fn.endswith(".parquet"):
+                        files.setdefault(b, []).append(
+                            {"path": os.path.join(rel_dir, d, fn), "kind": "delta"}
+                        )
+        new_commit = Commit(
+            version=version,
+            schema=commit.schema,
+            key_cols=commit.key_cols,
+            bucket_cols=commit.bucket_cols,
+            n_buckets=commit.n_buckets,
+            bucket_function=commit.bucket_function,
+            files=files,
+            manifests=[self._write_manifest(f"m{version:08d}.full.json", files)],
+            applied_batches=dict(commit.applied_batches),
+            applied_hwm=commit.applied_hwm,
+            changefeed_floor=commit.changefeed_floor,
+            dropped_cols=[],
+            ddl_hwm=commit.ddl_hwm,
+            parent=commit.version,
+            summary={"operation": "purge_dropped", "columns": commit.dropped_cols},
+        )
+        self._write_commit(new_commit)
+        return new_commit.version
+
+    def modify_column_type(
+        self,
+        spark: SparkSession,
+        name: str,
+        ddl_type: str,
+        ddl_lsn: int | None = None,
+    ) -> int:
         """MODIFY COLUMN: schema change + full rewrite casting existing data
         (DDL events are rare; correctness over cleverness)."""
         commit = self.commit_at()
@@ -971,6 +1106,8 @@ class LakeTable:
             applied_batches=dict(commit.applied_batches),
             applied_hwm=commit.applied_hwm,
             changefeed_floor=commit.changefeed_floor,
+            dropped_cols=list(commit.dropped_cols),
+            ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
             summary={"operation": "modify_column", "column": name, "type": ddl_type},
         )

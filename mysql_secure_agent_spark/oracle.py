@@ -10,6 +10,10 @@ at a time, keyed by the primary key (conv_id, turn_idx):
   * DELETE → the key is removed (delete images arrive in the newRows slot,
     ``BinlogClient.java:285-291``).
   * DDL ADD_COLUMN at lsn L → rows applied before L have NULL for the column.
+  * DDL DROP_COLUMN at lsn L → the column leaves the schema; stored values
+    are purged (so a later re-ADD reads NULL, never resurrected data —
+    matching ``LakeTable.drop_column``'s dropped_cols purge guard). Columns
+    not active at end of log are absent from the output frame.
 
 Pure pandas, ~O(n) dict replay. Ground truth for every snapshot-diff test.
 """
@@ -39,20 +43,34 @@ def replay(
 
     log = changelog.sort_values("source_lsn")
     state: dict[tuple, dict] = {}
+
+    def apply_ddl(d: dict) -> None:
+        name = d["column_name"]
+        if d["action"] == "ADD_COLUMN" and name not in active:
+            active.append(name)
+        elif d["action"] == "DROP_COLUMN" and name in active:
+            active.remove(name)
+            for row in state.values():  # purge: a re-ADD must read NULL
+                row[name] = None
+
     ddl_i = 0
     for rec in log.to_dict("records"):
         lsn = rec["source_lsn"]
         while ddl_i < len(ddl_sorted) and ddl_sorted[ddl_i]["source_lsn"] <= lsn:
-            d = ddl_sorted[ddl_i]
-            if d["action"] == "ADD_COLUMN" and d["column_name"] not in active:
-                active.append(d["column_name"])
+            apply_ddl(ddl_sorted[ddl_i])
             ddl_i += 1
         key = (rec["conv_id"], rec["turn_idx"])
         if rec["op"] == "D":
             state.pop(key, None)
         else:
             state[key] = {c: rec.get(c) if c in active else None for c in cols}
-    out = pd.DataFrame(list(state.values()), columns=cols)
+    while ddl_i < len(ddl_sorted):  # DDL after the last row event
+        apply_ddl(ddl_sorted[ddl_i])
+        ddl_i += 1
+    out_cols = [c for c in cols if c in active]
+    out = pd.DataFrame(
+        [{c: r[c] for c in out_cols} for r in state.values()], columns=out_cols
+    )
     if out.empty:
         return out
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

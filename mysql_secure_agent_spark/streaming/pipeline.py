@@ -84,14 +84,20 @@ class CdcPipeline:
         return self._ddl
 
     def _pending_ddls(self) -> list[dict[str, Any]]:
-        """DDL events not yet reflected in the table schema. ADD_COLUMN is
-        pending while the column is absent; MODIFY_COLUMN while the current
-        type differs from the target (idempotent on replay — a re-applied
-        micro-batch sees both already satisfied). Mirrors the reference's
-        any-schema-change refresh (``Updater.java:188-217``)."""
-        current = dict(self.table.commit_at(resolve=False).schema)
+        """DDL events not yet applied. An event is pending iff its lsn is
+        above the table's persisted DDL high-water mark AND the schema state
+        still disagrees with it. The hwm check is load-bearing, not an
+        optimization: ADD(c) then DROP(c) restores the pre-ADD schema, so a
+        state-only check would see the consumed ADD as pending forever (and
+        re-apply it after the drop). The state check keeps replay idempotent
+        for pre-hwm tables. Mirrors the reference's any-schema-change refresh
+        (``Updater.java:188-217``)."""
+        commit = self.table.commit_at(resolve=False)
+        current = dict(commit.schema)
         out = []
         for d in self._ddl_events():
+            if d["source_lsn"] <= commit.ddl_hwm:
+                continue  # consumed, whatever the schema now looks like
             if d["action"] == "ADD_COLUMN" and d["column_name"] not in current:
                 out.append(d)
             elif (
@@ -100,13 +106,22 @@ class CdcPipeline:
                 and current[d["column_name"]] != d["column_type"]
             ):
                 out.append(d)
+            elif d["action"] == "DROP_COLUMN" and d["column_name"] in current:
+                out.append(d)
         return out
 
     def _apply_ddl(self, spark: SparkSession, d: dict[str, Any]) -> None:
+        lsn = int(d["source_lsn"])
         if d["action"] == "ADD_COLUMN":
-            self.table.add_column(d["column_name"], d["column_type"])
+            self.table.add_column(
+                d["column_name"], d["column_type"], spark=spark, ddl_lsn=lsn
+            )
         elif d["action"] == "MODIFY_COLUMN":
-            self.table.modify_column_type(spark, d["column_name"], d["column_type"])
+            self.table.modify_column_type(
+                spark, d["column_name"], d["column_type"], ddl_lsn=lsn
+            )
+        elif d["action"] == "DROP_COLUMN":
+            self.table.drop_column(d["column_name"], ddl_lsn=lsn)
         else:
             raise ValueError(f"unknown DDL action {d['action']!r}")
 

@@ -306,3 +306,143 @@ def test_time_travel(spark, tmp_path):
     m = table.metrics(spark).filter(f"version = 1").collect()[0]
     prefix = cl[cl.source_lsn <= m["lsn_max"]]
     assert n_v1 == len(oracle.replay(prefix))
+
+
+def test_drop_column_direct(spark, tmp_path):
+    """DROP COLUMN is metadata-only; re-ADD of the same name purges first
+    (never resurrects old values)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    spec = FeedSpec(n_events=3000, n_convs=150, seed=61)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=3)
+    table = _make_table(str(tmp_path / "tbl"))
+    CdcPipeline(table, feed).run_backfill(spark)
+    assert "tool" in [n for n, _ in table.commit_at().schema]
+
+    table.drop_column("tool")
+    assert "tool" not in [n for n, _ in table.commit_at().schema]
+    assert table.commit_at(resolve=False).dropped_cols == ["tool"]
+    got = table.read(spark)
+    assert "tool" not in got.columns
+
+    # final state (minus the column) still matches the oracle
+    cl, ddl = generate_changelog(spec)
+    ddl = pd.concat(
+        [
+            ddl if ddl is not None else pd.DataFrame(),
+            pd.DataFrame(
+                [{"source_lsn": spec.n_events + 1, "action": "DROP_COLUMN",
+                  "column_name": "tool", "column_type": "string"}]
+            ),
+        ],
+        ignore_index=True,
+    )
+    expected = oracle.replay(cl, ddl)
+    result = got.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        result, expected[result.columns.tolist()].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # re-ADD without purge is refused; with spark it purges -> all NULL
+    with pytest.raises(ValueError, match="dropped"):
+        table.add_column("tool", "string")
+    table.add_column("tool", "string", spark=spark)
+    assert table.commit_at(resolve=False).dropped_cols == []
+    assert table.read(spark).filter(F.col("tool").isNotNull()).count() == 0
+
+
+def test_drop_key_column_refused(spark, tmp_path):
+    spec = FeedSpec(n_events=500, n_convs=50, seed=63)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=1)
+    table = _make_table(str(tmp_path / "tbl"))
+    CdcPipeline(table, feed).run_backfill(spark)
+    with pytest.raises(ValueError, match="key/bucket"):
+        table.drop_column("conv_id")
+
+
+def test_mid_stream_drop_column(spark, tmp_path):
+    """DROP_COLUMN arrives mid-stream: the batch is split at the DDL lsn,
+    pre-drop rows keep their tool values only until the drop, and the final
+    state has no tool column — matching the sequential oracle."""
+    import os
+
+    spec = FeedSpec(n_events=6000, n_convs=200, seed=67)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=4)
+    drop_lsn = spec.n_events // 2
+    ddl_dir = os.path.join(feed, "ddl")
+    os.makedirs(ddl_dir, exist_ok=True)
+    pd.DataFrame(
+        [{"source_lsn": drop_lsn, "action": "DROP_COLUMN",
+          "column_name": "tool", "column_type": "string"}]
+    ).to_parquet(os.path.join(ddl_dir, "ddl.parquet"))
+
+    table = _make_table(str(tmp_path / "tbl"))
+    CdcPipeline(table, feed).run_stream(spark, str(tmp_path / "ckpt"))
+    assert "tool" not in [n for n, _ in table.commit_at().schema]
+    ops = [
+        table.commit_at(v).summary.get("operation")
+        for v in range(1, table.current_version() + 1)
+    ]
+    assert "drop_column" in ops
+
+    cl, _ = generate_changelog(spec)
+    ddl = pd.DataFrame(
+        [{"source_lsn": drop_lsn, "action": "DROP_COLUMN",
+          "column_name": "tool", "column_type": "string"}]
+    )
+    expected = oracle.replay(cl, ddl)
+    result = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        result, expected[result.columns.tolist()].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_add_then_drop_same_column_mid_stream(spark, tmp_path):
+    """ADD(tool) then DROP(tool) in one feed: a state-only pending check
+    would see the consumed ADD as pending again after the drop and re-apply
+    it forever — the persisted ddl_hwm must consume each event exactly once.
+    Final schema has no tool; state matches the oracle."""
+    import os
+
+    spec = FeedSpec(n_events=6000, n_convs=200, seed=71, ddl_add_tool_at_frac=0.3)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=5)
+    drop_lsn = int(spec.n_events * 0.7)
+    ddl_path = os.path.join(feed, "ddl", "ddl.parquet")
+    ddl_pd = pd.read_parquet(ddl_path)
+    ddl_pd = pd.concat(
+        [ddl_pd, pd.DataFrame([{"source_lsn": drop_lsn, "action": "DROP_COLUMN",
+                                "column_name": "tool", "column_type": "string"}])],
+        ignore_index=True,
+    )
+    ddl_pd.to_parquet(ddl_path)
+
+    table = _make_table(str(tmp_path / "tbl"), with_tool=False)
+    CdcPipeline(table, feed).run_stream(spark, str(tmp_path / "ckpt"))
+    commit = table.commit_at(resolve=False)
+    assert "tool" not in dict(commit.schema)
+    assert commit.ddl_hwm == drop_lsn
+    ops = [
+        table.commit_at(v).summary.get("operation")
+        for v in range(1, table.current_version() + 1)
+    ]
+    assert ops.count("add_column") == 1 and ops.count("drop_column") == 1
+
+    cl, _ = generate_changelog(spec)
+    expected = oracle.replay(cl, ddl_pd)
+    result = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        result, expected[result.columns.tolist()].reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -353,11 +353,41 @@ def _parse_row(r: BinlogReader, tmap: TableMap, included: list[int]) -> list:
 
 
 def parse_event_body(
-    buf: bytes, type_code: int, table_maps: dict[int, TableMap]
+    buf: bytes,
+    type_code: int,
+    table_maps: dict[int, TableMap],
+    checksum_length: int = 0,
+    verify_checksum: bool = False,
+    header_bytes: bytes | None = None,
 ) -> RowsEvent | Rotate | None:
     """Route one event body (EventBodyParser.parse, EventBodyParser.java:19-40).
     TABLE_MAP updates the cache and returns None; XID clears it; irrelevant
-    types return None (BinlogClient.java:191-195 keeps only EXT_*_ROWS)."""
+    types return None (BinlogClient.java:191-195 keeps only EXT_*_ROWS).
+
+    ``checksum_length``: bytes of checksum trailing the body (4 when the
+    server runs binlog_checksum=CRC32 — the MySQL 5.6+ default; the length
+    comes from the server handshake, the reference queries
+    ``show global variables like 'binlog_checksum'``,
+    ``BinlogClient.java:196-208``). The tail is stripped before parsing
+    (``BinlogClient.java:242`` copies bodyBytes minus checksum) — without
+    this, the rows loop would misparse the 4 CRC bytes as a row image.
+    ``verify_checksum`` additionally checks the CRC32 (zlib, the same
+    ISO-3309 polynomial MySQL uses) over header+body and raises on
+    mismatch — the reference only strips; verification is our hardening
+    (a torn/corrupt event fails loudly instead of decoding garbage).
+    """
+    if checksum_length:
+        if verify_checksum:
+            import zlib
+
+            want = int.from_bytes(buf[-4:], "little")
+            got = zlib.crc32((header_bytes or b"") + buf[:-checksum_length])
+            if want != got:
+                raise ValueError(
+                    f"binlog event CRC32 mismatch: stored {want:#010x}, "
+                    f"computed {got:#010x}"
+                )
+        buf = buf[:-checksum_length]
     if type_code == TABLE_MAP_EVENT:
         tm = parse_table_map(buf)
         table_maps[tm.table_id] = tm
@@ -403,6 +433,7 @@ def packets_to_changelog(
     schema_name: str,
     table_name: str,
     column_names: list[str],
+    checksum_length: int = 0,
 ):
     """Replay a (type_code, payload) packet stream into changelog rows for
     one table — the Updater event loop's emission semantics
@@ -423,7 +454,9 @@ def packets_to_changelog(
     lsn = 0
     for type_code, payload in packets:
         lsn += 1
-        ev = parse_event_body(payload, type_code, table_maps)
+        ev = parse_event_body(
+            payload, type_code, table_maps, checksum_length=checksum_length
+        )
         if not isinstance(ev, RowsEvent):
             continue
         if (ev.schema_name, ev.table_name) != (schema_name, table_name):

@@ -247,3 +247,49 @@ def test_parse_value_temporal_wire_paths():
     # fsp=0 negative
     r = BinlogReader((0x800000 - ((1 << 12) | (2 << 6) | 3)).to_bytes(3, "big"))
     assert _parse_value(r, 0x13, 0, 0) == "-01:02:03"
+
+
+# -------------------------------------------------------------- CRC32 tail
+def test_checksummed_event_strips_and_parses_identically():
+    """binlog_checksum=CRC32 (the 5.6+ default) appends 4 bytes per event;
+    the parser must strip them before the rows loop (BinlogClient.java:242)
+    or they'd be misparsed as a row image."""
+    import zlib
+
+    maps, maps2 = {}, {}
+    parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps)
+    parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps2)
+    body = bytes.fromhex(ROW_JSON)
+    plain = parse_event_body(body, EXT_WRITE_ROWS, maps)
+    crc = zlib.crc32(body).to_bytes(4, "little")
+    checked = parse_event_body(
+        body + crc, EXT_WRITE_ROWS, maps2, checksum_length=4, verify_checksum=True
+    )
+    assert checked.new_rows == plain.new_rows
+    assert checked.included_columns == plain.included_columns
+
+
+def test_checksum_mismatch_raises():
+    maps = {}
+    parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps)
+    body = bytes.fromhex(ROW_JSON)
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        parse_event_body(
+            body + b"\x00\x00\x00\x00", EXT_WRITE_ROWS, maps,
+            checksum_length=4, verify_checksum=True,
+        )
+
+
+def test_checksum_covers_header_when_given():
+    import zlib
+
+    maps = {}
+    parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps)
+    body = bytes.fromhex(ROW_JSON)
+    header = bytes.fromhex("80AD835A1E0100000028000000BA6B00000000")
+    crc = zlib.crc32(header + body).to_bytes(4, "little")
+    ev = parse_event_body(
+        body + crc, EXT_WRITE_ROWS, maps,
+        checksum_length=4, verify_checksum=True, header_bytes=header,
+    )
+    assert ev is not None and len(ev.new_rows) == 1

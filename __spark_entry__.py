@@ -827,6 +827,34 @@ _TOK_N_SQL = (
 )
 
 
+def _redact_pii_sql() -> str:
+    """Oracle for text_redact_pii, built from the SAME pattern list the
+    engine uses (functions.text_analysis.PII_PATTERNS) — one source of
+    truth; DuckDB's RE2 accepts the patterns verbatim (they avoid
+    lookaround/backrefs by construction)."""
+    from mysql_secure_agent_spark.functions.text_analysis import PII_PATTERNS
+
+    salted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 card 4111111111111111 tel +1 415-555-01' || "
+        "CAST(doc_id % 10 AS VARCHAR)"
+    )
+    redacted = "text"
+    counts = []
+    for kind, pat, tag in PII_PATTERNS:
+        # standard SQL string literal: backslashes pass through verbatim
+        lit = pat.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{lit}', '{tag}', 'g')"
+        counts.append(
+            f"len(regexp_extract_all(text, '{lit}')) AS n_{kind}"
+        )
+    return f"""
+WITH s AS (SELECT doc_id, {salted} AS text FROM documents)
+SELECT doc_id, {', '.join(counts)}, {redacted} AS redacted FROM s
+"""
+
+
 def q_transcript_assemble(spark, sf_dir):
     """Training-example assembly: one row per conversation, turns ordered and
     rendered 'role: text', with turn/token counts — the conversation-level
@@ -887,6 +915,39 @@ def q_train_pack_sequences(spark, sf_dir):
     return out.select(
         "shard", "seq", "n_docs", F.col("n_tokens").cast("long").alias("n_tokens"),
         "text",
+    )
+
+
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrub (functions/text_analysis.py): chained regexp_replace with
+    RE2-compatible patterns shared VERBATIM with the oracle (imported, not
+    duplicated). PII spans are synthesized deterministically per doc so the
+    redaction actually fires on every row; per-kind counts audited on the
+    pre-redaction text."""
+    from mysql_secure_agent_spark.functions.text_analysis import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card 4111111111111111 tel +1 415-555-01"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    return salted.select(
+        "doc_id", *counts, redact_pii("text").alias("redacted")
     )
 
 
@@ -951,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_token_budget": q_transcript_token_budget,
         "train_sample_stratified": q_train_sample_stratified,
         "train_pack_sequences": q_train_pack_sequences,
+        "text_redact_pii": q_text_redact_pii,
         "events_asof_enrich": q_events_asof_enrich,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
@@ -1419,6 +1481,7 @@ SELECT shard, CAST(floor(pre / 256) AS BIGINT) AS seq, count(*) AS n_docs,
        string_agg(text, chr(10) ORDER BY doc_id) AS text
 FROM w GROUP BY 1, 2
 """,
+        "text_redact_pii": _redact_pii_sql(),
         "events_asof_enrich": """
 SELECT l.event_id, l.user_id, l.event_type, l.value,
        r.event_id AS last_purchase_id, r.value AS last_purchase_value

@@ -94,3 +94,43 @@ def doc_fingerprint(text_col="text"):
         F.lit(0).cast("long"),
         lambda acc, h: (acc + h) % F.lit(MERSENNE),
     )
+
+
+# ---------------------------------------------------------------- PII redact
+# Patterns deliberately restricted to the RE2-compatible subset (character
+# classes, bounded repeats, \b — no lookaround, no backrefs) so the SAME
+# pattern text runs identically under Spark's Java regex and RE2-based
+# engines (the DuckDB oracle mirrors these verbatim). Order matters: emails
+# before generic digit runs (an email's local part may contain digits).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{13,19}\b", "<CARD>"),
+    ("phone", r"\+\d[\d()\[\] .-]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text_col="text", kinds: list[str] | None = None):
+    """Scrub PII-looking spans (emails, IPv4s, long card-like digit runs,
+    +international phone numbers) with typed placeholder tags — the
+    pre-training privacy scrub every public-corpus pipeline runs before
+    tokenization. Chained ``regexp_replace`` — pure Catalyst, codegen'd, one
+    pass per pattern over the already-in-register string; no UDF, no
+    shuffle. ``kinds`` selects a subset (in PII_PATTERNS order)."""
+    out = F.col(text_col)
+    for kind, pat, tag in PII_PATTERNS:
+        if kinds is not None and kind not in kinds:
+            continue
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text_col="text"):
+    """Struct of per-kind PII match counts (for corpus auditing / routing
+    documents to a heavier scrubber). regexp_count is JVM-side."""
+    return F.struct(
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(kind)
+            for kind, pat, _ in PII_PATTERNS
+        ]
+    )

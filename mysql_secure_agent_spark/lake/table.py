@@ -1175,6 +1175,43 @@ class LakeTable:
             return None
         return spark.read.parquet(self._metrics_dir)
 
+    def rollback(self, version: int) -> int:
+        """Roll the table back to an earlier committed version by writing a
+        NEW commit that references that version's state (schema, manifests,
+        applied-batch ledger, DDL marks). The log stays append-only — time
+        travel over the bad history still works, and vacuum() keeps every
+        file the restored state references.
+
+        The CDC recovery story: a poison batch was merged (bad upstream
+        data, mis-applied DDL) → roll back to the last good version, reset
+        the stream to the matching checkpoint/lsn cursor, re-drain. Because
+        the rolled-back batches leave the applied ledger, the re-drain
+        re-applies them (they are no longer 'applied' — exactly-once is per
+        committed lineage, not per ever-seen id)."""
+        target = self.commit_at(version, resolve=False)
+        current = self.commit_at(resolve=False)
+        if version == current.version:
+            return version
+        new_commit = Commit(
+            version=current.version + 1,
+            schema=list(target.schema),
+            key_cols=target.key_cols,
+            bucket_cols=target.bucket_cols,
+            n_buckets=target.n_buckets,
+            bucket_function=target.bucket_function,
+            files={},
+            manifests=list(target.manifests),
+            applied_batches=dict(target.applied_batches),
+            applied_hwm=target.applied_hwm,
+            changefeed_floor=target.changefeed_floor,
+            dropped_cols=list(target.dropped_cols),
+            ddl_hwm=target.ddl_hwm,
+            parent=current.version,
+            summary={"operation": "rollback", "to_version": version},
+        )
+        self._write_commit(new_commit)
+        return new_commit.version
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the current commit (orphans
         from crashes + files superseded by compaction). Returns count."""

@@ -446,3 +446,45 @@ def test_add_then_drop_same_column_mid_stream(spark, tmp_path):
         result, expected[result.columns.tolist()].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_rollback_bad_batch(spark, tmp_path):
+    """Poison-batch recovery: roll back to the last good version; the bad
+    batch leaves the applied ledger so a corrected re-merge is NOT skipped;
+    time travel over the bad history still works."""
+    import pyspark.sql.functions as F
+
+    spec = FeedSpec(n_events=2000, n_convs=100, seed=81)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=2, overwrite=True)
+    table = _make_table(str(tmp_path / "tbl"))
+    CdcPipeline(table, feed).run_backfill(spark, batch_id="good")
+    v_good = table.commit_at(resolve=False).version
+    n_good = table.read(spark).count()
+
+    # poison batch: deletes every conversation 'c00000000'
+    bad = (
+        table.read(spark)
+        .filter(F.col("conv_id") == "c00000000")
+        .select(
+            F.lit("D").alias("op"), "conv_id", "turn_idx", "role", "text",
+            "tool", "ts", F.lit(10_000_000).alias("source_lsn"),
+            F.lit("f").alias("binlog_file"), F.lit(0).alias("binlog_pos"),
+        )
+    )
+    table.merge(spark, bad, "poison")
+    assert table.read(spark).count() < n_good
+
+    v_rb = table.rollback(v_good)
+    assert v_rb == table.current_version()
+    assert table.read(spark).count() == n_good
+    # bad history still time-travels
+    assert table.read(spark, version=v_good + 1).count() < n_good
+    # vacuum keeps everything the restored state references
+    table.vacuum()
+    assert table.read(spark).count() == n_good
+    # the poison id is no longer applied -> a corrected batch under the same
+    # id merges instead of being skipped
+    fixed = bad.limit(0)
+    m = table.merge(spark, fixed, "poison")
+    assert not m.get("skipped")

@@ -918,6 +918,26 @@ def q_train_pack_sequences(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessionize.py): activity bursts
+    per user with no gap > 600s collapse to sessions. One exchange (the
+    keyed window and the groupBy share hash partitioning). The streaming
+    twin (applyInPandasWithState, same semantics) is equivalence-tested in
+    tests/test_sessionize.py — stateful streaming is not SQL-expressible,
+    so the batch operator carries the oracle."""
+    from mysql_secure_agent_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = sessionize(ev, gap_seconds=600)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
 def q_text_redact_pii(spark, sf_dir):
     """PII scrub (functions/text_analysis.py): chained regexp_replace with
     RE2-compatible patterns shared VERBATIM with the oracle (imported, not
@@ -1013,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_sample_stratified": q_train_sample_stratified,
         "train_pack_sequences": q_train_pack_sequences,
         "text_redact_pii": q_text_redact_pii,
+        "events_sessionize": q_events_sessionize,
         "events_asof_enrich": q_events_asof_enrich,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
@@ -1482,6 +1503,23 @@ SELECT shard, CAST(floor(pre / 256) AS BIGINT) AS seq, count(*) AS n_docs,
 FROM w GROUP BY 1, 2
 """,
         "text_redact_pii": _redact_pii_sql(),
+        "events_sessionize": """
+WITH n AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+           AS session_idx
+  FROM n)
+SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY 1, 2
+""",
         "events_asof_enrich": """
 SELECT l.event_id, l.user_id, l.event_type, l.value,
        r.event_id AS last_purchase_id, r.value AS last_purchase_value

@@ -87,6 +87,7 @@ HEADLINE = [
     "events_asof_enrich",
     "text_redact_pii",
     "cdc_drop_column",
+    "events_sessionize",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

@@ -1,0 +1,154 @@
+"""Gap-based sessionization — batch (windowed) and streaming (stateful).
+
+Turns an event/turn stream into sessions: consecutive activity per key with
+no gap larger than ``gap_seconds`` belongs to one session. For transcripts
+this is the conversation-activity operator (a conversation that pauses for
+an hour and resumes is two training contexts); for the events table it is
+classic clickstream sessionization.
+
+Two implementations with the same semantics:
+
+* ``sessionize`` (batch): one keyed window — ``lag(ts)`` marks session
+  starts, a running sum numbers them, a groupBy aggregates bounds/counts.
+  Two stages over one shuffle on the key (the window and the groupBy share
+  the hash partitioning, so Catalyst plans a single exchange). Fully
+  SQL-expressible → oracle-gated.
+* ``sessionize_stream`` (streaming): ``applyInPandasWithState`` keeps one
+  open session per key in GroupState; a batch's events extend it or close
+  it (gap exceeded → the closed session is EMITTED and a new one opens).
+  Closed sessions stream out in append mode; the tail session per key
+  stays open in state (a real deployment closes it via state timeout).
+  This is the Structured Streaming shape the reference's single-threaded
+  loop cannot express: per-key state partitioned across executors,
+  checkpointed with the query.
+
+The streaming variant processes batches in event order WITHIN a key
+(events are sorted per group before folding), and relies on the source
+delivering per-key ordered batches — true for our lsn-segmented feed (same
+per-key-order contract as the merge pipeline, ``Updater.java:148-186``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+__all__ = ["sessionize", "sessionize_stream", "SESSION_SCHEMA"]
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per (key, session): session_idx (0-based per key, in time
+    order), session_start/session_end, n_events."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # NTZ timestamps refuse a direct double cast; routing through `timestamp`
+    # is a no-op for tz-aware inputs and fixes the session tz for NTZ —
+    # differences (all we use) are identical either way.
+    secs = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    is_new = F.when(
+        prev.isNull() | (secs(F.col(ts_col)) - secs(prev) > gap_seconds),
+        1,
+    ).otherwise(0)
+    numbered = df.withColumn(
+        "_sess",
+        F.sum(is_new).over(
+            Window.partitionBy(key_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+    return (
+        numbered.groupBy(F.col(key_col), F.col("_sess").alias("session_idx"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = "start double, end double, n bigint"
+
+
+def _fold_sessions(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state,
+    gap_seconds: int,
+) -> Iterator[pd.DataFrame]:
+    """Fold a batch of one key's events into the open-session state; yield
+    sessions closed by this batch."""
+    (user_id,) = key
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start = end = None
+        n = 0
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        for t in pdf["ts"].sort_values():
+            tsec = t.timestamp()
+            if start is None:
+                start, end, n = tsec, tsec, 1
+            elif tsec - end > gap_seconds:
+                closed.append((user_id, start, end, n))
+                start, end, n = tsec, tsec, 1
+            else:
+                end = max(end, tsec)
+                n += 1
+    if start is None:
+        state.remove()
+    else:
+        state.update((start, end, n))
+    if closed:
+        out = pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+        yield out
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int,
+) -> DataFrame:
+    """Stateful streaming sessionization over a stream with (user_id, ts).
+
+    Append-mode output of CLOSED sessions; one open session per key lives in
+    GroupState (checkpointed, partitioned by key across executors). Apply to
+    a ``readStream`` DataFrame and write with ``outputMode("append")``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        return _fold_sessions(key, pdfs, state, gap_seconds)
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

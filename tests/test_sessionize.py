@@ -1,0 +1,105 @@
+"""Sessionization: batch window vs stateful streaming equivalence."""
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_secure_agent_spark.operators.sessionize import (
+    sessionize,
+    sessionize_stream,
+)
+
+
+def _events(spark):
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    # user 1: three bursts separated by > gap
+    for off in [0, 10, 20, 3600, 3620, 9000]:
+        rows.append((1, base + pd.Timedelta(seconds=off)))
+    # user 2: one long session (gaps all <= gap)
+    for off in [0, 200, 400, 600]:
+        rows.append((2, base + pd.Timedelta(seconds=off)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])
+    )
+
+
+def test_batch_sessionize(spark):
+    out = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in sessionize(_events(spark), gap_seconds=300).collect()
+    }
+    assert out == {(1, 0): 3, (1, 1): 2, (1, 2): 1, (2, 0): 4}
+
+
+def test_batch_sessionize_single_exchange(spark):
+    plan = (
+        sessionize(_events(spark), gap_seconds=300)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Streaming (applyInPandasWithState) emits exactly the batch result
+    minus each key's final (still-open) session."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    events = _events(spark).toPandas()
+    # two lsn-ordered segments -> two micro-batches with maxFilesPerTrigger=1
+    events = events.sort_values("ts").reset_index(drop=True)
+    shutil.rmtree(src, ignore_errors=True)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src)
+    half = len(events) // 2
+    for i, part in enumerate([events.iloc[:half], events.iloc[half:]]):
+        tbl = pa.Table.from_pandas(part, preserve_index=False).cast(
+            pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+        )
+        pq.write_table(tbl, os.path.join(src, f"part-{i:03d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=300)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    batch = (
+        sessionize(_events(spark), gap_seconds=300)
+        .orderBy("user_id", "session_idx")
+        .toPandas()
+    )
+    # drop each key's last session (still open in streaming state)
+    expected = (
+        batch.groupby("user_id", group_keys=False)
+        .apply(lambda g: g.iloc[:-1], include_groups=True)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected)
+    got = got.reset_index(drop=True)
+    for col in ["user_id", "n_events"]:
+        assert got[col].tolist() == expected[col].tolist()
+    assert got["session_start"].tolist() == expected["session_start"].tolist()
+    assert got["session_end"].tolist() == expected["session_end"].tolist()

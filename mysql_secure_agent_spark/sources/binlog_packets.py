@@ -45,11 +45,18 @@ from ..functions.mysql_codecs import DIG_PER_DEC, DIG_TO_BYTES, decimal_bin_size
 # MySQL event type codes (subset the reference routes on,
 # EventType enum / BinlogClient.java:191-195)
 ROTATE_EVENT = 0x04
+FORMAT_DESCRIPTION_EVENT = 0x0F
 XID_EVENT = 0x10
 TABLE_MAP_EVENT = 0x13
 EXT_WRITE_ROWS = 0x1E
 EXT_UPDATE_ROWS = 0x1F
 EXT_DELETE_ROWS = 0x20
+
+# binlog_checksum algorithm codes (carried by FORMAT_DESCRIPTION since
+# MySQL 5.6.1; the reference instead queries the server variable,
+# BinlogClient.java:196-208 — both roads lead to the same 0/4-byte tail)
+CHECKSUM_NONE = 0x00
+CHECKSUM_CRC32 = 0x01
 
 
 @dataclass
@@ -352,6 +359,42 @@ def _parse_row(r: BinlogReader, tmap: TableMap, included: list[int]) -> list:
     return out
 
 
+def parse_format_description(buf: bytes) -> tuple[str, int]:
+    """FORMAT_DESCRIPTION body → (server_version, checksum_length).
+
+    Layout (every binlog/stream starts with one): binlog_version(2 LE) +
+    server_version(50, NUL-padded) + create_timestamp(4) +
+    common_header_length(1) + per-type post-header lengths. Servers >=
+    5.6.1 append checksum_alg(1) + the FDE's own CRC(4) — the alg byte is
+    therefore ``buf[-5]`` (0 = NONE, 1 = CRC32). Older servers have no alg
+    byte; their version string says so. Returns the checksum length (0 or
+    4) every LATER event carries, so a stream consumer can self-configure
+    instead of querying ``binlog_checksum`` like the reference does
+    (``BinlogClient.java:196-208``)."""
+    if len(buf) < 57:
+        raise ValueError("FORMAT_DESCRIPTION too short")
+    binlog_version = int.from_bytes(buf[0:2], "little")
+    if binlog_version != 4:
+        raise ValueError(f"unsupported binlog version {binlog_version}")
+    server_version = buf[2:52].split(b"\x00", 1)[0].decode("latin1")
+
+    def _at_least(v: str, want: tuple[int, ...]) -> bool:
+        parts = []
+        for tok in v.split("-")[0].split("."):
+            digits = "".join(ch for ch in tok if ch.isdigit())
+            parts.append(int(digits) if digits else 0)
+        return tuple(parts[:3]) >= want
+
+    if not _at_least(server_version, (5, 6, 1)):
+        return server_version, 0
+    alg = buf[-5]
+    if alg == CHECKSUM_NONE:
+        return server_version, 0
+    if alg == CHECKSUM_CRC32:
+        return server_version, 4
+    raise ValueError(f"unknown binlog checksum algorithm {alg:#04x}")
+
+
 def parse_event_body(
     buf: bytes,
     type_code: int,
@@ -454,6 +497,11 @@ def packets_to_changelog(
     lsn = 0
     for type_code, payload in packets:
         lsn += 1
+        if type_code == FORMAT_DESCRIPTION_EVENT:
+            # stream self-configures: the FDE announces the checksum tail
+            # every later event carries (alg byte, parse_format_description)
+            _, checksum_length = parse_format_description(payload)
+            continue
         ev = parse_event_body(
             payload, type_code, table_maps, checksum_length=checksum_length
         )

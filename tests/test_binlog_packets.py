@@ -293,3 +293,49 @@ def test_checksum_covers_header_when_given():
         checksum_length=4, verify_checksum=True, header_bytes=header,
     )
     assert ev is not None and len(ev.new_rows) == 1
+
+
+def _fde(server_version: bytes, alg: int | None) -> bytes:
+    body = (4).to_bytes(2, "little") + server_version.ljust(50, b"\x00")
+    body += (0).to_bytes(4, "little") + bytes([19])
+    body += bytes(range(1, 41))  # post-header lengths (content irrelevant)
+    if alg is not None:
+        body += bytes([alg]) + b"\x00\x00\x00\x00"  # alg + FDE's own CRC
+    return body
+
+
+def test_format_description_announces_crc32():
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        parse_format_description,
+    )
+
+    v, n = parse_format_description(_fde(b"5.7.33-log", 1))
+    assert (v, n) == ("5.7.33-log", 4)
+    v, n = parse_format_description(_fde(b"8.0.32", 0))
+    assert (v, n) == ("8.0.32", 0)
+    # pre-5.6.1 servers have no alg byte at all
+    v, n = parse_format_description(_fde(b"5.5.8-log", None))
+    assert (v, n) == ("5.5.8-log", 0)
+    with pytest.raises(ValueError, match="unknown binlog checksum"):
+        parse_format_description(_fde(b"5.7.33", 9))
+
+
+def test_packets_to_changelog_self_configures_checksum():
+    """A stream opening with a CRC32-announcing FDE parses checksummed
+    events without the caller passing checksum_length."""
+    import zlib
+
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        FORMAT_DESCRIPTION_EVENT, packets_to_changelog,
+    )
+
+    tm = _synthetic_table_map()
+    row = _rows_body([_row(1, "a", Decimal("3.50"), dt.date(2024, 5, 1))])
+    crc = lambda b: b + zlib.crc32(b).to_bytes(4, "little")  # noqa: E731
+    packets = [
+        (FORMAT_DESCRIPTION_EVENT, _fde(b"5.7.33-log", 1)),
+        (TABLE_MAP_EVENT, crc(tm)),
+        (EXT_WRITE_ROWS, crc(row)),
+    ]
+    df = packets_to_changelog(packets, "s", "t", ["id", "name", "amount", "d"])
+    assert len(df) == 1 and df.iloc[0]["op"] == "I" and df.iloc[0]["id"] == 1

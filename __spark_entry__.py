@@ -938,6 +938,18 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_time_rollup(spark, sf_dir):
+    """Tumbling event-time rollup (streaming/windowed_agg.py): per-hour
+    activity per event_type — the batch definition shared verbatim by the
+    watermarked streaming twin (late-data semantics equivalence-tested in
+    tests/test_windowed_agg.py; watermarks aren't SQL-expressible, so the
+    batch operator carries the oracle)."""
+    from mysql_secure_agent_spark.streaming.windowed_agg import tumbling_rollup
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    return tumbling_rollup(ev, window_duration="1 hour")
+
+
 def q_text_redact_pii(spark, sf_dir):
     """PII scrub (functions/text_analysis.py): chained regexp_replace with
     RE2-compatible patterns shared VERBATIM with the oracle (imported, not
@@ -1034,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack_sequences": q_train_pack_sequences,
         "text_redact_pii": q_text_redact_pii,
         "events_sessionize": q_events_sessionize,
+        "events_time_rollup": q_events_time_rollup,
         "events_asof_enrich": q_events_asof_enrich,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
@@ -1503,6 +1516,14 @@ SELECT shard, CAST(floor(pre / 256) AS BIGINT) AS seq, count(*) AS n_docs,
 FROM w GROUP BY 1, 2
 """,
         "text_redact_pii": _redact_pii_sql(),
+        "events_time_rollup": """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       sum(value) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
         "events_sessionize": """
 WITH n AS (
   SELECT user_id, ts,

@@ -88,6 +88,7 @@ HEADLINE = [
     "text_redact_pii",
     "cdc_drop_column",
     "events_sessionize",
+    "events_time_rollup",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

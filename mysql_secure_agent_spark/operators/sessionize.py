@@ -92,31 +92,45 @@ def _fold_sessions(
     pdfs: Iterator[pd.DataFrame],
     state,
     gap_seconds: int,
+    use_timeout: bool,
 ) -> Iterator[pd.DataFrame]:
     """Fold a batch of one key's events into the open-session state; yield
-    sessions closed by this batch."""
+    sessions closed by this batch (gap exceeded, or watermark timeout)."""
     (user_id,) = key
-    if state.exists:
-        start, end, n = state.get
-    else:
-        start = end = None
-        n = 0
     closed: list[tuple] = []
-    for pdf in pdfs:
-        for t in pdf["ts"].sort_values():
-            tsec = t.timestamp()
-            if start is None:
-                start, end, n = tsec, tsec, 1
-            elif tsec - end > gap_seconds:
-                closed.append((user_id, start, end, n))
-                start, end, n = tsec, tsec, 1
-            else:
-                end = max(end, tsec)
-                n += 1
-    if start is None:
+
+    if use_timeout and state.hasTimedOut:
+        # watermark passed end + gap: no on-time event can extend this
+        # session anymore — flush it and drop the state
+        if state.exists:
+            start, end, n = state.get
+            closed.append((user_id, start, end, n))
         state.remove()
     else:
-        state.update((start, end, n))
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        for pdf in pdfs:
+            for t in pdf["ts"].sort_values():
+                tsec = t.timestamp()
+                if start is None:
+                    start, end, n = tsec, tsec, 1
+                elif tsec - end > gap_seconds:
+                    closed.append((user_id, start, end, n))
+                    start, end, n = tsec, tsec, 1
+                else:
+                    end = max(end, tsec)
+                    n += 1
+        if start is None:
+            state.remove()
+        else:
+            state.update((start, end, n))
+            if use_timeout:
+                # fire when the watermark proves the gap has elapsed
+                state.setTimeoutTimestamp(int((end + gap_seconds) * 1000) + 1)
+
     if closed:
         out = pd.DataFrame(
             closed, columns=["user_id", "session_start", "session_end", "n_events"]
@@ -129,26 +143,38 @@ def _fold_sessions(
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Stateful streaming sessionization over a stream with (user_id, ts).
 
     Append-mode output of CLOSED sessions; one open session per key lives in
     GroupState (checkpointed, partitioned by key across executors). Apply to
     a ``readStream`` DataFrame and write with ``outputMode("append")``.
-    """
+
+    With ``watermark_delay`` set (e.g. ``"10 minutes"``), tail sessions
+    CLOSE THEMSELVES: the state registers an event-time timeout at
+    ``session_end + gap``, and when the watermark passes it the session is
+    emitted and evicted — the full sessionization contract, bounded state
+    included. Without it, the tail session per key stays open forever (the
+    caller owns draining)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def fold(key, pdfs, state):
-        return _fold_sessions(key, pdfs, state, gap_seconds)
+    use_timeout = watermark_delay is not None
 
-    return (
-        events.select("user_id", "ts")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fold,
-            outputStructType=SESSION_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    def fold(key, pdfs, state):
+        return _fold_sessions(key, pdfs, state, gap_seconds, use_timeout)
+
+    src = events.select("user_id", "ts")
+    if use_timeout:
+        src = src.withWatermark("ts", watermark_delay)
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -103,3 +103,64 @@ def test_stream_matches_batch_closed_sessions(spark, tmp_path):
         assert got[col].tolist() == expected[col].tolist()
     assert got["session_start"].tolist() == expected["session_start"].tolist()
     assert got["session_end"].tolist() == expected["session_end"].tolist()
+
+
+def test_stream_event_time_timeout_closes_tail_sessions(spark, tmp_path):
+    """With a watermark, tail sessions close themselves: the state registers
+    an event-time timeout at session_end + gap; when a later batch advances
+    the watermark past it, the session emits WITHOUT any event for that key
+    in the batch. Expect the full batch sessionization for keys whose
+    timeout the watermark passed."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {"user_id": [1, 1, 2], "ts": [base, base + pd.Timedelta(seconds=100),
+                                      base + pd.Timedelta(seconds=50)]}
+    )
+    # batch 2: only user 3, far in the future -> watermark sails past every
+    # user-1/2 timeout; their sessions must emit via timeout, not via data
+    b2 = pd.DataFrame({"user_id": [3], "ts": [base + pd.Timedelta(hours=5)]})
+    # batch 3: empty-ish nudge (another user-3 event) so the timeout fires
+    # in a batch executed AFTER the watermark advanced
+    b3 = pd.DataFrame({"user_id": [3], "ts": [base + pd.Timedelta(hours=6)]})
+    import time as _time
+
+    now = _time.time()
+    for i, pdf in enumerate([b1, b2, b3]):
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+        )
+        p = os.path.join(src, f"part-{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=300, watermark_delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"],): (r["n_events"],
+                          r["session_start"], r["session_end"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # users 1 and 2 emitted by TIMEOUT (no data for them after batch 1)
+    assert got[(1,)][0] == 2
+    assert got[(2,)][0] == 1
+    assert got[(1,)][1] == base.to_pydatetime()

@@ -631,6 +631,19 @@ def q_dedup_lsh_verified(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_keep(spark, sf_dir):
+    """Pairs → keep-set (operators/graph.py): connected components over the
+    n-gram-Jaccard duplicate graph (iterative min-label propagation, O(E)
+    shuffle per round, lineage checkpointed), then keep the min-id doc per
+    cluster. Oracle: DuckDB recursive CTE computes the exact transitive
+    closure of the same pair definition."""
+    from mysql_secure_agent_spark.operators.graph import dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.12)
+    return dedup_keep_canonical(docs, pairs).select("doc_id", "lang")
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     return minhash_signature(_t(spark, sf_dir, "documents"), num_hashes=16)
 
@@ -1053,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_enrich": q_join_enrich,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_cluster_keep": q_dedup_cluster_keep,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1219,6 +1233,36 @@ pairs AS (
 SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
 FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE common / (sa.sz + sb.sz - common) >= 0.12
+"""
+    # transitive closure of the SAME pair definition: recursive CTE =
+    # exact connected components; keep the min doc of every component
+    cluster_sql = f"""
+WITH RECURSIVE base AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
+sh0 AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM base),
+hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+jp AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS common
+  FROM sh l JOIN sh r ON l.sh = r.sh
+  WHERE l.id < r.id GROUP BY 1, 2
+),
+dup AS (
+  SELECT id_a, id_b FROM jp
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE common / (sa.sz + sb.sz - common) >= 0.12
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM dup
+          UNION ALL SELECT id_b, id_a FROM dup),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang FROM documents d
+LEFT JOIN comp c ON c.id = d.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id
 """
     r_rows = 4
     band_keys = ", ".join(
@@ -1570,6 +1614,7 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)
 """,
         "dedup_ngram_jaccard": jaccard_sql,
+        "dedup_cluster_keep": cluster_sql,
         "dedup_lsh_verified": lsh_verified_sql,
         "dedup_minhash_sig": _minhash_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),

@@ -89,6 +89,7 @@ HEADLINE = [
     "cdc_drop_column",
     "events_sessionize",
     "events_time_rollup",
+    "dedup_cluster_keep",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

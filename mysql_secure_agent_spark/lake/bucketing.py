@@ -83,34 +83,18 @@ def hash_bytes(data: bytes, seed: int) -> int:
     return _fmix(h1, n)
 
 
-def spark_hash(*values) -> int:
+def spark_hash_typed(values, ddl_types: list[str]) -> int:
     """``F.hash(*cols)`` for driver-side scalars: seed 42, each value's hash
     feeds the next as seed; None leaves the running hash unchanged (Spark's
     null semantics). Returns a SIGNED 32-bit int, like the Catalyst
-    expression. Supported: bool, int (width by range), str, bytes."""
-    h = 42
-    for v in values:
-        if v is None:
-            continue
-        if isinstance(v, bool):
-            h = hash_int(1 if v else 0, h)
-        elif isinstance(v, int):
-            # Spark picks the codec by COLUMN type; table key columns are
-            # int/bigint. Values outside int32 must be long columns.
-            h = hash_int(v, h) if -(1 << 31) <= v < (1 << 31) else hash_long(v, h)
-        elif isinstance(v, str):
-            h = hash_bytes(v.encode("utf-8"), h)
-        elif isinstance(v, (bytes, bytearray)):
-            h = hash_bytes(bytes(v), h)
-        else:
-            raise TypeError(f"unsupported key type for driver-side hash: {type(v)}")
-    return h - (1 << 32) if h >= (1 << 31) else h
+    expression.
 
-
-def spark_hash_typed(values, ddl_types: list[str]) -> int:
-    """Like ``spark_hash`` but dispatching on the column's DDL type, so an
-    int-valued BIGINT column hashes with the long codec exactly as the
-    Catalyst expression does."""
+    The codec is dispatched on the column's DDL TYPE, never the value's
+    range: Spark hashes an int32-range value stored in a BIGINT column with
+    the long codec, so any value-range dispatch would silently compute the
+    wrong bucket. (An untyped ``spark_hash`` helper with exactly that trap
+    used to live here; bucket math must always go through this function or
+    ``bucket_for``.)"""
     h = 42
     for v, dt in zip(values, ddl_types):
         if v is None:

@@ -68,11 +68,24 @@ def asof_join(
     #     left row and outside its frame.
     l_tag, r_tag = (0, 1) if strict else (1, 0)
     lcols = left.columns
+
+    # The payload travels as ONE struct, not per-column: filling each value
+    # column independently with last(ignorenulls) would back-fill a column
+    # that is genuinely NULL in the matched right row from an *older* right
+    # row, producing an output row stitched from different right rows. A
+    # struct literal over the right row is non-null even when every field
+    # is null, so last(struct, ignorenulls) always lands on the single
+    # nearest right row and its exact (possibly null) field values.
+    from pyspark.sql.types import StructField, StructType
+
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     tagged_l = left.select(
         *lcols,
         F.col(left_on).alias("__asof_t"),
         F.lit(l_tag).alias("__asof_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(payload_type).alias("__asof_payload"),
     )
     tagged_r = right.select(
         *[
@@ -83,7 +96,7 @@ def asof_join(
         ],
         F.col(right_on).alias("__asof_t"),
         F.lit(r_tag).alias("__asof_tag"),
-        *value_cols,
+        F.struct(*value_cols).alias("__asof_payload"),
     )
     unioned = tagged_l.unionByName(tagged_r)
 
@@ -99,6 +112,12 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         F.col("__asof_tag"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__asof_payload", ignorenulls=True).over(w).alias("__asof_payload"),
     )
-    return filled.filter(F.col("__asof_tag") == F.lit(l_tag)).drop("__asof_tag")
+    return (
+        filled.filter(F.col("__asof_tag") == F.lit(l_tag))
+        .select(
+            *lcols,
+            *[F.col(f"__asof_payload.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -23,9 +23,14 @@ Two implementations with the same semantics:
   checkpointed with the query.
 
 The streaming variant processes batches in event order WITHIN a key
-(events are sorted per group before folding), and relies on the source
-delivering per-key ordered batches — true for our lsn-segmented feed (same
-per-key-order contract as the merge pipeline, ``Updater.java:148-186``).
+(events are sorted per group before folding) and merges the open-session
+state into that timeline as an interval, so out-of-order arrivals *within
+the watermark* are handled: an earlier event lowers session_start (or
+splits into its own session when gap-separated before the open one). The
+one append-mode limitation is final emission: an arrival later than a
+session already closed by a previous batch starts a new session rather
+than reopening the emitted one — same contract as our lsn-segmented feed
+(per-key-order across batches, ``Updater.java:148-186``).
 """
 
 from __future__ import annotations
@@ -107,22 +112,35 @@ def _fold_sessions(
             closed.append((user_id, start, end, n))
         state.remove()
     else:
+        # Fold the open-session state as an INTERVAL into the batch's sorted
+        # timeline instead of only appending after it. An on-time but
+        # out-of-order event (tsec < open start — watermark mode explicitly
+        # admits these) then correctly LOWERS session_start, and an event
+        # gap-separated *before* the open session splits into its own
+        # session rather than being silently absorbed. Residual semantics
+        # (inherent to append-mode emission): a session closed by this
+        # batch is final — an even-later arrival that would have belonged
+        # to it starts a new session instead of reopening it.
+        items: list[tuple] = []  # (start, end, n) intervals, points are n=1
         if state.exists:
-            start, end, n = state.get
-        else:
-            start = end = None
-            n = 0
+            items.append(tuple(state.get))
         for pdf in pdfs:
-            for t in pdf["ts"].sort_values():
+            for t in pdf["ts"]:
                 tsec = t.timestamp()
-                if start is None:
-                    start, end, n = tsec, tsec, 1
-                elif tsec - end > gap_seconds:
-                    closed.append((user_id, start, end, n))
-                    start, end, n = tsec, tsec, 1
-                else:
-                    end = max(end, tsec)
-                    n += 1
+                items.append((tsec, tsec, 1))
+        items.sort(key=lambda it: (it[0], it[1]))
+
+        start = end = None
+        n = 0
+        for s, e, cnt in items:
+            if start is None:
+                start, end, n = s, e, cnt
+            elif s - end > gap_seconds:
+                closed.append((user_id, start, end, n))
+                start, end, n = s, e, cnt
+            else:
+                end = max(end, e)
+                n += cnt
         if start is None:
             state.remove()
         else:

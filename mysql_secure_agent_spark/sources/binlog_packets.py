@@ -423,8 +423,16 @@ def parse_event_body(
         if verify_checksum:
             import zlib
 
+            if header_bytes is None:
+                # MySQL checksums header+body; verifying over the body alone
+                # would spuriously fail on every valid event — refuse the
+                # misuse loudly instead of silently defaulting to b"".
+                raise ValueError(
+                    "verify_checksum=True requires header_bytes (the CRC32 "
+                    "covers the 19-byte event header plus the body)"
+                )
             want = int.from_bytes(buf[-4:], "little")
-            got = zlib.crc32((header_bytes or b"") + buf[:-checksum_length])
+            got = zlib.crc32(header_bytes + buf[:-checksum_length])
             if want != got:
                 raise ValueError(
                     f"binlog event CRC32 mismatch: stored {want:#010x}, "

@@ -340,11 +340,20 @@ class CdcPipeline:
             "last_beat": _time.time(),
             "batches": 0,
             "busy": False,
+            "stopping": False,
         }
+        _STOP_MARKER = "cdc-pipeline-stop-requested"
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             state["busy"] = True
             try:
+                # Closes the drain TOCTOU: a micro-batch that starts between
+                # the monitor's busy-check and q.stop() refuses to merge and
+                # fails its epoch instead — the checkpoint never marks it
+                # done, so the restart replays it cleanly. Without this, the
+                # stop could interrupt a merge the busy-check never saw.
+                if state["stopping"]:
+                    raise RuntimeError(_STOP_MARKER)
                 self.apply_batch(spark, batch_df, epoch_id)
                 state["last_data"] = _time.time()
                 state["batches"] += 1
@@ -387,11 +396,17 @@ class CdcPipeline:
             if q.exception() is not None:
                 raise q.exception()
         finally:
-            # drain: let an in-flight batch commit before stopping (bounded)
+            # drain: refuse new merges first (handler raises the stop
+            # marker), then let the in-flight batch commit before stopping
+            state["stopping"] = True
             t_drain = _time.time()
             while state["busy"] and _time.time() - t_drain < 120:
                 _time.sleep(0.1)
             if q.isActive:
                 q.stop()
-            q.awaitTermination()
+            try:
+                q.awaitTermination()
+            except Exception as e:  # noqa: BLE001 - marker-only swallow
+                if _STOP_MARKER not in str(e):
+                    raise
         return {"batches": state["batches"], "heartbeats": heartbeats}

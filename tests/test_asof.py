@@ -97,3 +97,34 @@ def test_plan_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     for bad in ("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoop"):
         assert bad not in plan
+
+
+def test_null_payload_column_not_backfilled(spark):
+    """All payload columns must come from the SINGLE matched right row — a
+    NULL in one column of the matched row must stay NULL, not back-fill from
+    an older right row (the pre-struct implementation's bug)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [5, 12]})
+    )
+    right = spark.createDataFrame(
+        [("a", 1, "v1", "w1"), ("a", 10, None, "w10")],
+        schema="k string, rt long, v string, w string",
+    )
+    out = {
+        r["t"]: (r["v"], r["w"])
+        for r in asof_join(
+            left, right, on=["k"], left_on="t", right_on="rt"
+        ).collect()
+    }
+    assert out[5] == ("v1", "w1")
+    # matched row rt=10 has v=NULL: v must be None, NOT "v1" from rt=1
+    assert out[12] == (None, "w10")
+
+
+def test_no_match_yields_all_null_payload(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [0]}))
+    right = spark.createDataFrame(
+        [("a", 10, "v", 1.5)], schema="k string, rt long, v string, z double"
+    )
+    row = asof_join(left, right, on=["k"], left_on="t", right_on="rt").collect()[0]
+    assert row["v"] is None and row["z"] is None

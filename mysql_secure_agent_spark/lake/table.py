@@ -39,6 +39,7 @@ the reference agent (one ``Updater`` loop, ``Updater.java:48-60``).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -218,6 +219,16 @@ class LakeTable:
 
     def __init__(self, root: str):
         self.root = root
+        # Serializes the COMMIT-POINTER swing (version assignment + commit
+        # JSON + current swap) across in-process writer threads — the
+        # single-driver analog of Iceberg's optimistic catalog commit. The
+        # heavy work of a merge (scan, dedup exchange, bucket write) runs
+        # outside it, so N concurrent merges overlap on the cluster and only
+        # the O(ms) pointer swings serialize. Cross-PROCESS writers would
+        # need a real catalog/lock service, exactly as Iceberg does.
+        import threading
+
+        self._commit_lock = threading.RLock()
 
     # ---------------------------------------------------------------- layout
     @property
@@ -657,13 +668,18 @@ class LakeTable:
             deduped = post_dedup_transform(deduped)
         with_bucket = deduped.withColumn("_bucket", self._bucket_expr(commit))
 
-        version = commit.version + 1
-        rel_dir = os.path.join("data", f"v{version:08d}")
+        # Data dir is keyed by BATCH, not by version: the version is only
+        # assigned under the commit lock AFTER the write, so concurrent
+        # merges (multi-shard ingest) never race on a directory, and a
+        # replay after a crash-before-commit simply overwrites its own
+        # partial staging dir (deterministic name per batch_id).
+        batch_tag = hashlib.sha1(batch_id.encode()).hexdigest()[:16]
+        rel_dir = os.path.join("data", f"b{batch_tag}")
         out_dir = os.path.join(self.root, rel_dir)
         # No repartition here: merge() already clustered the batch on
         # bucket_cols (single fused exchange), so partition id == _bucket and
         # partitionBy writes exactly one file per bucket per commit.
-        with_bucket.write.partitionBy("_bucket").parquet(out_dir)
+        with_bucket.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
         delta: dict[str, list[dict[str, Any]]] = {}
         n_files = 0
@@ -708,7 +724,7 @@ class LakeTable:
             n_in = n_out
         metrics = {
             "batch_id": batch_id,
-            "version": version,
+            "version": None,  # assigned under the commit lock below
             "rows_in": n_in,
             "rows_after_dedup": n_out,
             "dedup_dropped": n_in - n_out,
@@ -730,29 +746,43 @@ class LakeTable:
                 for e in entries:
                     e["lsn_min"], e["lsn_max"] = int(lsn_min), int(lsn_max)
 
-        applied = dict(commit.applied_batches)
-        applied[batch_id] = version
-        applied, hwm = self._prune_applied(applied, commit.applied_hwm)
-        new_commit = Commit(
-            version=version,
-            schema=commit.schema,
-            key_cols=commit.key_cols,
-            bucket_cols=commit.bucket_cols,
-            n_buckets=commit.n_buckets,
-            bucket_function=commit.bucket_function,
-            # files deliberately unresolved (not persisted by to_json anyway);
-            # readers resolve via the manifest chain
-            files={},
-            manifests=self._extend_manifests(commit, version, delta),
-            applied_batches=applied,
-            applied_hwm=hwm,
-            changefeed_floor=commit.changefeed_floor,
-            dropped_cols=list(commit.dropped_cols),
-            ddl_hwm=commit.ddl_hwm,
-            parent=commit.version,
-            summary={"operation": "merge", **{k: metrics[k] for k in ("batch_id", "rows_in", "deletes", "upserts")}},
-        )
-        self._write_commit(new_commit)
+        # Optimistic commit: all cluster work is done; re-read the head and
+        # swing the pointer under the lock. A concurrent shard's merge that
+        # landed since our snapshot just means our parent is ITS commit —
+        # the data files staged above are version-independent.
+        with self._commit_lock:
+            head = self.commit_at(resolve=False)
+            if head.is_applied(batch_id):
+                # another thread (or a replay race) committed this batch
+                # while we were writing: our staging dir is an orphan of a
+                # duplicate attempt — drop it and report the skip.
+                shutil.rmtree(out_dir, ignore_errors=True)
+                return {"skipped": True, "batch_id": batch_id}
+            version = head.version + 1
+            metrics["version"] = version
+            applied = dict(head.applied_batches)
+            applied[batch_id] = version
+            applied, hwm = self._prune_applied(applied, head.applied_hwm)
+            new_commit = Commit(
+                version=version,
+                schema=head.schema,
+                key_cols=head.key_cols,
+                bucket_cols=head.bucket_cols,
+                n_buckets=head.n_buckets,
+                bucket_function=head.bucket_function,
+                # files deliberately unresolved (not persisted by to_json
+                # anyway); readers resolve via the manifest chain
+                files={},
+                manifests=self._extend_manifests(head, version, delta),
+                applied_batches=applied,
+                applied_hwm=hwm,
+                changefeed_floor=head.changefeed_floor,
+                dropped_cols=list(head.dropped_cols),
+                ddl_hwm=head.ddl_hwm,
+                parent=head.version,
+                summary={"operation": "merge", **{k: metrics[k] for k in ("batch_id", "rows_in", "deletes", "upserts")}},
+            )
+            self._write_commit(new_commit)
         metrics["wall_ms"] = int((time.time() - t0) * 1000)
         self._append_metrics(metrics)
         return metrics

@@ -349,16 +349,36 @@ def lsh_bucket_topk(
     """ANN: equi-join query and corpus on hyperplane bucket, then exact cosine
     top-k within the bucket. Recall < 1 by construction; multi-probe = union
     over neighboring buckets (not needed for the test corpus). No dim probe:
-    the signature UDF reads the vector width off its first Arrow batch."""
+    the signature UDF reads the vector width off its first Arrow batch.
+
+    The QUERY side's signatures are computed driver-side: the query set is
+    by contract the broadcast-small side (it is collected for the broadcast
+    join anyway), so hashing it locally with the same plane matrix costs
+    the same flops while removing an entire pandas-UDF stage — at the bench
+    corpus that stage's python-worker dispatch was most of the gap to
+    brute force. The corpus side (the 10^9-row side at scale) keeps the
+    distributed Arrow-batch matmul."""
+    import numpy as np
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
     )
-    q = queries.select(
-        "query_id",
-        F.col("query_vec").alias("_qv"),
-        hyperplane_signature(F.col("query_vec"), n_planes).alias("bucket"),
+    qrows = queries.select("query_id", F.col("query_vec").alias("_qv")).collect()
+    spark = queries.sparkSession
+    if qrows:
+        x = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+        m = _plane_matrix(n_planes, x.shape[1])
+        buckets = (((x @ m) >= 0) @ (1 << np.arange(n_planes))).astype(int)
+    else:
+        buckets = []
+    q = spark.createDataFrame(
+        [
+            (r["query_id"], list(map(float, r["_qv"])), int(b))
+            for r, b in zip(qrows, buckets)
+        ],
+        "query_id long, _qv array<double>, bucket int",
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

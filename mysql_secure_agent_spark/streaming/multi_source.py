@@ -144,22 +144,31 @@ class MultiSourceIngest:
         state_path: str,
         max_files_per_trigger: int = 4,
         dedup_strategy: str = "max_by",
+        concurrent: bool = True,
     ) -> dict[str, Any]:
         """Streaming drain: one availableNow Structured Streaming query per
-        shard (its own checkpoint under ``checkpoint_root/<source>``), run
-        sequentially into the single-writer table. Batch ids are namespaced
+        shard (its own checkpoint under ``checkpoint_root/<source>``), all
+        started CONCURRENTLY into the shared table. Batch ids are namespaced
         ``<source>:<epoch>`` so each shard's replay window dedups
         independently; the GtidSet advances after every committed batch.
 
-        Sequential by design: the LakeTable commit log is single-writer (same
-        operational model as the reference's one Updater loop). On a real
-        cluster each query still fans its work across all executors, so
-        sequencing shards costs latency, not throughput.
+        Concurrency model (the Iceberg optimistic-commit shape): the heavy
+        merge work — scan, dedup exchange, bucket-aligned write — runs in
+        parallel across shard queries on the whole cluster; only the O(ms)
+        commit-pointer swing serializes, inside ``LakeTable._commit_lock``.
+        The GtidSet is guarded by its own driver-side mutex: per-shard
+        advances commute (disjoint source keys), so lock ordering is
+        commit-then-gtid with no cycle. ``concurrent=False`` restores the
+        r3 sequential drain (N shards = N× drain latency — kept only for
+        A/B and debugging).
         """
+        import threading
+
         gtid = GtidSet.load(state_path)
+        gtid_lock = threading.Lock()
         totals: dict[str, Any] = {"batches": 0, "sources": {}}
 
-        for source in sorted(self.feeds):
+        def _start(source: str):
             idx = self.source_index[source]
             floor = gtid.sources.get(source, -1)
 
@@ -176,13 +185,14 @@ class MultiSourceIngest:
                 m = self.table.merge(
                     spark, shifted, f"{_src}:{epoch_id}", dedup_strategy=dedup_strategy
                 )
-                if not m.get("skipped") and m.get("lsn_max") is not None:
-                    # un-namespace the committed ceiling back to shard-local
-                    gtid.advance(_src, int(m["lsn_max"]) - (_idx << LSN_BITS))
-                    gtid.save(state_path)
-                totals["batches"] += 1
+                with gtid_lock:
+                    if not m.get("skipped") and m.get("lsn_max") is not None:
+                        # un-namespace the committed ceiling to shard-local
+                        gtid.advance(_src, int(m["lsn_max"]) - (_idx << LSN_BITS))
+                        gtid.save(state_path)
+                    totals["batches"] += 1
 
-            q = (
+            return (
                 spark.readStream.schema(CHANGELOG_SCHEMA)
                 .option("maxFilesPerTrigger", max_files_per_trigger)
                 .parquet(os.path.join(self.feeds[source], "data"))
@@ -191,8 +201,17 @@ class MultiSourceIngest:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
-            totals["sources"][source] = gtid.sources.get(source, -1)
+
+        if concurrent:
+            queries = [(s, _start(s)) for s in sorted(self.feeds)]
+            for source, q in queries:
+                q.awaitTermination()
+                totals["sources"][source] = gtid.sources.get(source, -1)
+        else:
+            for source in sorted(self.feeds):
+                q = _start(source)
+                q.awaitTermination()
+                totals["sources"][source] = gtid.sources.get(source, -1)
 
         totals["gtid_executed"] = gtid.to_string()
         return totals

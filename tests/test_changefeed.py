@@ -76,7 +76,20 @@ def test_listing_level_file_pruning(spark, tbl3):
         os.path.basename(os.path.dirname(os.path.dirname(r["f"])))
         for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
     }
-    assert opened == {"v00000003"}  # only the batch-3 commit directory
+    # only batch-3's staging dir (dirs are batch-keyed, data/b<sha1>/...)
+    expected = {
+        e["path"].split(os.sep)[1]
+        for es in commit.files.values()
+        for e in es
+        if e["lsn_max"] > 14
+    }
+    surviving = {
+        e["path"].split(os.sep)[1]
+        for es in commit.files.values()
+        for e in es
+    }
+    assert len(expected) == 1 and len(surviving) == 3
+    assert opened == expected
 
 
 def test_compaction_floor_guards_cursors(spark, tbl3):

@@ -42,7 +42,12 @@ arrow_batch = os.environ.get("CDC_ARROW_BATCH", "10000")
 dedup = os.environ.get("CDC_DEDUP", "max_by_partial")
 
 os.environ["SPARK_DRIVER_MEMORY"] = mem
-os.makedirs(os.path.join(work, f"evlog{cores}"), exist_ok=True)
+# evlog dir is PER-PROCESS: event-log files restart stage IDs at 0, so a
+# shared dir lets an old file's TaskEnd events (same stage id) leak into
+# this run's per-window CPU sums — r3's p16 cpu list had samples exceeding
+# cores × wall, which is physically impossible and traced to exactly this.
+evdir = os.path.join(work, f"evlog{cores}", str(os.getpid()))
+os.makedirs(evdir, exist_ok=True)
 
 from mysql_secure_agent_spark.session import get_spark
 from mysql_secure_agent_spark.lake.table import LakeTable
@@ -79,7 +84,7 @@ spark = get_spark(
         "spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch,
         "spark.eventLog.enabled": "true",
         "spark.eventLog.compress": "false",
-        "spark.eventLog.dir": os.path.join(work, f"evlog{cores}"),
+        "spark.eventLog.dir": evdir,
         # The feed dir holds 64 log-segment files; above the default
         # parallelPartitionDiscovery threshold (32) Spark launches a
         # cluster-wide listing JOB per micro-batch plan — pure fixed
@@ -148,6 +153,29 @@ CdcPipeline(wtbl, wfeed, normalize=True, dedup_strategy=dedup).run_stream(spark,
 shutil.rmtree(wt, ignore_errors=True)
 shutil.rmtree(wc, ignore_errors=True)
 
+# The small pass above is NOT enough: back-to-back instrumented JVMs showed
+# the first full-size replay burning 1.9-2.6x the CPU of later replays
+# (606/487/280 and 782/.../~300 task-cpu-s on the same 64M feed) — C2
+# compilation of the parquet/shuffle/snappy/Arrow hot paths only completes
+# under full-size pressure. That inflation is SYSTEMATIC (always the first
+# replay), and it weighs 3x heavier on the short high-parallelism runs —
+# exactly the asymmetry that depressed the r3 median efficiency. One
+# UNTIMED full-size replay per JVM retires it; pre-registered as part of
+# the design (warmup by POSITION, never by sample value).
+if os.environ.get("CDC_WARM_FULL", "1") == "1":
+    fwt = os.path.join(work, f"fwarmtbl{cores}")
+    fwc = os.path.join(work, f"fwarmck{cores}")
+    shutil.rmtree(fwt, ignore_errors=True)
+    shutil.rmtree(fwc, ignore_errors=True)
+    ftbl = LakeTable.create(
+        fwt, TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=nb, overwrite=True
+    )
+    CdcPipeline(ftbl, feed, normalize=True, dedup_strategy=dedup).run_stream(
+        spark, fwc, max_files_per_trigger=mfpt
+    )
+    shutil.rmtree(fwt, ignore_errors=True)
+    shutil.rmtree(fwc, ignore_errors=True)
+
 walls = []
 windows = []
 for i in range(reps):
@@ -168,11 +196,11 @@ for i in range(reps):
     shutil.rmtree(ck_dir, ignore_errors=True)
 spark.stop()
 try:
-    cpu_s = _stage_cpu_sums(os.path.join(work, f"evlog{cores}"), windows)
+    cpu_s = _stage_cpu_sums(evdir, windows)
 except Exception:
     cpu_s = []
 if not os.environ.get("CDC_KEEP_EVLOG"):  # keep for per-stage diagnostics
-    shutil.rmtree(os.path.join(work, f"evlog{cores}"), ignore_errors=True)
+    shutil.rmtree(evdir, ignore_errors=True)
 out = {"cores": cores, "walls": walls, "best": min(walls)}
 if cpu_s:
     out["cpu_s"] = cpu_s

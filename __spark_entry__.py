@@ -216,6 +216,50 @@ def q_cdc_lake_changefeed(spark, sf_dir):
     )
 
 
+def q_cdc_changefeed_compose(spark, sf_dir):
+    """Changefeed → multi-source fan-in COMPOSITION (lake-to-lake): the
+    change feed is split by key ownership into two SOURCE tables (disjoint
+    user_id spaces — a two-shard fleet), each source's net changefeed is
+    read back out (``read_changes``: op U/D, table lsns), lsn-namespaced
+    with the multi-source ``global_lsn`` scheme, and both are merged into
+    one DOWNSTREAM table. Proves the changefeed's op/U/D contract composes
+    with the ingest path: the replica's final state must equal the direct
+    replay of the original feed (same oracle as cdc_apply_changelog,
+    minus the lsn column which the fan-in namespaces)."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.streaming.multi_source import global_lsn
+
+    cl = _events_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_cfc_")
+    dst = LakeTable.create(
+        os.path.join(base, "dst"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    for i in range(2):
+        src = LakeTable.create(
+            os.path.join(base, f"src{i}"), schema, ["user_id", "slot"], n_buckets=8
+        )
+        src.merge(spark, cl.filter(F.pmod("user_id", F.lit(2)) == i), f"shard-{i}")
+        feed = src.read_changes(spark, since_lsn=0).select(
+            "op", "user_id", "slot", "event_type", "value",
+            global_lsn(i, F.col("source_lsn")).alias("source_lsn"),
+        )
+        dst.merge(spark, feed, f"cf-{i}")
+    return dst.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_modify_column(spark, sf_dir):
     """T6 MODIFY_COLUMN mid-replay: first half of the feed merges under
     slot:int, then MODIFY COLUMN slot→bigint (existing data rewritten with a
@@ -338,9 +382,9 @@ def q_cdc_decode_types(spark, sf_dir):
 
     import pandas as pd
     from mysql_secure_agent_spark.functions.mysql_codecs import (
-        BIT, BLOB, DATE, DATETIME, DATETIME_V2, DOUBLE, ENUM, INT24,
-        NEWDECIMAL, SET, TIME, TIME_V2, TIMESTAMP, YEAR, ColumnSpec,
-        decode_typed_block, encode_typed_rows,
+        BIT, BLOB, DATE, DATETIME, DATETIME_V2, DOUBLE, ENUM, GEOMETRY,
+        INT24, NEWDECIMAL, SET, TIME, TIME_V2, TIMESTAMP, YEAR, ColumnSpec,
+        decode_typed_block, encode_typed_rows, wkb_linestring, wkb_point,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -386,6 +430,9 @@ def q_cdc_decode_types(spark, sf_dir):
         ColumnSpec("ltm", TIME),
         ColumnSpec("lts", TIMESTAMP),
         ColumnSpec("ldt", DATETIME),
+        # GEOMETRY: SRID+WKB → WKT — the reference THROWS here
+        # (RowParser.java:165-166); decoding exceeds it
+        ColumnSpec("geo", GEOMETRY, {"len_bytes": 4}),
     ]
     set_labels = ["a", "b", "c", "d"]
 
@@ -422,6 +469,21 @@ def q_cdc_decode_types(spark, sf_dir):
                         "yr": r["yr"],
                         "dbl": r["dbl"],
                         "bl": None if r["bl"] is None else r["bl"].encode(),
+                        "geo": (
+                            None
+                            if eid % 23 == 0
+                            else (0, wkb_point(eid % 100, eid % 50 - 25))
+                            if eid % 2 == 0
+                            else (
+                                0,
+                                wkb_linestring(
+                                    [
+                                        (eid % 100, eid % 50 - 25),
+                                        (eid % 100 + 1, eid % 50 - 24),
+                                    ]
+                                ),
+                            )
+                        ),
                     }
                 )
             payload = encode_typed_rows(codec_schema, rows)
@@ -442,7 +504,7 @@ def q_cdc_decode_types(spark, sf_dir):
     out_schema = (
         "event_id long, amt decimal(18,4), d date, dt timestamp, tm string, "
         "i24 long, en string, st string, bit20 long, yr long, dbl double, bl binary, "
-        "tneg string, ltm string, lts string, ldt string"
+        "tneg string, ltm string, lts string, ldt string, geo string"
     )
     # the test-side per-row ENCODER dominates this query's cost; the 2 MB
     # single-file scan gives mapInPandas one partition, serializing it onto
@@ -468,6 +530,7 @@ def q_cdc_decode_types(spark, sf_dir):
         "ltm",
         "lts",
         "ldt",
+        "geo",
     )
 
 
@@ -1097,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
+        "cdc_changefeed_compose": q_cdc_changefeed_compose,
         "cdc_modify_column": q_cdc_modify_column,
         "cdc_drop_column": q_cdc_drop_column,
         "cdc_last_image_wins": q_cdc_last_image_wins,
@@ -1404,6 +1468,15 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
 """,
+        # composition is state-preserving: source-shard split + changefeed
+        # export + namespaced fan-in must reproduce the direct replay
+        "cdc_changefeed_compose": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
         # the round-trip must land on the same final state as the direct
         # replay — same oracle SQL (string render/parse is value-exact)
         "cdc_jsonl_roundtrip": _CHANGELOG_CTE
@@ -1501,7 +1574,17 @@ SELECT event_id,
          CASE WHEN event_id % 5 = 0 THEN '-' ELSE '' END,
          event_id % 300, event_id % 59 + 1, (event_id // 3) % 60) AS ltm,
   CAST(make_timestamp(((event_id * 97) % 2000000000) * 1000000) AS VARCHAR) AS lts,
-  CAST(date_trunc('second', ts) AS VARCHAR) AS ldt
+  CAST(date_trunc('second', ts) AS VARCHAR) AS ldt,
+  CASE WHEN event_id % 23 = 0 THEN NULL
+       WHEN event_id % 2 = 0 THEN
+         'POINT(' || CAST(event_id % 100 AS VARCHAR) || ' '
+                  || CAST(event_id % 50 - 25 AS VARCHAR) || ')'
+       ELSE
+         'LINESTRING(' || CAST(event_id % 100 AS VARCHAR) || ' '
+                       || CAST(event_id % 50 - 25 AS VARCHAR) || ','
+                       || CAST(event_id % 100 + 1 AS VARCHAR) || ' '
+                       || CAST(event_id % 50 - 24 AS VARCHAR) || ')'
+  END AS geo
 FROM events
 """,
         "cdc_hash_anonymize": f"""

@@ -40,6 +40,10 @@ Wire layouts implemented (reference file:line):
   ENUM                            1/2-byte ordinal → label (:358-360)
   SET                             bitmask → label list (:362-364)
   BIT                             big-endian bit field (:175-178)
+  GEOMETRY                        blob-framed 4B LE SRID + OGC WKB → WKT
+                                  (EXCEEDS the reference, which throws
+                                  "Unsupported type", RowParser.java:165-166;
+                                  layout per MySQL docs 11.4.3)
 
 The scalar ENCODERS here exist for the synthetic feed / golden tests only —
 the analog of the reference's live-capture harness
@@ -65,7 +69,7 @@ TIME, DATETIME, YEAR, VARCHAR, BIT = 11, 12, 13, 15, 16
 TIMESTAMP_V2, DATETIME_V2, TIME_V2 = 17, 18, 19
 JSON, NEWDECIMAL, ENUM, SET = 245, 246, 247, 248
 TINY_BLOB, MEDIUM_BLOB, LONG_BLOB, BLOB = 249, 250, 251, 252
-VAR_STRING, STRING = 253, 254
+VAR_STRING, STRING, GEOMETRY = 253, 254, 255
 
 DIG_PER_DEC = 9
 DIG_TO_BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]  # mysql/strings/decimal.c
@@ -291,7 +295,56 @@ def _enc_value(spec: ColumnSpec, v: Any) -> bytes:
     if t == BIT:
         width = (m["bits"] + 7) // 8
         return int(v).to_bytes(width, "big")
+    if t == GEOMETRY:
+        # MySQL internal geometry = blob whose payload is 4B LE SRID + WKB
+        # (public format, MySQL docs 11.4.3 "Supported Spatial Data
+        # Formats"). The REFERENCE throws for this type
+        # (RowParser.java:165-166) — decoding it exceeds the reference.
+        srid, wkb = v if isinstance(v, tuple) else (0, v)
+        b = srid.to_bytes(4, "little") + wkb
+        nb = m.get("len_bytes", 4)
+        return len(b).to_bytes(nb, "little") + b
     raise ValueError(f"unsupported type code {t}")
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    """Little-endian WKB POINT (OGC SFA byte order 1, type 1)."""
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def wkb_linestring(points: list[tuple[float, float]]) -> bytes:
+    """Little-endian WKB LINESTRING (type 2)."""
+    return struct.pack("<BII", 1, 2, len(points)) + b"".join(
+        struct.pack("<dd", x, y) for x, y in points
+    )
+
+
+def _fmt_coord(x: float) -> str:
+    # %g with -0 normalized, matching integer-valued coordinate rendering
+    return f"{x + 0.0 if x != 0 else 0.0:g}"
+
+
+def wkb_to_wkt(payload: bytes) -> str:
+    """MySQL geometry payload (SRID + WKB) → WKT text, 'SRID=n;' prefixed
+    when the SRID is nonzero (EWKT). POINT and LINESTRING (both byte
+    orders); other WKB types raise — extend as needed."""
+    srid = int.from_bytes(payload[:4], "little")
+    b = payload[4:]
+    order = "<" if b[0] == 1 else ">"
+    (gtype,) = struct.unpack_from(f"{order}I", b, 1)
+    if gtype == 1:
+        x, y = struct.unpack_from(f"{order}dd", b, 5)
+        wkt = f"POINT({_fmt_coord(x)} {_fmt_coord(y)})"
+    elif gtype == 2:
+        (npts,) = struct.unpack_from(f"{order}I", b, 5)
+        pts = struct.unpack_from(f"{order}{2 * npts}d", b, 9)
+        wkt = "LINESTRING(" + ",".join(
+            f"{_fmt_coord(pts[2 * i])} {_fmt_coord(pts[2 * i + 1])}"
+            for i in range(npts)
+        ) + ")"
+    else:
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+    return f"SRID={srid};{wkt}" if srid else wkt
 
 
 def encode_typed_rows(schema: list[ColumnSpec], rows: list[dict]) -> pd.Series:
@@ -632,6 +685,19 @@ def decode_typed_block(schema: list[ColumnSpec], payload: pd.Series) -> pd.DataF
             width = (m["bits"] + 7) // 8
             v = _gather_be(buf, fixed(width), width)
             s = pd.Series(v, dtype="Int64").mask(nulls)
+        elif t == GEOMETRY:
+            # blob-framed SRID+WKB → WKT text. The WKT rendering is
+            # per-value string formatting (representation boundary, like
+            # Decimal above); the byte extraction stays columnar. The
+            # reference throws on this type (RowParser.java:165-166).
+            nb = m.get("len_bytes", 4)
+            lengths = np.where(live, _gather_le(buf, pos, nb), 0)
+            raw = _varlen_strings(buf, pos + nb, lengths, nulls, binary=True)
+            s = pd.Series(
+                [None if b is None else wkb_to_wkt(bytes(b)) for b in raw],
+                dtype=object,
+            )
+            off = off + np.where(live, nb + lengths, 0)
         else:
             raise ValueError(f"unsupported type code {t}")
         out[spec.name] = s.reset_index(drop=True)

@@ -488,3 +488,118 @@ def test_rollback_bad_batch(spark, tmp_path):
     fixed = bad.limit(0)
     m = table.merge(spark, fixed, "poison")
     assert not m.get("skipped")
+
+
+def test_late_segment_delivery_across_microbatches(spark, tmp_path):
+    """T9 replay-overlap contract (BucketOutput.java:127-138 analog): a log
+    SEGMENT delivered late — a later micro-batch carrying OLDER lsns, with
+    keys whose images straddle the out-of-order boundary — must not regress
+    the table. Resolution is by lsn (max-image per key across all deltas),
+    not by commit order, so the final state equals the in-order replay."""
+    import os
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = FeedSpec(n_events=3000, n_convs=40, seed=91)
+    cl, _ = generate_changelog(spec)
+    cl = cl.sort_values("source_lsn").reset_index(drop=True)
+
+    # files: [0,1000)+[1500,2000) first, the MISSING middle [1000,1500)
+    # second (the late segment), the tail third
+    parts = [
+        pd.concat([cl.iloc[0:1000], cl.iloc[1500:2000]]),
+        cl.iloc[1000:1500],
+        cl.iloc[2000:3000],
+    ]
+    # keys must genuinely straddle the boundary for the test to bite
+    k0 = set(map(tuple, parts[0][["conv_id", "turn_idx"]].values))
+    k1 = set(map(tuple, parts[1][["conv_id", "turn_idx"]].values))
+    assert k0 & k1, "fixture failed to straddle keys across the late segment"
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(os.path.join(feed, "data"))
+    schema = pa.schema(
+        [
+            ("op", pa.string()),
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("source_lsn", pa.int64()),
+            ("binlog_file", pa.string()),
+            ("binlog_pos", pa.int64()),
+        ]
+    )
+    now = _time.time()
+    for i, part in enumerate(parts):
+        p = os.path.join(feed, "data", f"part-{i:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False), p
+        )
+        os.utime(p, (now + i * 10, now + i * 10))  # mtime = delivery order
+
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed)
+    # mfpt=1 -> one micro-batch per file, in delivery (mtime) order
+    pipe.run_stream(spark, str(tmp_path / "ck"), max_files_per_trigger=1)
+    _assert_matches_oracle(spark, table, spec)
+
+
+def test_late_segment_with_crash_between_batches(spark, tmp_path):
+    """Same late-segment feed, but the stream dies after the first (out-of-
+    order-boundary) batch; the checkpoint restart must converge to the
+    in-order oracle — replay overlap + crash at the worst boundary."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = FeedSpec(n_events=2400, n_convs=30, seed=92)
+    cl, _ = generate_changelog(spec)
+    cl = cl.sort_values("source_lsn").reset_index(drop=True)
+    parts = [
+        pd.concat([cl.iloc[0:800], cl.iloc[1200:1600]]),
+        cl.iloc[800:1200],
+        cl.iloc[1600:2400],
+    ]
+    feed = str(tmp_path / "feed")
+    os.makedirs(os.path.join(feed, "data"))
+    schema = pa.schema(
+        [
+            ("op", pa.string()),
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("source_lsn", pa.int64()),
+            ("binlog_file", pa.string()),
+            ("binlog_pos", pa.int64()),
+        ]
+    )
+    now = _time.time()
+    for i, part in enumerate(parts):
+        p = os.path.join(feed, "data", f"part-{i:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False), p
+        )
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    table = _make_table(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(table, feed)
+    with pytest.raises(Exception, match="injected crash"):
+        pipe.run_stream(
+            spark, str(tmp_path / "ck"), max_files_per_trigger=1,
+            fail_after_batches=1,
+        )
+    # resume from the same checkpoint: remaining batches (incl. the late
+    # segment) replay; convergence to the lsn-order oracle
+    pipe.run_stream(spark, str(tmp_path / "ck"), max_files_per_trigger=1)
+    _assert_matches_oracle(spark, table, spec)

@@ -205,3 +205,59 @@ def test_time_v2_positive_wire_layout_unchanged():
     enc = encode_typed_rows(spec, [{"t": dt.time(12, 34, 56, 789012)}])
     word = (1 << 23) | (12 << 12) | (34 << 6) | 56
     assert enc[0] == bytes([0]) + word.to_bytes(3, "big") + (789012).to_bytes(3, "big")
+
+
+# ------------------------------------------------------------- GEOMETRY/WKB
+def test_geometry_golden_vector_mysql_docs():
+    """Public golden: SELECT HEX(ST_GeomFromText('POINT(1 -1)')) in MySQL is
+    00000000 01 01000000 000000000000F03F 000000000000F0BF (docs 11.4.3).
+    The reference throws on this type (RowParser.java:165-166) — decoding
+    it is engine-beyond-reference surface."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        GEOMETRY,
+        wkb_point,
+        wkb_to_wkt,
+    )
+
+    payload = bytes.fromhex(
+        "00000000" "01" "01000000" "000000000000F03F" "000000000000F0BF"
+    )
+    assert payload[4:] == wkb_point(1.0, -1.0)
+    assert wkb_to_wkt(payload) == "POINT(1 -1)"
+
+
+def test_geometry_roundtrip_point_linestring_srid_and_nulls():
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        GEOMETRY,
+        ColumnSpec,
+        decode_typed_block,
+        encode_typed_rows,
+        wkb_linestring,
+        wkb_point,
+        wkb_to_wkt,
+    )
+
+    spec = [ColumnSpec("g", GEOMETRY, {"len_bytes": 4})]
+    rows = [
+        {"g": (0, wkb_point(3.5, -7))},
+        {"g": (4326, wkb_point(0, 0))},
+        {"g": (0, wkb_linestring([(0, 0), (1, 1), (2, -3)]))},
+        {"g": None},
+    ]
+    out = decode_typed_block(spec, encode_typed_rows(spec, rows))
+    assert out["g"][0] == "POINT(3.5 -7)"
+    assert out["g"][1] == "SRID=4326;POINT(0 0)"
+    assert out["g"][2] == "LINESTRING(0 0,1 1,2 -3)"
+    assert out["g"][3] is None
+
+
+def test_geometry_big_endian_wkb():
+    """Byte-order flag 0 = big-endian WKB decodes identically."""
+    import struct
+
+    from mysql_secure_agent_spark.functions.mysql_codecs import wkb_to_wkt
+
+    be = struct.pack(">BIdd", 0, 1, 2.0, 4.0)
+    # struct '>B' of 0 is the first byte; wkb_to_wkt reads payload[4] as flag
+    payload = (0).to_bytes(4, "little") + bytes([0]) + be[1:]
+    assert wkb_to_wkt(payload) == "POINT(2 4)"

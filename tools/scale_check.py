@@ -72,7 +72,10 @@ def main() -> None:
         if not os.path.exists(os.path.join(feed, "data", "_SUCCESS")):
             write_feed_spark(
                 spark, feed, n_events=n_events,
-                n_convs=max(200, n_events // 50), n_files=16,
+                # files sized ~10M events so a 640M-event rehearsal still
+                # streams in bounded micro-batches at mfpt=64
+                n_convs=max(200, n_events // 50),
+                n_files=max(16, n_events // 10_000_000),
                 zipf_s=1.2, seed=42, strict_ops=False,
             )
 
@@ -90,7 +93,17 @@ def main() -> None:
         pipe.run_stream(spark, ck_dir, max_files_per_trigger=64)
         wall = time.time() - t0
         n, h = content_hash(table.read(spark))
-        out[strategy] = {"rows": n, "hash": h, "wall_s": round(wall, 2)}
+        head = table.commit_at(resolve=False)
+        commit_path = os.path.join(
+            tbl_dir, "_commits", f"v{head.version:08d}.json"
+        )
+        out[strategy] = {
+            "rows": n,
+            "hash": h,
+            "wall_s": round(wall, 2),
+            "commit_json_bytes": os.path.getsize(commit_path),
+            "n_manifests": len(head.manifests),
+        }
         shutil.rmtree(tbl_dir, ignore_errors=True)
         shutil.rmtree(ck_dir, ignore_errors=True)
 
@@ -98,7 +111,34 @@ def main() -> None:
         out["window"]["rows"] == out["max_by_partial"]["rows"]
         and out["window"]["hash"] == out["max_by_partial"]["hash"]
     )
-    print(json.dumps({"feed": feed, "strategies": out, "state_match": match}))
+
+    # Driver-memory + commit-metadata footprint: the merge path must stay
+    # O(batch) in driver memory and O(MAX_MANIFESTS) in commit size no
+    # matter the event count — compare these numbers across 64M/640M runs.
+    import resource
+
+    py_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    try:
+        jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        with open(f"/proc/{jvm_pid}/status") as f:
+            jvm_hwm_mb = next(
+                int(line.split()[1]) // 1024
+                for line in f
+                if line.startswith("VmHWM")
+            )
+    except Exception:
+        jvm_hwm_mb = None
+    print(
+        json.dumps(
+            {
+                "feed": feed,
+                "strategies": out,
+                "state_match": match,
+                "driver_python_peak_rss_mb": py_rss_mb,
+                "driver_jvm_peak_rss_mb": jvm_hwm_mb,
+            }
+        )
+    )
     spark.stop()
     sys.exit(0 if match else 1)
 

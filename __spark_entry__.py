@@ -144,6 +144,121 @@ def q_cdc_merge_into_lake(spark, sf_dir):
     )
 
 
+def q_cdc_minimal_image(spark, sf_dir):
+    """binlog_row_image=MINIMAL replay: updates carry only a rotating subset
+    of columns (plus the PK) with a `_present` mask, deletes carry the key
+    only; the feed is applied in TWO in-order micro-batches through
+    LakeTable.merge_partial, so unchanged columns must survive via the fold's
+    last-present-wins within a batch AND the base-image fallback across
+    batches. Oracle: per key, each column independently takes its value from
+    the last event that carried it, voided by any later delete.
+
+    Beyond-reference surface: the reference assumes FULL images and replaces
+    whole rows (Updater.java:148-186); MINIMAL upstreams are common because
+    they shrink the binlog, and naive replay nulls unchanged columns.
+    """
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    is_i, is_u = F.col("op") == "I", F.col("op") == "U"
+    m3 = F.col("source_lsn") % 3
+    has_et = is_i | (is_u & (m3 == 0))
+    has_val = is_i | (is_u & m3.isin(0, 1))
+    has_ts = is_i | (is_u & (m3 == 2))
+    partial = cl.select(
+        "op",
+        "user_id",
+        "slot",
+        F.when(has_et, F.col("event_type")).alias("event_type"),
+        F.when(has_val, F.col("value")).alias("value"),
+        F.when(has_ts, F.col("ts")).alias("ts"),
+        "source_lsn",
+        F.array_compact(
+            F.array(
+                F.when(has_et, F.lit("event_type")),
+                F.when(has_val, F.lit("value")),
+                F.when(has_ts, F.lit("ts")),
+            )
+        ).alias("_present"),
+    )
+    thr = partial.agg(F.max("source_lsn")).first()[0] // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_minimal_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge_partial(spark, partial.filter(F.col("source_lsn") <= thr), "min-b0")
+    tbl.merge_partial(spark, partial.filter(F.col("source_lsn") > thr), "min-b1")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros(F.col("ts")).alias("last_ts_us"),
+    )
+
+
+def q_agg_incremental_view(spark, sf_dir):
+    """Incremental aggregate-view maintenance: a per-user rollup table is
+    kept in sync with the base table via dirty-group partial recompute over
+    the changefeed — two ingest batches, two O(delta) refreshes, never a
+    full re-aggregation. Oracle: the same rollup computed directly over the
+    full-replay final state (so any stale, missing, or ghost group in the
+    incrementally-maintained table hash-mismatches)."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.operators.incremental_agg import refresh_aggregate
+
+    cl = _events_changelog(spark, sf_dir)
+    hi = cl.agg(F.max("source_lsn")).first()[0]
+    thr = hi // 2
+    root = tempfile.mkdtemp(prefix="lake_ivm_")
+    base_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    agg_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_slots", T.LongType(), True),
+            T.StructField("sum_cents", T.LongType(), True),
+            T.StructField("n_event_types", T.LongType(), True),
+        ]
+    )
+    base = LakeTable.create(
+        os.path.join(root, "base"), base_schema, ["user_id", "slot"], n_buckets=8
+    )
+    agg = LakeTable.create(
+        os.path.join(root, "agg"), agg_schema, ["user_id"], n_buckets=8
+    )
+    agg_exprs = [
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    ]
+    for i, (lo, hi_b) in enumerate([(0, thr), (thr, hi)]):
+        base.merge(
+            spark,
+            cl.filter(
+                (F.col("source_lsn") > lo) & (F.col("source_lsn") <= hi_b)
+            ),
+            f"ivm-b{i}",
+        )
+        refresh_aggregate(
+            spark, base, agg, ["user_id"], agg_exprs, lo, hi_b, f"ivm-r{i}"
+        )
+    return agg.read(spark)
+
+
 def q_cdc_jsonl_roundtrip(spark, sf_dir):
     """K1 round-trip (reference-format migration, end to end): the change
     feed is EXPORTED through the JSONL sink in the reference's exact output
@@ -1158,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
+        "cdc_minimal_image": q_cdc_minimal_image,
+        "agg_incremental_view": q_agg_incremental_view,
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
         "cdc_changefeed_compose": q_cdc_changefeed_compose,
@@ -1467,6 +1584,54 @@ SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
+""",
+        # MINIMAL row images: each column independently takes its value from
+        # the last event that CARRIED it (presence rule mirrored from the
+        # Spark feed: I=all, U rotates on lsn%3, D=none), voided by any later
+        # delete; rows whose last op is D are gone. This brute-force per-key
+        # formulation is what the engine's two-micro-batch fold + base
+        # fallback must reproduce.
+        "cdc_minimal_image": _CHANGELOG_CTE
+        + """
+, p AS (
+  SELECT *,
+    (op = 'I' OR (op = 'U' AND source_lsn % 3 = 0)) AS has_et,
+    (op = 'I' OR (op = 'U' AND source_lsn % 3 IN (0, 1))) AS has_val,
+    (op = 'I' OR (op = 'U' AND source_lsn % 3 = 2)) AS has_ts
+  FROM cl
+), agg AS (
+  SELECT user_id, slot,
+    arg_max(op, source_lsn) AS last_op,
+    coalesce(max(CASE WHEN op = 'D' THEN source_lsn END), -1) AS del_lsn,
+    max(CASE WHEN has_et THEN source_lsn END) AS et_lsn,
+    arg_max(event_type, source_lsn) FILTER (WHERE has_et) AS et_v,
+    max(CASE WHEN has_val THEN source_lsn END) AS val_lsn,
+    arg_max(value, source_lsn) FILTER (WHERE has_val) AS val_v,
+    max(CASE WHEN has_ts THEN source_lsn END) AS ts_lsn,
+    arg_max(ts, source_lsn) FILTER (WHERE has_ts) AS ts_v
+  FROM p GROUP BY user_id, slot
+)
+SELECT user_id, slot,
+  CASE WHEN et_lsn > del_lsn THEN et_v END AS last_event_type,
+  CASE WHEN val_lsn > del_lsn THEN val_v END AS last_value,
+  CASE WHEN ts_lsn > del_lsn THEN CAST(epoch_us(ts_v) AS BIGINT) END AS last_ts_us
+FROM agg WHERE last_op <> 'D'
+""",
+        # the incrementally-maintained rollup must equal the same rollup
+        # computed directly over the full-replay final state
+        "agg_incremental_view": _CHANGELOG_CTE
+        + """
+, fs AS (
+  SELECT user_id, slot, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                     ORDER BY source_lsn DESC) AS rn FROM cl)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT user_id,
+       count(*) AS n_slots,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(DISTINCT event_type) AS n_event_types
+FROM fs GROUP BY user_id
 """,
         # composition is state-preserving: source-shard split + changefeed
         # export + namespaced fan-in must reproduce the direct replay

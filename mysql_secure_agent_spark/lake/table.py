@@ -787,6 +787,80 @@ class LakeTable:
         self._append_metrics(metrics)
         return metrics
 
+    def merge_partial(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: str | int,
+        presence_col: str = "_present",
+        op_col: str = "op",
+        dedup_strategy: str = "window",
+    ) -> dict[str, Any]:
+        """MERGE a micro-batch of PARTIAL row images (binlog_row_image=
+        MINIMAL): each changelog row carries only the columns its image
+        contained plus a ``presence_col`` array naming them
+        (``packets_to_changelog(emit_presence=True)``). Absent columns keep
+        their pre-batch table value instead of being nulled — the semantics
+        the reference never needed (it assumes FULL images and replaces
+        whole rows, ``Updater.java:148-186``) but every MINIMAL-configured
+        upstream requires.
+
+        Physical shape, per batch of K touched keys on a table of B buckets:
+        one partial-agg groupBy folds the batch to K net events (map-side
+        combine, no window — hot keys collapse in the scan tasks); the
+        distinct touched bucket ids (≤ n_buckets ints) are collected to
+        prune the base read to only those buckets' files at the LISTING
+        level; one bucket-local join fills never-set columns from the base
+        image; then the standard ``merge`` path appends the delta. Base
+        scan cost is O(touched buckets), never O(table).
+        """
+        batch_id = str(batch_id)
+        commit = self.commit_at(resolve=False)
+        if commit.is_applied(batch_id):
+            return {"skipped": True, "batch_id": batch_id}
+
+        from ..operators.partial_image import fold_partial_images, resolve_against_base
+
+        value_cols = [c for c, _ in commit.schema if c not in commit.key_cols]
+        types = dict(commit.schema)
+        # project to the full table schema: columns the batch never mentions
+        # enter as NULL with an empty presence claim → base fallback.
+        projected = batch_df.select(
+            F.col(op_col).alias("op"),
+            *[
+                (
+                    F.col(c) if c in batch_df.columns else F.lit(None)
+                ).cast(dt).alias(c)
+                for c, dt in commit.schema
+            ],
+            F.col("source_lsn").cast("long").alias("source_lsn"),
+            F.col(presence_col).alias(presence_col),
+        )
+        folded = fold_partial_images(
+            projected, commit.key_cols, value_cols, presence_col=presence_col
+        ).persist()
+        try:
+            # touched buckets: bounded by n_buckets, so this collect is O(B)
+            # ints — the price of listing-level base pruning (the same trade
+            # as lookup()); the fold itself is cached, not recomputed.
+            touched = [
+                r[0]
+                for r in folded.select(
+                    self._bucket_expr(commit).alias("_b")
+                ).distinct().collect()
+            ]
+            base = self.read(spark, buckets=touched)
+            full = resolve_against_base(folded, base, commit.key_cols, value_cols)
+            metrics = self.merge(
+                spark, full, batch_id, dedup_strategy=dedup_strategy, op_col="op"
+            )
+        finally:
+            folded.unpersist()
+        if not metrics.get("skipped"):
+            metrics["partial_image"] = True
+            metrics["buckets_pruned_read"] = sorted(int(b) for b in touched)
+        return metrics
+
     # ------------------------------------------------------------ compaction
     def delta_file_counts(self) -> dict[int, int]:
         c = self.commit_at()

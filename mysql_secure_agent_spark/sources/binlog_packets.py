@@ -88,6 +88,10 @@ class RowsEvent:
     included_columns: list[int]
     new_rows: list[list] = field(default_factory=list)
     old_rows: list[list] = field(default_factory=list)
+    # UPDATE carries a SEPARATE included-columns bitmap for the before-image
+    # (binlog_row_image=MINIMAL sends only the PK there); None for I/D and
+    # for FULL-image streams where both bitmaps coincide.
+    included_columns_old: list[int] | None = None
 
 
 @dataclass
@@ -465,11 +469,24 @@ def parse_event_body(
         type_code
     ]
     if type_code == EXT_UPDATE_ROWS:
-        r.bitset(n_cols)  # old-image included columns (skipped, as reference)
+        # Two bitmaps: before-image columns, then after-image columns. The
+        # reference assumes binlog_row_image=FULL and reuses one bitmap for
+        # both (RowsParser skips the first); under MINIMAL they differ — the
+        # before-image carries only the PK, the after-image only changed
+        # columns — so each row image must be parsed with ITS OWN bitmap or
+        # the byte cursor desyncs.
+        included_old = r.bitset(n_cols)
         included = r.bitset(n_cols)
-        ev = RowsEvent(tid, tmap.schema_name, tmap.table_name, kind, included)
+        ev = RowsEvent(
+            tid,
+            tmap.schema_name,
+            tmap.table_name,
+            kind,
+            included,
+            included_columns_old=included_old,
+        )
         while r.available() > 0:
-            ev.old_rows.append(_parse_row(r, tmap, included))
+            ev.old_rows.append(_parse_row(r, tmap, included_old))
             ev.new_rows.append(_parse_row(r, tmap, included))
         return ev
     included = r.bitset(n_cols)
@@ -485,6 +502,7 @@ def packets_to_changelog(
     table_name: str,
     column_names: list[str],
     checksum_length: int = 0,
+    emit_presence: bool = False,
 ):
     """Replay a (type_code, payload) packet stream into changelog rows for
     one table — the Updater event loop's emission semantics
@@ -495,8 +513,13 @@ def packets_to_changelog(
     monotone source_lsn in packet order.
 
     Returns a pandas DataFrame: op, *column_names, source_lsn — directly
-    mergeable into a LakeTable. Sequential per stream (wire parity layer);
-    the engine's bulk path is the columnar payload feed.
+    mergeable into a LakeTable. With ``emit_presence=True`` an extra
+    ``_present`` column lists, per row, which column NAMES the row image
+    actually carried (binlog_row_image=MINIMAL sends only changed columns +
+    PK) — a column that is absent is distinct from present-but-NULL, and
+    downstream partial-image folding (``operators.partial_image``) needs the
+    mask to avoid nulling unchanged columns on merge. Sequential per stream
+    (wire parity layer); the engine's bulk path is the columnar payload feed.
     """
     import pandas as pd
 
@@ -518,10 +541,18 @@ def packets_to_changelog(
         if (ev.schema_name, ev.table_name) != (schema_name, table_name):
             continue
         op = {"insert": "I", "update": "U", "delete": "D"}[ev.kind]
+        present = [
+            column_names[c] for c in ev.included_columns if c < len(column_names)
+        ]
         for row in ev.new_rows:
             rec = {"op": op, "source_lsn": lsn}
             for i, col in enumerate(ev.included_columns):
                 if col < len(column_names):
                     rec[column_names[col]] = row[i]
+            if emit_presence:
+                rec["_present"] = list(present)
             out.append(rec)
-    return pd.DataFrame(out, columns=["op", *column_names, "source_lsn"])
+    cols = ["op", *column_names, "source_lsn"]
+    if emit_presence:
+        cols.append("_present")
+    return pd.DataFrame(out, columns=cols)

@@ -41,6 +41,7 @@ from mysql_secure_agent_spark.operators.text_dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
 from mysql_secure_agent_spark.functions.text_analysis import (
     bpe_ish_token_count,
@@ -848,6 +849,15 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), bits=32)
 
 
+def q_dedup_simhash_near(spark, sf_dir):
+    """Hamming-≤3 near-dup pairs via band rotation (4 bands × 8 bits over the
+    32-bit simhash — pigeonhole makes recall complete, so the banded plan
+    must equal the oracle's brute-force all-pairs scan exactly)."""
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, k=3, n_bands=4
+    )
+
+
 # ============================================== training-data: similarity
 def _queries_df(corpus):
     return corpus.filter(F.col("vec_id") < 3).select(
@@ -1313,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1928,6 +1939,15 @@ FROM documents GROUP BY md5(text)
         "dedup_minhash_sig": _minhash_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
+        # band rotation has COMPLETE recall at k+1 bands, so the banded
+        # Spark plan must reproduce the brute-force all-pairs oracle
+        "dedup_simhash_near": f"""
+WITH sig AS ({_simhash_sql()})
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
         "ann_cosine_topk": ann_sql,
         # full-probe IVF is provably identical to brute force — same oracle
         "ann_ivf_topk": ann_sql,

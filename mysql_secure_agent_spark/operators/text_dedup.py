@@ -17,8 +17,13 @@ aware) — no Python in the hot path:
                    Shuffle cost O(n·B) rows, independent of pair count —
                    the 100 TB-scale path.
 * simhash        — 32-bit simhash over token hashes; exact-duplicate buckets
-                   at hamming distance 0 via signature equality (near-dup via
-                   band rotation would extend the same plan).
+                   at hamming distance 0 via signature equality, and near-dup
+                   pairs at hamming ≤ k via band rotation
+                   (``simhash_near_dup_pairs``): split the fingerprint into
+                   k+1 bands — pigeonhole guarantees any pair within distance
+                   k agrees exactly on some band — bucket-join on (band,
+                   band bits), then verify with bit_count(xor). O(n·(k+1))
+                   shuffle, complete recall, no all-pairs.
 
 Everything uses ``md5``-derived hashes (not ``xxhash64``) so results are
 bit-reproducible across engines — the DuckDB oracle in ``__spark_entry__``
@@ -387,3 +392,76 @@ def simhash_buckets(df: DataFrame, text_col="text", id_col="doc_id") -> DataFram
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    bits: int = 32,
+    k: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """All pairs within hamming distance ≤ ``k`` of each other's simhash,
+    via band rotation (the public Manku/Jain/Das Sarma WWW'07 construction):
+    split the ``bits``-bit fingerprint into ``n_bands`` (default k+1)
+    contiguous bands; by pigeonhole, a pair differing in ≤ k bits agrees
+    EXACTLY on at least one band when there are k+1 bands, so candidates =
+    same (band, band-bits) bucket and recall is complete, not probabilistic.
+    Candidates are verified with ``bit_count(xor)`` — pure codegen.
+
+    Scale shape: one explode to n·B band rows, one bucket equi-join (shuffle
+    keyed on band bits — the same O(n·B) plan as MinHash-LSH banding), a
+    distinct to collapse pairs colliding in several bands, then the cheap
+    verify filter. No all-pairs product anywhere; bucket sizes are bounded
+    by fingerprint collisions per band, and widening ``bits`` (or raising
+    ``n_bands`` beyond k+1) shrinks buckets at the cost of more band rows.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_bands = n_bands or (k + 1)
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash(df, text_col, id_col, bits)
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= k)

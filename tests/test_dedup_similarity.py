@@ -19,7 +19,9 @@ from mysql_secure_agent_spark.operators.text_dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash,
     simhash_buckets,
+    simhash_near_dup_pairs,
 )
 
 DOCS = [
@@ -62,6 +64,40 @@ def test_minhash_lsh_candidates(spark, docs):
 def test_simhash_buckets(spark, docs):
     out = simhash_buckets(docs).collect()
     assert len(out) == 1 and out[0]["keep_id"] == 0 and out[0]["n_docs"] == 2
+
+
+def test_simhash_near_dup_pairs_complete_recall(spark):
+    """Band rotation at k+1 bands is pigeonhole-COMPLETE: the banded plan
+    must return exactly the brute-force hamming-≤k pair set (40-doc corpus
+    with exact dups, 1-2-token edits, and unrelated noise)."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        if i % 4 == 1:
+            words[i % 10] = f"mut{i}"          # small edit → near dup
+        elif i % 4 == 2:
+            words[i % 10], words[(i + 3) % 10] = f"x{i}", f"y{i}"
+        elif i % 4 == 3:
+            words = [f"noise{i}w{j}" for j in range(10)]  # unrelated
+        rows.append((i, " ".join(words)))
+    docs40 = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 3
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs40, k=k, n_bands=k + 1).collect()
+    }
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs40).collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin(sigs[i] ^ sigs[j]).count("1")
+                if h <= k:
+                    want[(i, j)] = h
+    assert got == want
+    assert any(h > 0 for h in want.values())  # near (not just exact) pairs hit
 
 
 def test_lsh_verified_two_phase(spark, docs):

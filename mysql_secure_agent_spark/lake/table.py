@@ -795,6 +795,7 @@ class LakeTable:
         presence_col: str = "_present",
         op_col: str = "op",
         dedup_strategy: str = "window",
+        post_dedup_transform=None,
     ) -> dict[str, Any]:
         """MERGE a micro-batch of PARTIAL row images (binlog_row_image=
         MINIMAL): each changelog row carries only the columns its image
@@ -852,7 +853,12 @@ class LakeTable:
             base = self.read(spark, buckets=touched)
             full = resolve_against_base(folded, base, commit.key_cols, value_cols)
             metrics = self.merge(
-                spark, full, batch_id, dedup_strategy=dedup_strategy, op_col="op"
+                spark,
+                full,
+                batch_id,
+                dedup_strategy=dedup_strategy,
+                op_col="op",
+                post_dedup_transform=post_dedup_transform,
             )
         finally:
             folded.unpersist()

@@ -54,7 +54,23 @@ class CdcPipeline:
         config=None,  # Config (config.py): column selection + anonymization
         schema_name: str = "main",
         table_name: str = "transcripts",
+        # "full" (reference semantics: every image carries every column) or
+        # "minimal" (binlog_row_image=MINIMAL: images carry only changed
+        # columns + PK, with a `_present` name array per row; merges route
+        # through LakeTable.merge_partial so absent columns keep their
+        # pre-batch value). MINIMAL feeds must arrive in lsn order across
+        # micro-batches — partial images are patches and do not commute.
+        row_image: str = "full",
     ):
+        if row_image not in ("full", "minimal"):
+            raise ValueError(f"row_image must be 'full' or 'minimal', got {row_image!r}")
+        if row_image == "minimal" and (raw or raw_schema is not None):
+            raise ValueError(
+                "row_image='minimal' expects a decoded feed with a _present "
+                "mask; decode raw binary images first "
+                "(packets_to_changelog(emit_presence=True))"
+            )
+        self.row_image = row_image
         self.table = table
         self.feed_dir = feed_dir
         self.normalize = normalize
@@ -156,11 +172,19 @@ class CdcPipeline:
         if self._table_cfg is None:
             return df
         keep = set(self.table.commit_at(resolve=False).key_cols) | {
-            "op", "source_lsn", "binlog_file", "binlog_pos",
+            "op", "source_lsn", "binlog_file", "binlog_pos", "_present",
         }
         payload = [c for c in df.columns if c not in keep]
         selected = set(self._table_cfg.selected_columns(payload))
-        return df.drop(*[c for c in payload if c not in selected])
+        dropped = [c for c in payload if c not in selected]
+        out = df.drop(*dropped)
+        if dropped and "_present" in out.columns:
+            # a deselected column must also leave the presence mask, or a
+            # MINIMAL merge would read its (now always-NULL) batch value as
+            # an explicit NULL overwrite instead of "absent → keep base".
+            for c in dropped:
+                out = out.withColumn("_present", F.array_remove("_present", c))
+        return out
 
     def _post_dedup(self):
         """Normalization + anonymization run AFTER dedup: one row per key
@@ -211,43 +235,36 @@ class CdcPipeline:
         else:
             splits = []
 
-        if not splits:
-            results.append(
-                self.table.merge(
+        def do_merge(part: DataFrame, bid: str) -> dict[str, Any]:
+            if self.row_image == "minimal":
+                return self.table.merge_partial(
                     spark,
-                    prepared,
-                    str(batch_id),
+                    part,
+                    bid,
                     dedup_strategy=self.dedup_strategy,
                     post_dedup_transform=post,
                 )
+            return self.table.merge(
+                spark,
+                part,
+                bid,
+                dedup_strategy=self.dedup_strategy,
+                post_dedup_transform=post,
             )
+
+        if not splits:
+            results.append(do_merge(prepared, str(batch_id)))
         else:
             lo = None
             for i, d in enumerate(splits):
                 part = prepared.filter(F.col("source_lsn") <= F.lit(d["source_lsn"]))
                 if lo is not None:
                     part = part.filter(F.col("source_lsn") > F.lit(lo))
-                results.append(
-                    self.table.merge(
-                        spark,
-                        part,
-                        f"{batch_id}.{i}",
-                        dedup_strategy=self.dedup_strategy,
-                        post_dedup_transform=post,
-                    )
-                )
+                results.append(do_merge(part, f"{batch_id}.{i}"))
                 self._apply_ddl(spark, d)
                 lo = d["source_lsn"]
             tail = prepared.filter(F.col("source_lsn") > F.lit(lo))
-            results.append(
-                self.table.merge(
-                    spark,
-                    tail,
-                    f"{batch_id}.tail",
-                    dedup_strategy=self.dedup_strategy,
-                    post_dedup_transform=post,
-                )
-            )
+            results.append(do_merge(tail, f"{batch_id}.tail"))
         self._merges += 1
         if self.compact_every and self._merges % self.compact_every == 0:
             self.table.compact(spark, min_deltas=4)
@@ -255,12 +272,25 @@ class CdcPipeline:
             self.table.compact_by_policy(spark, **self.compact_policy)
         return results
 
+    def _feed_schema(self):
+        import pyspark.sql.types as T
+
+        if self.raw:
+            return RAW_CHANGELOG_SCHEMA
+        if self.row_image == "minimal":
+            return T.StructType(
+                list(CHANGELOG_SCHEMA.fields)
+                + [T.StructField("_present", T.ArrayType(T.StringType()), True)]
+            )
+        return CHANGELOG_SCHEMA
+
     # -------------------------------------------------------------- backfill
     def run_backfill(self, spark: SparkSession, batch_id: str = "backfill") -> list[dict]:
         """Initial-snapshot analog (``ImportOnly``/T7): apply the whole feed
         as one batch. Idempotent under the same batch_id."""
-        schema = RAW_CHANGELOG_SCHEMA if self.raw else CHANGELOG_SCHEMA
-        df = spark.read.schema(schema).parquet(os.path.join(self.feed_dir, "data"))
+        df = spark.read.schema(self._feed_schema()).parquet(
+            os.path.join(self.feed_dir, "data")
+        )
         return self.apply_batch(spark, df, batch_id)
 
     # ---------------------------------------------------------------- stream
@@ -284,7 +314,7 @@ class CdcPipeline:
             seen["n"] += 1
 
         stream = (
-            spark.readStream.schema(RAW_CHANGELOG_SCHEMA if self.raw else CHANGELOG_SCHEMA)
+            spark.readStream.schema(self._feed_schema())
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(os.path.join(self.feed_dir, "data"))
         )
@@ -361,7 +391,7 @@ class CdcPipeline:
                 state["busy"] = False
 
         stream = (
-            spark.readStream.schema(RAW_CHANGELOG_SCHEMA if self.raw else CHANGELOG_SCHEMA)
+            spark.readStream.schema(self._feed_schema())
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(os.path.join(self.feed_dir, "data"))
         )

@@ -353,6 +353,101 @@ def test_merge_partial_idempotent_replay(spark, tmp_path):
     assert sorted(map(tuple, tbl.read(spark).collect())) == before
 
 
+def test_pipeline_minimal_stream_equals_sequential_apply(spark, tmp_path):
+    """End-to-end streaming MINIMAL mode: a transcript-shaped partial feed
+    drained through CdcPipeline(row_image='minimal') in 3 in-order
+    micro-batches lands the same state as a sequential per-event patch
+    apply."""
+    import os
+    import pandas as pd
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+    from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
+
+    cols = ["role", "text", "tool"]
+    events = []
+    for lsn in range(1, 241):
+        key = (f"c{(lsn * 5) % 11}", lsn % 4)
+        m = lsn % 8
+        if m == 0:
+            events.append(("D", key, {}, []))
+        elif m in (1, 2):
+            events.append(
+                ("I", key, {"role": "user", "text": f"t{lsn}", "tool": None},
+                 ["role", "text", "tool"])
+            )
+        elif m in (3, 4):
+            events.append(("U", key, {"text": f"edit{lsn}"}, ["text"]))
+        elif m == 5:
+            events.append(("U", key, {"tool": f"bash{lsn}"}, ["tool"]))
+        else:
+            events.append(("U", key, {"tool": None}, ["tool"]))  # explicit NULL
+
+    feed_dir = tmp_path / "feed"
+    (feed_dir / "data").mkdir(parents=True)
+    per_file = 80
+    for fi in range(3):
+        chunk = events[fi * per_file : (fi + 1) * per_file]
+        recs = []
+        for i, (op, (cid, tix), patch, present) in enumerate(chunk):
+            recs.append(
+                {
+                    "op": op,
+                    "conv_id": cid,
+                    "turn_idx": tix,
+                    "role": patch.get("role"),
+                    "text": patch.get("text"),
+                    "tool": patch.get("tool"),
+                    "ts": None,
+                    "source_lsn": fi * per_file + i + 1,
+                    "binlog_file": "bin.000001",
+                    "binlog_pos": fi * per_file + i + 1,
+                    "_present": list(present),
+                }
+            )
+        p = str(feed_dir / "data" / f"part-{fi:03d}.parquet")
+        pdf = pd.DataFrame(recs).astype({"turn_idx": "int32"})
+        pdf["ts"] = pd.Series(pd.NaT, index=pdf.index, dtype="datetime64[us]")
+        pdf.to_parquet(p)
+        os.utime(p, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    tbl = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=4
+    )
+    pipe = CdcPipeline(
+        tbl, str(feed_dir), normalize=False, row_image="minimal"
+    )
+    pipe.run_stream(spark, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols)
+        for r in tbl.read(spark).collect()
+    }
+    state: dict[tuple, dict] = {}
+    for op, key, patch, present in events:
+        if op == "D":
+            state.pop(key, None)
+            continue
+        row = state.get(key) or {c: None for c in cols}
+        for c in present:
+            row[c] = patch[c]
+        state[key] = row
+    want = {k: tuple(v[c] for c in cols) for k, v in state.items()}
+    assert got == want
+
+
+def test_pipeline_minimal_rejects_raw(spark, tmp_path):
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+    from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
+
+    tbl = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=2
+    )
+    with pytest.raises(ValueError, match="minimal"):
+        CdcPipeline(tbl, str(tmp_path), raw=True, row_image="minimal")
+
+
 def test_fold_plan_has_partial_aggregation(spark):
     """The fold must plan map-side combine (partial_max BEFORE the exchange)
     and no window: hot keys collapse inside scan tasks at 10^10 events.

@@ -205,6 +205,38 @@ def q_cdc_minimal_image(spark, sf_dir):
     )
 
 
+def q_cdc_rebucket_midstream(spark, sf_dir):
+    """Online bucket-count migration mid-ingest: half the feed lands in an
+    8-bucket layout, the table is rebucketed to 32 in one atomic commit,
+    the rest of the feed merges into the new layout — final state must
+    equal the uninterrupted direct replay (layout is pure physics, never
+    semantics). The operational path a 10^10-row table needs when its
+    buckets outgrow their files."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    thr = cl.agg(F.max("source_lsn")).first()[0] // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_rebucket_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= thr), "rb-b0")
+    tbl.rebucket(spark, 32)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > thr), "rb-b1")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_agg_incremental_view(spark, sf_dir):
     """Incremental aggregate-view maintenance: a per-user rollup table is
     kept in sync with the base table via dirty-group partial recompute over
@@ -1284,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_minimal_image": q_cdc_minimal_image,
+        "cdc_rebucket_midstream": q_cdc_rebucket_midstream,
         "agg_incremental_view": q_agg_incremental_view,
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
@@ -1590,6 +1623,15 @@ WHERE rn <= 10
     return {
         "cdc_apply_changelog": final_state_sql,
         "cdc_merge_into_lake": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # layout migration is pure physics: rebucket mid-ingest must land
+        # the same final state as the uninterrupted replay
+        "cdc_rebucket_midstream": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot

@@ -1032,6 +1032,123 @@ class LakeTable:
             "skipped": False,
         }
 
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict[str, Any]:
+        """Online bucket-count migration: rewrite the whole table under a new
+        ``n_buckets`` in ONE versioned commit. The operational story at
+        10^10 rows: a table created at 128 buckets eventually has multi-GB
+        buckets — lookups scan too much, merges write hot files — and the
+        bucket count must grow without taking the table offline or breaking
+        readers. Iceberg models this as a partition-spec evolution; here the
+        bucket function is part of every commit, so ONE atomic pointer swing
+        re-describes the layout and every subsequent read/merge/lookup
+        (all of which resolve ``n_buckets`` from the commit they read, never
+        from table-creation state) uses the new wiring automatically.
+
+        Physically identical shape to ``compact`` over all buckets: one
+        fused exchange (repartition on bucket_cols into new_n_buckets →
+        window dedup rides it → key-sorted bucket-aligned write), tombstones
+        dropped. Like compaction, the rewrite collapses replayable history,
+        so the changefeed floor rises to the table's max lsn; incremental
+        consumers must be caught up past it (same contract as a purged
+        binlog, MySQL error 1236).
+
+        Maintenance op, single-writer like ``compact``: run it from the
+        table's owning ingest process between micro-batches, not
+        concurrently with merges.
+        """
+        t0 = time.time()
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        commit = self.commit_at()
+        if new_n_buckets == commit.n_buckets:
+            return {"skipped": True, "n_buckets": commit.n_buckets}
+        if commit.bucket_function != "murmur3":
+            raise NotImplementedError(
+                f"rebucket for bucket_function={commit.bucket_function!r}"
+            )
+
+        all_entries = [e for es in commit.files.values() for e in es]
+        known = [e["lsn_max"] for e in all_entries if e.get("lsn_max") is not None]
+        unknown = [
+            os.path.join(self.root, e["path"])
+            for e in all_entries
+            if e.get("lsn_max") is None
+        ]
+        floor = max(known, default=-1)
+        if unknown:
+            _, _, _, mx = _footer_stats(unknown)
+            if mx is not None:
+                floor = max(floor, int(mx))
+        floor = max(floor, commit.changefeed_floor)
+
+        raw = self._read_files(spark, commit)
+        version = commit.version + 1
+        files: dict[str, list[dict[str, Any]]] = {}
+        rel_dir = os.path.join("data", f"v{version:08d}")
+        out_dir = os.path.join(self.root, rel_dir)
+        if raw is not None:
+            new_bucket = F.pmod(
+                F.hash(*commit.bucket_cols), F.lit(new_n_buckets)
+            ).cast("int")
+            reconciled = (
+                last_image_wins(
+                    raw.repartition(new_n_buckets, *commit.bucket_cols),
+                    key_cols=commit.key_cols,
+                    order_col=SYS_LSN,
+                    strategy="window",
+                )
+                .filter(~F.col(SYS_DELETED))
+                .sortWithinPartitions(*commit.key_cols)
+                .withColumn("_bucket", new_bucket)
+            )
+            reconciled.write.partitionBy("_bucket").parquet(out_dir)
+            for d in sorted(os.listdir(out_dir)):
+                if not d.startswith("_bucket="):
+                    continue
+                b = str(int(d.split("=")[1]))
+                for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(rel_dir, d, fn)
+                        _, _, mn, mx = _footer_stats([os.path.join(self.root, p)])
+                        entry: dict[str, Any] = {
+                            "path": p,
+                            "kind": "base",
+                            "bytes": os.path.getsize(os.path.join(self.root, p)),
+                        }
+                        if mn is not None and mx is not None:
+                            entry["lsn_min"], entry["lsn_max"] = int(mn), int(mx)
+                        files.setdefault(b, []).append(entry)
+
+        new_commit = Commit(
+            version=version,
+            schema=commit.schema,
+            key_cols=commit.key_cols,
+            bucket_cols=commit.bucket_cols,
+            n_buckets=new_n_buckets,
+            bucket_function=commit.bucket_function,
+            files=files,
+            manifests=[self._write_manifest(f"m{version:08d}.full.json", files)],
+            applied_batches=dict(commit.applied_batches),
+            applied_hwm=commit.applied_hwm,
+            changefeed_floor=floor,
+            dropped_cols=list(commit.dropped_cols),
+            ddl_hwm=commit.ddl_hwm,
+            parent=commit.version,
+            summary={
+                "operation": "rebucket",
+                "from_n_buckets": commit.n_buckets,
+                "to_n_buckets": new_n_buckets,
+            },
+        )
+        self._write_commit(new_commit)
+        return {
+            "skipped": False,
+            "from_n_buckets": commit.n_buckets,
+            "to_n_buckets": new_n_buckets,
+            "version": version,
+            "wall_ms": int((time.time() - t0) * 1000),
+        }
+
     # ------------------------------------------------------ schema evolution
     def add_column(
         self,

@@ -176,9 +176,25 @@ if os.environ.get("CDC_WARM_FULL", "1") == "1":
     shutil.rmtree(fwt, ignore_errors=True)
     shutil.rmtree(fwc, ignore_errors=True)
 
+def _spin_probe(sec: float = 0.4) -> float:
+    """Single-thread userspace spin rate (M iters/s) — a pure-CPU host-health
+    probe recorded BEFORE each timed replay. It never adjusts any number
+    (metric-blind diagnostic): hypervisor steal phases on this VM inflate
+    walls AND task-CPU 2-6×, and the probe makes each sample's host
+    condition attributable post hoc (a slow rep with a normal spin rate is
+    the engine's fault; with a depressed spin rate it is the host's)."""
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < sec:
+        n += 1
+    return round(n / sec / 1e6, 2)
+
+
 walls = []
 windows = []
+spins = []
 for i in range(reps):
+    spins.append(_spin_probe())
     tbl_dir = os.path.join(work, f"tbl{cores}")
     ck_dir = os.path.join(work, f"ck{cores}")
     shutil.rmtree(tbl_dir, ignore_errors=True)
@@ -201,7 +217,7 @@ except Exception:
     cpu_s = []
 if not os.environ.get("CDC_KEEP_EVLOG"):  # keep for per-stage diagnostics
     shutil.rmtree(evdir, ignore_errors=True)
-out = {"cores": cores, "walls": walls, "best": min(walls)}
+out = {"cores": cores, "walls": walls, "best": min(walls), "spin_mips": spins}
 if cpu_s:
     out["cpu_s"] = cpu_s
     out["best_cpu"] = min(c for c in cpu_s if c > 0) if any(cpu_s) else 0.0

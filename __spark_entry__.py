@@ -490,6 +490,29 @@ def q_cdc_update_decompose(spark, sf_dir):
     ).select("source_lsn", "user_id", "slot", "p.out_op", "p.value")
 
 
+def q_cdc_scd2_history(spark, sf_dir):
+    """Type-2 history materialization of the change feed: one row per I/U
+    image with [valid_from_lsn, valid_to_lsn) closed by the key's next event
+    (a DELETE closes without emitting). Single-exchange lead() window."""
+    from mysql_secure_agent_spark.operators.scd2 import scd2_history
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "op", "user_id", "slot", "event_type", "value", "source_lsn"
+    )
+    return scd2_history(cl, key_cols=["user_id", "slot"])
+
+
+def q_cdc_scd2_as_of(spark, sf_dir):
+    """Point-in-time read from the materialized SCD-2 history: state as of
+    lsn 6000 — a pure interval filter over the history, no replay."""
+    from mysql_secure_agent_spark.operators.scd2 import scd2_as_of, scd2_history
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "op", "user_id", "slot", "event_type", "value", "source_lsn"
+    )
+    return scd2_as_of(scd2_history(cl, key_cols=["user_id", "slot"]), 6000)
+
+
 def q_cdc_keyset_page(spark, sf_dir):
     """S2: one keyset page after cursor (75, 0) over PK (user_id, event_id)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
@@ -1325,6 +1348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_drop_column": q_cdc_drop_column,
         "cdc_last_image_wins": q_cdc_last_image_wins,
         "cdc_update_decompose": q_cdc_update_decompose,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_scd2_as_of": q_cdc_scd2_as_of,
         "cdc_keyset_page": q_cdc_keyset_page,
         "cdc_lsn_encode": q_cdc_lsn_encode,
         "cdc_decode_types": q_cdc_decode_types,
@@ -1744,6 +1769,30 @@ SELECT source_lsn, user_id, slot, 'D' AS out_op, CAST(NULL AS DOUBLE) AS value
 FROM cl WHERE op = 'U'
 UNION ALL
 SELECT source_lsn, user_id, slot, 'I' AS out_op, value FROM cl WHERE op = 'U'
+""",
+        "cdc_scd2_history": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type, value,
+       source_lsn AS valid_from_lsn, valid_to_lsn,
+       valid_to_lsn IS NULL AS is_current
+FROM (
+  SELECT *, lead(source_lsn) OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn) AS valid_to_lsn
+  FROM cl
+)
+WHERE op <> 'D'
+""",
+        "cdc_scd2_as_of": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type, value,
+       source_lsn AS valid_from_lsn, valid_to_lsn
+FROM (
+  SELECT *, lead(source_lsn) OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn) AS valid_to_lsn
+  FROM cl
+)
+WHERE op <> 'D' AND valid_from_lsn <= 6000
+  AND (valid_to_lsn IS NULL OR valid_to_lsn > 6000)
 """,
         "cdc_keyset_page": """
 SELECT user_id, event_id, event_type FROM events

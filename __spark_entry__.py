@@ -513,6 +513,46 @@ def q_cdc_scd2_as_of(spark, sf_dir):
     return scd2_as_of(scd2_history(cl, key_cols=["user_id", "slot"]), 6000)
 
 
+def q_cdc_scd2_incremental(spark, sf_dir):
+    """Incrementally-maintained SCD-2 history: the change feed applied in
+    THREE lsn-ordered micro-batches through operators.scd2.merge_history
+    (each batch appends its images as interval rows and closes the touched
+    keys' previous open intervals via a bucket-pruned base read + one lake
+    merge). Batch-split invariance is the correctness content — the oracle
+    is the one-shot lead() construction over the whole feed."""
+    from mysql_secure_agent_spark.operators.scd2 import (
+        create_history_table,
+        merge_history,
+        read_history,
+    )
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "op", "user_id", "slot", "event_type", "value", "source_lsn"
+    )
+    hi = cl.agg(F.max("source_lsn")).collect()[0][0] or 0
+    src_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_scd2_"), "h")
+    tbl = create_history_table(root, src_schema, ["user_id", "slot"], n_buckets=8)
+    lo = -1
+    for i, cut in enumerate([hi // 3, (2 * hi) // 3, hi]):
+        part = cl.filter(
+            (F.col("source_lsn") > F.lit(lo)) & (F.col("source_lsn") <= F.lit(cut))
+        )
+        merge_history(spark, tbl, part, f"b{i}")
+        lo = cut
+    return read_history(spark, tbl).select(
+        "user_id", "slot", "event_type", "value",
+        "valid_from_lsn", "valid_to_lsn", "is_current",
+    )
+
+
 def q_cdc_keyset_page(spark, sf_dir):
     """S2: one keyset page after cursor (75, 0) over PK (user_id, event_id)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
@@ -1350,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_decompose": q_cdc_update_decompose,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_scd2_as_of": q_cdc_scd2_as_of,
+        "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_keyset_page": q_cdc_keyset_page,
         "cdc_lsn_encode": q_cdc_lsn_encode,
         "cdc_decode_types": q_cdc_decode_types,
@@ -1793,6 +1834,21 @@ FROM (
 )
 WHERE op <> 'D' AND valid_from_lsn <= 6000
   AND (valid_to_lsn IS NULL OR valid_to_lsn > 6000)
+""",
+        # identical construction to cdc_scd2_history: the Spark side applies
+        # the feed in three micro-batches; invariance to the split is the
+        # property under test.
+        "cdc_scd2_incremental": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type, value,
+       source_lsn AS valid_from_lsn, valid_to_lsn,
+       valid_to_lsn IS NULL AS is_current
+FROM (
+  SELECT *, lead(source_lsn) OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn) AS valid_to_lsn
+  FROM cl
+)
+WHERE op <> 'D'
 """,
         "cdc_keyset_page": """
 SELECT user_id, event_id, event_type FROM events

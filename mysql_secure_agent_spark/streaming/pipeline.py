@@ -61,9 +61,22 @@ class CdcPipeline:
         # pre-batch value). MINIMAL feeds must arrive in lsn order across
         # micro-batches — partial images are patches and do not commute.
         row_image: str = "full",
+        # optional SCD-2 history LakeTable (operators.scd2.create_history_table):
+        # every micro-batch also lands its I/U images as interval rows and
+        # closes the touched keys' previous open intervals — the lake keeps
+        # FULL change history alongside the current state, the way the
+        # reference's JSONL output preserves every shipped image
+        # (Updater.java:148-186, BucketOutput.java:86-125).
+        history_table: LakeTable | None = None,
     ):
         if row_image not in ("full", "minimal"):
             raise ValueError(f"row_image must be 'full' or 'minimal', got {row_image!r}")
+        if history_table is not None and row_image == "minimal":
+            raise ValueError(
+                "history_table with row_image='minimal' is unsupported: "
+                "partial images are patches, not full row versions — an "
+                "SCD-2 interval row needs the complete image"
+            )
         if row_image == "minimal" and (raw or raw_schema is not None):
             raise ValueError(
                 "row_image='minimal' expects a decoded feed with a _present "
@@ -71,6 +84,7 @@ class CdcPipeline:
                 "(packets_to_changelog(emit_presence=True))"
             )
         self.row_image = row_image
+        self.history_table = history_table
         self.table = table
         self.feed_dir = feed_dir
         self.normalize = normalize
@@ -140,6 +154,17 @@ class CdcPipeline:
             self.table.drop_column(d["column_name"], ddl_lsn=lsn)
         else:
             raise ValueError(f"unknown DDL action {d['action']!r}")
+        if self.history_table is not None:
+            # the history table carries the same payload columns; mirror the
+            # schema change so post-DDL interval rows have somewhere to land
+            # (pre-DDL rows project the new column as NULL, Iceberg-style).
+            h = self.history_table
+            if d["action"] == "ADD_COLUMN":
+                h.add_column(d["column_name"], d["column_type"], spark=spark, ddl_lsn=lsn)
+            elif d["action"] == "MODIFY_COLUMN":
+                h.modify_column_type(spark, d["column_name"], d["column_type"], ddl_lsn=lsn)
+            elif d["action"] == "DROP_COLUMN":
+                h.drop_column(d["column_name"], ddl_lsn=lsn)
 
     # ------------------------------------------------------------ transform
     def _prepare(self, batch_df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -244,13 +269,22 @@ class CdcPipeline:
                     dedup_strategy=self.dedup_strategy,
                     post_dedup_transform=post,
                 )
-            return self.table.merge(
+            out = self.table.merge(
                 spark,
                 part,
                 bid,
                 dedup_strategy=self.dedup_strategy,
                 post_dedup_transform=post,
             )
+            if self.history_table is not None:
+                from ..operators.scd2 import merge_history
+
+                # own batch ledger + deterministic id → a replay that already
+                # landed the main merge still completes the history merge.
+                merge_history(
+                    spark, self.history_table, part, bid, transform=post
+                )
+            return out
 
         if not splits:
             results.append(do_merge(prepared, str(batch_id)))

@@ -553,6 +553,41 @@ def q_cdc_scd2_incremental(spark, sf_dir):
     )
 
 
+def q_cdc_index_lookup(spark, sf_dir):
+    """Secondary index maintained O(delta) from the changefeed: the feed is
+    applied in TWO micro-batches with an index refresh after each (keys whose
+    event_type changes between batches exercise stale-entry deletion), then
+    the rows with last event_type 'click' are fetched via index probe →
+    bucket-pruned main read. Oracle: filter of the reconciled final state."""
+    from mysql_secure_agent_spark.lake.index import SecondaryIndex
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "op", "user_id", "slot", "event_type", "value", "source_lsn"
+    )
+    hi = cl.agg(F.max("source_lsn")).collect()[0][0] or 0
+    base = tempfile.mkdtemp(prefix="lake_idx_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(
+        os.path.join(base, "t"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    idx = SecondaryIndex.create(os.path.join(base, "ix"), tbl, "event_type")
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= hi // 2), "b0")
+    idx.refresh(spark)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > hi // 2), "b1")
+    idx.refresh(spark)
+    return idx.lookup(spark, "click").select(
+        "user_id", "slot", "event_type", "value"
+    )
+
+
 def q_cdc_keyset_page(spark, sf_dir):
     """S2: one keyset page after cursor (75, 0) over PK (user_id, event_id)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
@@ -1391,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_scd2_as_of": q_cdc_scd2_as_of,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
+        "cdc_index_lookup": q_cdc_index_lookup,
         "cdc_keyset_page": q_cdc_keyset_page,
         "cdc_lsn_encode": q_cdc_lsn_encode,
         "cdc_decode_types": q_cdc_decode_types,
@@ -1849,6 +1885,16 @@ FROM (
   FROM cl
 )
 WHERE op <> 'D'
+""",
+        # index probe → pruned fetch must equal a plain filter of the
+        # reconciled final state (stale entries for keys whose event_type
+        # moved between the two refreshes must be gone).
+        "cdc_index_lookup": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D' AND event_type = 'click'
 """,
         "cdc_keyset_page": """
 SELECT user_id, event_id, event_type FROM events

@@ -1,0 +1,138 @@
+"""Secondary index over a non-key column: O(delta) maintenance from the
+changefeed, bucket-pruned lookups, stale-entry deletion, crash-retry
+convergence."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from mysql_secure_agent_spark.lake import LakeTable
+from mysql_secure_agent_spark.lake.index import SecondaryIndex
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("color", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+CL_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("k", T.LongType(), False),
+        T.StructField("color", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("source_lsn", T.LongType(), False),
+    ]
+)
+
+BATCH1 = [
+    ("I", 1, "red", 10, 100),
+    ("I", 2, "blue", 20, 101),
+    ("I", 3, "red", 30, 102),
+    ("I", 4, None, 40, 103),  # NULL values are not indexed
+]
+
+BATCH2 = [
+    ("U", 1, "blue", 11, 200),  # red -> blue: stale red entry must go
+    ("D", 3, None, None, 201),  # deleted key: its red entry must go
+    ("I", 5, "red", 50, 202),  # new red key
+    ("U", 2, "blue", 21, 203),  # same value: entry survives untouched
+]
+
+
+def _mk(spark, tmp_path):
+    tbl = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=8)
+    idx = SecondaryIndex.create(str(tmp_path / "ix"), tbl, "color", n_buckets=8)
+    return tbl, idx
+
+
+def _index_pairs(spark, idx):
+    return {
+        (r.color, r.k) for r in idx.table.read(spark).collect()
+    }
+
+
+def test_refresh_and_lookup(spark, tmp_path):
+    tbl, idx = _mk(spark, tmp_path)
+    tbl.merge(spark, spark.createDataFrame(BATCH1, CL_SCHEMA), "b1")
+    m = idx.refresh(spark)
+    assert not m.get("skipped")
+    assert _index_pairs(spark, idx) == {("red", 1), ("blue", 2), ("red", 3)}
+    rows = {(r.k, r.color, r.n) for r in idx.lookup(spark, "red").collect()}
+    assert rows == {(1, "red", 10), (3, "red", 30)}
+    # a second refresh with nothing new is a cheap skip
+    assert idx.refresh(spark)["skipped"] is True
+
+
+def test_stale_entries_deleted_on_value_change(spark, tmp_path):
+    tbl, idx = _mk(spark, tmp_path)
+    tbl.merge(spark, spark.createDataFrame(BATCH1, CL_SCHEMA), "b1")
+    idx.refresh(spark)
+    tbl.merge(spark, spark.createDataFrame(BATCH2, CL_SCHEMA), "b2")
+    idx.refresh(spark)
+    assert _index_pairs(spark, idx) == {
+        ("blue", 1),
+        ("blue", 2),
+        ("red", 5),
+    }
+    # lookups agree with a brute-force filter of the reconciled state
+    for v in ("red", "blue"):
+        got = {(r.k, r.color, r.n) for r in idx.lookup(spark, v).collect()}
+        want = {
+            (r.k, r.color, r.n)
+            for r in tbl.read(spark).filter(F.col("color") == v).collect()
+        }
+        assert got == want, v
+
+
+def test_cursor_is_atomic_with_merge_and_survives_reopen(spark, tmp_path):
+    """The refresh cursor travels in the applied-batch ledger, committed
+    atomically with the entries — a process crash/restart (reopen from
+    disk) resumes from exactly the committed cursor, and there is no sidecar
+    state whose loss could desync it."""
+    tbl, idx = _mk(spark, tmp_path)
+    tbl.merge(spark, spark.createDataFrame(BATCH1, CL_SCHEMA), "b1")
+    idx.refresh(spark)
+    # the only sidecar content is the column name — no cursor to lose
+    meta = json.load(open(os.path.join(idx.root, SecondaryIndex.META)))
+    assert meta == {"col": "color"}
+    # "restart": a fresh object recovers the cursor from the ledger
+    idx2 = SecondaryIndex(idx.root, tbl)
+    assert idx2._cursor()["cursor_lsn"] == 103
+    tbl.merge(spark, spark.createDataFrame(BATCH2, CL_SCHEMA), "b2")
+    idx2.refresh(spark)
+    assert _index_pairs(spark, idx2) == {
+        ("blue", 1),
+        ("blue", 2),
+        ("red", 5),
+    }
+    assert idx2._cursor()["cursor_lsn"] == 203
+
+
+def test_lookup_guards(spark, tmp_path):
+    tbl, idx = _mk(spark, tmp_path)
+    tbl.merge(spark, spark.createDataFrame(BATCH1, CL_SCHEMA), "b1")
+    idx.refresh(spark)
+    with pytest.raises(ValueError, match="matched more than"):
+        idx.lookup(spark, "red", max_keys=1)
+    assert idx.lookup(spark, "green").count() == 0  # absent value -> empty
+    with pytest.raises(ValueError, match="key column"):
+        SecondaryIndex.create(str(tmp_path / "bad"), tbl, "k")
+    with pytest.raises(KeyError):
+        SecondaryIndex.create(str(tmp_path / "bad2"), tbl, "nope")
+
+
+def test_refresh_prunes_buckets(spark, tmp_path):
+    tbl, idx = _mk(spark, tmp_path)
+    tbl.merge(spark, spark.createDataFrame(BATCH1, CL_SCHEMA), "b1")
+    idx.refresh(spark)
+    # touch ONE key; the time-travel read must prune to its bucket only
+    one = [("U", 1, "green", 12, 300)]
+    tbl.merge(spark, spark.createDataFrame(one, CL_SCHEMA), "b3")
+    m = idx.refresh(spark)
+    assert len(m["index_buckets_pruned_read"]) == 1
+    assert _index_pairs(spark, idx) == {("green", 1), ("blue", 2), ("red", 3)}

@@ -103,6 +103,9 @@ HEADLINE = [
     "cdc_minimal_image",
     "agg_incremental_view",
     "dedup_simhash_near",
+    "cdc_scd2_history",
+    "cdc_scd2_incremental",
+    "cdc_index_lookup",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

@@ -953,6 +953,35 @@ def q_dedup_cluster_keep(spark, sf_dir):
     return dedup_keep_canonical(docs, pairs).select("doc_id", "lang")
 
 
+def q_train_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus preparation, the composition a real
+    pipeline runs: exact dedup (keep min doc_id per content hash) → near-dup
+    removal (n-gram Jaccard pairs → connected components → canonical keep)
+    → quality-score filter. Every stage is the already-oracle-gated operator;
+    this row proves they COMPOSE (each stage consumes the previous stage's
+    survivors, not the raw table). Oracle: the same chain as one DuckDB CTE
+    pipeline ending in a recursive transitive closure + quality formula."""
+    from pyspark.sql import Window as W
+
+    from mysql_secure_agent_spark.operators.graph import dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text"))
+    exact = (
+        docs.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+    pairs = ngram_jaccard_pairs(exact, threshold=0.12)
+    kept = dedup_keep_canonical(exact, pairs)
+    return kept.select(
+        "doc_id",
+        "lang",
+        token_count().alias("n_tokens"),
+        quality_score().alias("quality"),
+    ).filter(F.col("quality") >= 0.55)
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     return minhash_signature(_t(spark, sf_dir, "documents"), num_hashes=16)
 
@@ -1453,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_keep": q_dedup_cluster_keep,
+        "train_corpus_prep": q_train_corpus_prep,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1651,6 +1681,64 @@ comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
 SELECT d.doc_id, d.lang FROM documents d
 LEFT JOIN comp c ON c.id = d.doc_id
 WHERE c.component IS NULL OR c.component = d.doc_id
+"""
+    # same chain as the Spark composition: exact-dedup survivors feed the
+    # shingle/pair/closure stages, and only near-dup survivors are scored.
+    corpus_prep_sql = f"""
+WITH RECURSIVE ex AS (
+  SELECT * FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+),
+base AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM ex),
+sh0 AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM base),
+hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+jp AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS common
+  FROM sh l JOIN sh r ON l.sh = r.sh
+  WHERE l.id < r.id GROUP BY 1, 2
+),
+dup AS (
+  SELECT id_a, id_b FROM jp
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE common / (sa.sz + sb.sz - common) >= 0.12
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM dup
+          UNION ALL SELECT id_b, id_a FROM dup),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+kept AS (
+  SELECT d.* FROM ex d LEFT JOIN comp c ON c.id = d.doc_id
+  WHERE c.component IS NULL OR c.component = d.doc_id
+),
+b AS (
+  SELECT doc_id, lang, text,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+    {_TOKS_SQL} AS toks,
+    length(text) AS n_chars_raw,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM kept
+),
+m AS (
+  SELECT doc_id, lang, n_tokens,
+    CASE WHEN n_chars_raw = 0 THEN 0.0 ELSE n_punct / n_chars_raw END AS punct_ratio,
+    CASE WHEN len(toks) <= 0 THEN 0.0
+         ELSE len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) / len(toks)
+    END AS stop_frac
+  FROM b
+)
+SELECT doc_id, lang, n_tokens, quality FROM (
+  SELECT doc_id, lang, n_tokens,
+    round(0.4 * least(n_tokens / 100.0, 1.0)
+        + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+        + 0.3 * least(stop_frac * 4, 1.0), 6) AS quality
+  FROM m
+) WHERE quality >= 0.55
 """
     r_rows = 4
     band_keys = ", ".join(
@@ -2128,6 +2216,7 @@ FROM documents GROUP BY md5(text)
 """,
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_cluster_keep": cluster_sql,
+        "train_corpus_prep": corpus_prep_sql,
         "dedup_lsh_verified": lsh_verified_sql,
         "dedup_minhash_sig": _minhash_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),

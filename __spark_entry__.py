@@ -237,6 +237,42 @@ def q_cdc_rebucket_midstream(spark, sf_dir):
     )
 
 
+def q_cdc_key_range_scan(spark, sf_dir):
+    """Key-range scan with listing-level data skipping: half the feed merges,
+    sorted compaction splits each bucket into contiguous-key files with
+    per-file min/max recorded in the manifest, the other half merges as
+    un-statted deltas, then ``read(key_range=...)`` prunes base files from
+    the LISTING (no footer opens) while keeping every delta — so
+    post-compaction updates and deletes of in-range keys are honored.
+    Oracle: full-replay final state filtered to the same range (a file
+    skipped wrongly, a stale base row resurrected, or a missed delta delete
+    all hash-mismatch). On a 10^10-row table this is the 'scan one
+    conversation-id range' path: O(range) files opened, not O(table)."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    thr = cl.agg(F.max("source_lsn")).first()[0] // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_krange_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= thr), "kr-b0")
+    tbl.compact(spark, target_file_rows=2000)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > thr), "kr-b1")
+    return tbl.read(spark, key_range={"user_id": (100, 300)}).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_agg_incremental_view(spark, sf_dir):
     """Incremental aggregate-view maintenance: a per-user rollup table is
     kept in sync with the base table via dirty-group partial recompute over
@@ -1444,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_minimal_image": q_cdc_minimal_image,
         "cdc_rebucket_midstream": q_cdc_rebucket_midstream,
+        "cdc_key_range_scan": q_cdc_key_range_scan,
         "agg_incremental_view": q_agg_incremental_view,
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
@@ -1827,6 +1864,15 @@ SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
+""",
+        # data skipping is pure physics: a listing-pruned key-range read must
+        # equal the full-replay final state filtered to the same range
+        "cdc_key_range_scan": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D' AND user_id BETWEEN 100 AND 300
 """,
         # MINIMAL row images: each column independently takes its value from
         # the last event that CARRIED it (presence rule mirrored from the

@@ -109,6 +109,8 @@ HEADLINE = [
     "cdc_scd2_history",
     "cdc_scd2_incremental",
     "cdc_index_lookup",
+    "cdc_key_range_scan",
+    "train_corpus_prep",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

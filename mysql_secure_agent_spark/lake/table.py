@@ -88,6 +88,68 @@ def _footer_stats(paths: list[str]) -> tuple[int, int, int | None, int | None]:
     return rows, deletes, lsn_min, lsn_max
 
 
+def _file_key_stats(path: str, cols: list[str]) -> dict[str, list[Any]]:
+    """Per-file min/max for the given columns from the parquet FOOTER only
+    (no data pages read). Returns only columns with complete stats in every
+    row group and JSON-representable bounds (int/float/str) — anything else
+    is simply omitted and the file stays un-prunable (conservative).
+
+    Parquet writers may truncate string bounds, but the spec's truncation
+    keeps them conservative (min truncated down, max prefix-incremented),
+    so intersection tests on these values never skip a file they shouldn't.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {}
+    for ci in range(md.row_group(0).num_columns if md.num_row_groups else 0):
+        names[md.row_group(0).column(ci).path_in_schema] = ci
+    out: dict[str, list[Any]] = {}
+    for c in cols:
+        ci = names.get(c)
+        if ci is None:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, str)) or not isinstance(
+                hi, (int, float, str)
+            ):
+                ok = False
+                break
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        if ok and mn is not None:
+            out[c] = [mn, mx]
+    return out
+
+
+def _entry_intersects(
+    entry: dict[str, Any], key_range: dict[str, tuple[Any, Any]]
+) -> bool:
+    """True unless the entry's recorded key stats PROVE the file holds no
+    row in the range. Entries without stats for a column are always kept."""
+    stats = entry.get("key_stats")
+    if not stats:
+        return True
+    for c, (lo, hi) in key_range.items():
+        s = stats.get(c)
+        if s is None:
+            continue
+        mn, mx = s
+        try:
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return False
+        except TypeError:  # bound/stat type mismatch — keep (conservative)
+            continue
+    return True
+
+
 # Bounds on driver-side metadata: the commit JSON must stay O(1)-ish no
 # matter how many micro-batches have been applied (10^10 events at seconds-
 # cadence triggers = millions of commits — an O(history) rewrite per commit
@@ -420,20 +482,17 @@ class LakeTable:
         return F.pmod(h, F.lit(commit.n_buckets)).cast("int")
 
     # ------------------------------------------------------------------ read
-    def _read_files(
+    def candidate_paths(
         self,
-        spark: SparkSession,
         commit: Commit,
         buckets: list[int] | None = None,
         min_lsn_exclusive: int | None = None,
-    ) -> DataFrame | None:
-        """Raw base+delta rows (with system columns) for the given buckets.
-
-        ``min_lsn_exclusive`` skips files whose recorded lsn_max is ≤ the
-        cursor — listing-level pruning: an incremental reader of a 10^6-file
-        table opens only the files its cursor can touch, no footer reads.
-        Entries without recorded stats (legacy/modify-rewrite) are kept —
-        parquet row-group stats still prune them executor-side."""
+        key_range: dict[str, tuple[Any, Any]] | None = None,
+    ) -> list[str]:
+        """Listing-level file planning (the Iceberg ``planFiles`` analog):
+        bucket pruning, lsn-cursor pruning, and key-range pruning against
+        the per-file stats recorded in the manifest — no footer is opened.
+        Entries without the relevant stats are kept (conservative)."""
         paths: list[str] = []
         for b, entries in commit.files.items():
             if buckets is not None and int(b) not in buckets:
@@ -445,7 +504,29 @@ class LakeTable:
                     and e["lsn_max"] <= min_lsn_exclusive
                 ):
                     continue
+                if key_range is not None and not _entry_intersects(e, key_range):
+                    continue
                 paths.append(os.path.join(self.root, e["path"]))
+        return paths
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        commit: Commit,
+        buckets: list[int] | None = None,
+        min_lsn_exclusive: int | None = None,
+        key_range: dict[str, tuple[Any, Any]] | None = None,
+    ) -> DataFrame | None:
+        """Raw base+delta rows (with system columns) for the given buckets.
+
+        ``min_lsn_exclusive`` skips files whose recorded lsn_max is ≤ the
+        cursor — listing-level pruning: an incremental reader of a 10^6-file
+        table opens only the files its cursor can touch, no footer reads.
+        ``key_range`` additionally skips files whose recorded per-file key
+        stats (written by sorted compaction) cannot intersect the range.
+        Entries without recorded stats (legacy/modify-rewrite) are kept —
+        parquet row-group stats still prune them executor-side."""
+        paths = self.candidate_paths(commit, buckets, min_lsn_exclusive, key_range)
         if not paths:
             return None
         # Explicit schema → files written before an ADD COLUMN project the new
@@ -458,6 +539,7 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         strategy: str = "max_by",
+        key_range: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Reconciled current state: last image per key, tombstones dropped.
 
@@ -467,12 +549,41 @@ class LakeTable:
         hot-key (Zipf conv_id) distribution at 10^10 events.
         ``strategy='window'`` is the row_number-over-lsn formulation from the
         north star; both are tested equivalent (lsn is globally unique).
+
+        ``key_range`` = ``{key_col: (lo, hi)}`` (inclusive; None = unbounded
+        side) restricts the scan to that range of KEY columns, pruned at the
+        LISTING level against per-file stats recorded by sorted compaction —
+        a range scan of a 10^10-row table opens only the base files whose
+        key interval intersects, plus un-statted deltas. Only key columns
+        are accepted: every image of a key (including its tombstone) carries
+        the same key value, so a file whose stats exclude the range can hold
+        no image of any qualifying key and skipping it cannot change
+        last-image reconciliation. A value column would NOT be safe — an old
+        in-range image of a key whose latest image is out-of-range would
+        resurrect.
         """
         commit = self.commit_at(version)
-        raw = self._read_files(spark, commit, buckets)
+        if key_range:
+            bad = sorted(set(key_range) - set(commit.key_cols))
+            if bad:
+                raise ValueError(
+                    f"key_range columns {bad} are not key columns "
+                    f"{commit.key_cols}: listing-level range pruning is only "
+                    "sound for columns immutable across a key's images"
+                )
+        raw = self._read_files(spark, commit, buckets, key_range=key_range)
         cols = [n for n, _ in commit.schema]
         if raw is None:
             return spark.createDataFrame([], self.schema(version))
+        if key_range:
+            # the same predicate, executor-side: prunes row groups inside
+            # surviving files and drops out-of-range keys BEFORE the
+            # reconcile shuffle (key filters commute with per-key dedup)
+            for c, (lo, hi) in key_range.items():
+                if lo is not None:
+                    raw = raw.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    raw = raw.filter(F.col(c) <= F.lit(hi))
         reconciled = last_image_wins(
             raw, key_cols=commit.key_cols, order_col=SYS_LSN, strategy=strategy
         )
@@ -921,6 +1032,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         min_deltas: int = 1,
         sort_within_buckets: bool = True,
+        target_file_rows: int | None = None,
     ) -> dict[str, Any]:
         """Rewrite buckets with >= min_deltas delta files into a reconciled
         base file; tombstones are dropped (full-bucket rewrite ⇒ nothing older
@@ -931,7 +1043,16 @@ class LakeTable:
         point lookups (``lookup()``) and key-range scans then skip row groups
         instead of reading the whole bucket. The sort is per-partition (no
         extra exchange) and compaction is the rare amortized path, so the
-        cost rides the rewrite it was already paying."""
+        cost rides the rewrite it was already paying.
+
+        ``target_file_rows`` splits each sorted bucket into multiple files of
+        at most that many rows (``maxRecordsPerFile``). Because rows are
+        key-sorted, each split file covers a CONTIGUOUS key interval, and its
+        footer min/max — recorded into the manifest entry as ``key_stats`` —
+        become tight listing-level bounds: ``read(key_range=...)`` then skips
+        whole files without opening a footer (Iceberg's sorted-rewrite +
+        planFiles shape). Stats collection is footer-metadata-only, O(files
+        written), paid once at compaction."""
         t0 = time.time()
         commit = self.commit_at()
         counts = {
@@ -983,7 +1104,10 @@ class LakeTable:
         version = commit.version + 1
         rel_dir = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.root, rel_dir)
-        reconciled.write.partitionBy("_bucket").parquet(out_dir)
+        writer = reconciled.write.partitionBy("_bucket")
+        if target_file_rows is not None:
+            writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+        writer.parquet(out_dir)
 
         files = {
             b: list(entries)
@@ -997,14 +1121,18 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(out_dir, d))):
                 if fn.endswith(".parquet"):
                     p = os.path.join(rel_dir, d, fn)
-                    _, _, mn, mx = _footer_stats([os.path.join(self.root, p)])
+                    abs_p = os.path.join(self.root, p)
+                    _, _, mn, mx = _footer_stats([abs_p])
                     entry: dict[str, Any] = {
                         "path": p,
                         "kind": "base",
-                        "bytes": os.path.getsize(os.path.join(self.root, p)),
+                        "bytes": os.path.getsize(abs_p),
                     }
                     if mn is not None and mx is not None:
                         entry["lsn_min"], entry["lsn_max"] = int(mn), int(mx)
+                    ks = _file_key_stats(abs_p, commit.key_cols)
+                    if ks:
+                        entry["key_stats"] = ks
                     files.setdefault(b, []).append(entry)
         # compaction rewrites the referenced file set → reset the manifest
         # chain to one full manifest (the Iceberg-style consolidation point)
@@ -1109,14 +1237,18 @@ class LakeTable:
                 for fn in sorted(os.listdir(os.path.join(out_dir, d))):
                     if fn.endswith(".parquet"):
                         p = os.path.join(rel_dir, d, fn)
-                        _, _, mn, mx = _footer_stats([os.path.join(self.root, p)])
+                        abs_p = os.path.join(self.root, p)
+                        _, _, mn, mx = _footer_stats([abs_p])
                         entry: dict[str, Any] = {
                             "path": p,
                             "kind": "base",
-                            "bytes": os.path.getsize(os.path.join(self.root, p)),
+                            "bytes": os.path.getsize(abs_p),
                         }
                         if mn is not None and mx is not None:
                             entry["lsn_min"], entry["lsn_max"] = int(mn), int(mx)
+                        ks = _file_key_stats(abs_p, commit.key_cols)
+                        if ks:
+                            entry["key_stats"] = ks
                         files.setdefault(b, []).append(entry)
 
         new_commit = Commit(

@@ -43,6 +43,11 @@ from mysql_secure_agent_spark.operators.text_dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
+from mysql_secure_agent_spark.operators.corpus import (
+    decontaminate,
+    repetition_stats,
+    shuffle_shard,
+)
 from mysql_secure_agent_spark.functions.text_analysis import (
     bpe_ish_token_count,
     doc_fingerprint,
@@ -989,6 +994,47 @@ def q_dedup_cluster_keep(spark, sf_dir):
     return dedup_keep_canonical(docs, pairs).select("doc_id", "lang")
 
 
+def q_train_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus.py): training docs
+    (doc_id % 17 != 0) flagged by word-trigram overlap with a held-out
+    eval split (doc_id % 17 == 0). Eval shingles are distinct'd and
+    broadcast; the only big shuffle is the per-doc overlap count."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    out = decontaminate(tr, ev, n=3, min_hits=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "total_shingles",
+        "overlap_shingles",
+        "overlap_frac",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_train_shuffle_shard(spark, sf_dir):
+    """Deterministic training-order shuffle: seeded md5 sort key + shard id
+    from its first two hex chars — reproducible across engines and cluster
+    sizes, no global row_number (operators/corpus.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_shard(docs, n_shards=8, seed=17).select(
+        "doc_id", "shard", "sort_key"
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters, token level: duplicate-token
+    fraction (row-local array algebra) + most-frequent-bigram fraction
+    (explode → two keyed partial aggs; never a per-row O(len²) lambda)."""
+    out = repetition_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_token_frac",
+        "top_bigram_frac",
+    )
+
+
 def q_train_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation, the composition a real
     pipeline runs: exact dedup (keep min doc_id per content hash) → near-dup
@@ -1520,6 +1566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_keep": q_dedup_cluster_keep,
         "train_corpus_prep": q_train_corpus_prep,
+        "train_decontaminate": q_train_decontaminate,
+        "train_shuffle_shard": q_train_shuffle_shard,
+        "text_repetition": q_text_repetition,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2263,6 +2312,66 @@ FROM documents GROUP BY md5(text)
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_cluster_keep": cluster_sql,
         "train_corpus_prep": corpus_prep_sql,
+        # same trigram definition as the dedup family; eval = doc_id % 17 == 0
+        "train_decontaminate": f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_SHINGLES_SQL}) AS sh
+  FROM (SELECT {_TOKS_SQL} AS toks FROM documents WHERE doc_id % 17 = 0)
+),
+tr AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks
+       FROM documents WHERE doc_id % 17 <> 0),
+post AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM tr),
+agg AS (
+  SELECT id, count(*) AS total_shingles,
+         count(CASE WHEN sh IN (SELECT sh FROM ev) THEN 1 END) AS overlap_shingles
+  FROM post GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(a.total_shingles, 0) AS total_shingles,
+       coalesce(a.overlap_shingles, 0) AS overlap_shingles,
+       CASE WHEN coalesce(a.total_shingles, 0) = 0 THEN 0.0
+            ELSE round(a.overlap_shingles / a.total_shingles, 6)
+       END AS overlap_frac,
+       CAST(coalesce(a.overlap_shingles, 0) >= 1 AS INTEGER) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+LEFT JOIN agg a ON a.id = d.doc_id
+""",
+        "train_shuffle_shard": """
+WITH k AS (SELECT doc_id,
+                  md5('17:' || CAST(doc_id AS VARCHAR)) AS sort_key
+           FROM documents)
+SELECT doc_id,
+       CAST(((instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(sort_key, 2, 1)) - 1)) % 8
+            AS INTEGER) AS shard,
+       sort_key
+FROM k
+""",
+        "text_repetition": f"""
+WITH base AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
+stats AS (
+  SELECT id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(1.0 - len(list_distinct(toks)) / len(toks), 6)
+         END AS dup_token_frac
+  FROM base
+),
+bg AS (
+  SELECT id, unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM base WHERE len(toks) >= 2
+),
+mode AS (
+  SELECT id, max(c) AS top_c, sum(c) AS n_bg
+  FROM (SELECT id, bg, count(*) AS c FROM bg GROUP BY id, bg)
+  GROUP BY id
+)
+SELECT s.id AS doc_id, s.n_tokens, s.dup_token_frac,
+       CASE WHEN m.n_bg IS NULL OR m.n_bg = 0 THEN 0.0
+            ELSE round(m.top_c / m.n_bg, 6)
+       END AS top_bigram_frac
+FROM stats s LEFT JOIN mode m ON m.id = s.id
+""",
         "dedup_lsh_verified": lsh_verified_sql,
         "dedup_minhash_sig": _minhash_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),

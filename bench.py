@@ -111,6 +111,9 @@ HEADLINE = [
     "cdc_index_lookup",
     "cdc_key_range_scan",
     "train_corpus_prep",
+    "train_decontaminate",
+    "train_shuffle_shard",
+    "text_repetition",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

@@ -54,12 +54,16 @@ class CdcPipeline:
         config=None,  # Config (config.py): column selection + anonymization
         schema_name: str = "main",
         table_name: str = "transcripts",
-        # "full" (reference semantics: every image carries every column) or
+        # "full" (reference semantics: every image carries every column),
         # "minimal" (binlog_row_image=MINIMAL: images carry only changed
         # columns + PK, with a `_present` name array per row; merges route
         # through LakeTable.merge_partial so absent columns keep their
-        # pre-batch value). MINIMAL feeds must arrive in lsn order across
-        # micro-batches — partial images are patches and do not commute.
+        # pre-batch value), or "noblob" (binlog_row_image=NOBLOB: every
+        # image carries every column EXCEPT unchanged blob/text ones — a
+        # strict subset pattern of minimal, so it shares the partial-image
+        # path; the distinction is upstream logging volume, not engine
+        # semantics). Partial-image feeds (minimal/noblob) must arrive in
+        # lsn order across micro-batches — patches do not commute.
         row_image: str = "full",
         # optional SCD-2 history LakeTable (operators.scd2.create_history_table):
         # every micro-batch also lands its I/U images as interval rows and
@@ -69,18 +73,22 @@ class CdcPipeline:
         # (Updater.java:148-186, BucketOutput.java:86-125).
         history_table: LakeTable | None = None,
     ):
-        if row_image not in ("full", "minimal"):
-            raise ValueError(f"row_image must be 'full' or 'minimal', got {row_image!r}")
-        if history_table is not None and row_image == "minimal":
+        if row_image not in ("full", "minimal", "noblob"):
             raise ValueError(
-                "history_table with row_image='minimal' is unsupported: "
-                "partial images are patches, not full row versions — an "
-                "SCD-2 interval row needs the complete image"
+                f"row_image must be 'full', 'minimal' or 'noblob', got {row_image!r}"
             )
-        if row_image == "minimal" and (raw or raw_schema is not None):
+        self._partial = row_image in ("minimal", "noblob")
+        if history_table is not None and self._partial:
             raise ValueError(
-                "row_image='minimal' expects a decoded feed with a _present "
-                "mask; decode raw binary images first "
+                f"history_table with row_image={row_image!r} is unsupported: "
+                "partial images are patches, not full row versions — an "
+                "SCD-2 interval row needs the complete image (under noblob "
+                "an unchanged blob column is absent from the image too)"
+            )
+        if self._partial and (raw or raw_schema is not None):
+            raise ValueError(
+                f"row_image={row_image!r} expects a decoded feed with a "
+                "_present mask; decode raw binary images first "
                 "(packets_to_changelog(emit_presence=True))"
             )
         self.row_image = row_image
@@ -261,7 +269,7 @@ class CdcPipeline:
             splits = []
 
         def do_merge(part: DataFrame, bid: str) -> dict[str, Any]:
-            if self.row_image == "minimal":
+            if self._partial:
                 return self.table.merge_partial(
                     spark,
                     part,
@@ -311,7 +319,7 @@ class CdcPipeline:
 
         if self.raw:
             return RAW_CHANGELOG_SCHEMA
-        if self.row_image == "minimal":
+        if self._partial:
             return T.StructType(
                 list(CHANGELOG_SCHEMA.fields)
                 + [T.StructField("_present", T.ArrayType(T.StringType()), True)]

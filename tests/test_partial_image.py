@@ -459,3 +459,100 @@ def test_fold_plan_has_partial_aggregation(spark):
     pre_exchange = plan.split("Exchange hashpartitioning")[-1]
     assert "partial_max" in pre_exchange
     assert "Window" not in plan
+
+
+def test_pipeline_noblob_stream_equals_sequential_apply(spark, tmp_path):
+    """binlog_row_image=NOBLOB end to end: every image re-sends ALL non-blob
+    columns (their current values), blob/text columns appear only when
+    changed — the exact presence pattern the server emits under NOBLOB.
+    A strict subset case of the partial-image path; this proves the mode
+    alias routes correctly and re-sent unchanged values are harmless."""
+    import os
+    import pandas as pd
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+    from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
+
+    cols = ["role", "text", "tool"]
+    blob_cols = {"text", "tool"}  # TEXT-typed in the transcript schema
+    state: dict[tuple, dict] = {}
+    events = []
+    for lsn in range(1, 241):
+        key = (f"c{(lsn * 5) % 11}", lsn % 4)
+        m = lsn % 8
+        if m == 0:
+            events.append(("D", key, {}, []))
+            state.pop(key, None)
+            continue
+        if m in (1, 2) or key not in state:
+            row = {"role": f"r{lsn % 3}", "text": f"t{lsn}", "tool": None}
+            events.append(("I", key, dict(row), list(cols)))
+            state[key] = row
+            continue
+        row = dict(state[key])
+        if m in (3, 4):
+            changed = {"text": f"edit{lsn}"}
+        elif m == 5:
+            changed = {"tool": f"bash{lsn}", "role": f"r{lsn % 3}"}
+        else:
+            changed = {"tool": None}  # blob set to explicit NULL
+        row.update(changed)
+        # NOBLOB image: all non-blob cols (current values) + changed blobs
+        present = [c for c in cols if c not in blob_cols or c in changed]
+        events.append(("U", key, {c: row[c] for c in present}, present))
+        state[key] = row
+
+    feed_dir = tmp_path / "feed"
+    (feed_dir / "data").mkdir(parents=True)
+    per_file = 80
+    for fi in range(3):
+        chunk = events[fi * per_file : (fi + 1) * per_file]
+        recs = []
+        for i, (op, (cid, tix), patch, present) in enumerate(chunk):
+            recs.append(
+                {
+                    "op": op,
+                    "conv_id": cid,
+                    "turn_idx": tix,
+                    "role": patch.get("role"),
+                    "text": patch.get("text"),
+                    "tool": patch.get("tool"),
+                    "ts": None,
+                    "source_lsn": fi * per_file + i + 1,
+                    "binlog_file": "bin.000001",
+                    "binlog_pos": fi * per_file + i + 1,
+                    "_present": list(present),
+                }
+            )
+        p = str(feed_dir / "data" / f"part-{fi:03d}.parquet")
+        pdf = pd.DataFrame(recs).astype({"turn_idx": "int32"})
+        pdf["ts"] = pd.Series(pd.NaT, index=pdf.index, dtype="datetime64[us]")
+        pdf.to_parquet(p)
+        os.utime(p, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    tbl = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=4
+    )
+    pipe = CdcPipeline(tbl, str(feed_dir), normalize=False, row_image="noblob")
+    pipe.run_stream(spark, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols)
+        for r in tbl.read(spark).collect()
+    }
+    want = {k: tuple(v[c] for c in cols) for k, v in state.items()}
+    assert got == want
+
+
+def test_pipeline_noblob_rejects_history_table(spark, tmp_path):
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.operators.scd2 import create_history_table
+    from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+    from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
+
+    tbl = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=4
+    )
+    hist = create_history_table(str(tmp_path / "h"), TRANSCRIPT_SCHEMA, PRIMARY_KEY)
+    with pytest.raises(ValueError, match="noblob"):
+        CdcPipeline(tbl, str(tmp_path), row_image="noblob", history_table=hist)

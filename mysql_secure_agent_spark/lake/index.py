@@ -135,21 +135,25 @@ class SecondaryIndex:
             # being read — after a rebucket between cursor and head, fall
             # back to an unpruned time-travel read rather than miss files.
             old_commit = self.main.commit_at(cur["cursor_version"])
-            if (
+            same_layout = (
                 old_commit.n_buckets == main_commit.n_buckets
                 and old_commit.bucket_function == main_commit.bucket_function
                 and old_commit.bucket_cols == main_commit.bucket_cols
-            ):
-                touched = [
-                    r[0]
-                    for r in changes.select(
-                        self.main._bucket_expr(main_commit).alias("_b")
-                    )
-                    .distinct()
-                    .collect()
-                ]
-            else:
-                touched = None
+            )
+            # ONE scalar-agg job over the cached changes computes both the
+            # touched-bucket set (collect_set is tiny: ≤ n_buckets ints) and
+            # the new cursor lsn — previously two separate driver actions.
+            aggs = [F.max("source_lsn").alias("_hi")]
+            if same_layout:
+                aggs.append(
+                    F.collect_set(
+                        self.main._bucket_expr(main_commit)
+                    ).alias("_bs")
+                )
+            stats = changes.agg(*aggs).collect()[0]
+            touched = (
+                sorted(int(b) for b in stats["_bs"]) if same_layout else None
+            )
             old = (
                 self.main.read(
                     spark, version=cur["cursor_version"], buckets=touched
@@ -190,7 +194,7 @@ class SecondaryIndex:
             # the batch id carries the POST-refresh cursor: it lands in the
             # ledger in the same atomic commit as the entries (see module
             # docstring), so _cursor() recovery can never lag the data.
-            hi = changes.agg(F.max("source_lsn")).collect()[0][0]
+            hi = stats["_hi"]
             to_lsn = int(hi) if hi is not None else cur["cursor_lsn"]
             batch_id = f"{cur['seq'] + 1}.idx{to_lsn}_{head_version}"
             metrics = self.table.merge(spark, entries, batch_id)

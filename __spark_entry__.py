@@ -150,6 +150,40 @@ def q_cdc_merge_into_lake(spark, sf_dir):
     )
 
 
+def q_cdc_expire_versions(spark, sf_dir):
+    """Snapshot expiry mid-ingest: the feed lands in two micro-batches with
+    a compaction between them, then expire_versions(keep_last=1) prunes the
+    commit log and reclaims the superseded pre-compaction deltas (asserted
+    in-query) — and the surviving read still equals the full-replay oracle.
+    Lifecycle maintenance must be invisible to correctness."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    hi = cl.agg(F.max("source_lsn")).collect()[0][0] or 0
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_expire_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= hi // 2), "b0")
+    tbl.compact(spark)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > hi // 2), "b1")
+    out = tbl.expire_versions(keep_last=1)
+    if out["data_files"] == 0 or out["commits"] == 0:
+        raise AssertionError(f"expiry reclaimed nothing: {out}")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_minimal_image(spark, sf_dir):
     """binlog_row_image=MINIMAL replay: updates carry only a rotating subset
     of columns (plus the PK) with a `_present` mask, deletes carry the key
@@ -1524,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
+        "cdc_expire_versions": q_cdc_expire_versions,
         "cdc_minimal_image": q_cdc_minimal_image,
         "cdc_rebucket_midstream": q_cdc_rebucket_midstream,
         "cdc_key_range_scan": q_cdc_key_range_scan,
@@ -1899,6 +1934,14 @@ WHERE rn <= 10
     return {
         "cdc_apply_changelog": final_state_sql,
         "cdc_merge_into_lake": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # expiry prunes history, not state: post-expiry read == full replay
+        "cdc_expire_versions": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot

@@ -114,6 +114,7 @@ HEADLINE = [
     "train_decontaminate",
     "train_shuffle_shard",
     "text_repetition",
+    "cdc_expire_versions",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

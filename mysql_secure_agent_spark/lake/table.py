@@ -349,6 +349,15 @@ class LakeTable:
         with open(self._current_path()) as f:
             return int(f.read().strip())
 
+    def version_floor(self) -> int:
+        """Oldest version still readable (time travel below it was expired
+        by ``expire_versions``); 0 when nothing has ever been expired."""
+        p = os.path.join(self._commits_dir, "FLOOR")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
     def commit_at(self, version: int | None = None, resolve: bool = True) -> Commit:
         """Load a commit. ``resolve=True`` materializes the full file listing
         from the manifest chain into ``commit.files`` (needed by readers,
@@ -358,6 +367,12 @@ class LakeTable:
         table size — at 10^10 events the listing is millions of entries while
         a merge only APPENDS a delta manifest."""
         v = self.current_version() if version is None else version
+        floor = self.version_floor()
+        if v < floor:
+            raise ValueError(
+                f"version {v} expired: expire_versions() retains only "
+                f"versions >= {floor} (time-travel floor)"
+            )
         with open(os.path.join(self._commits_dir, f"v{v:08d}.json")) as f:
             commit = Commit.from_json(f.read())
         if resolve and commit.manifests:  # resolve the manifest chain (adds only)
@@ -1570,6 +1585,79 @@ class LakeTable:
         )
         self._write_commit(new_commit)
         return new_commit.version
+
+    def expire_versions(self, keep_last: int = 8) -> dict[str, Any]:
+        """Snapshot expiry (Iceberg ``expireSnapshots`` analog): bound time
+        travel to the newest ``keep_last`` versions and reclaim everything
+        only the expired history references — data files superseded by
+        compaction/rebucket, expired commit JSONs, and manifests no retained
+        commit resolves through.
+
+        Without expiry the commit log and superseded files grow forever: at
+        10^10 events with per-micro-batch commits that is millions of commit
+        JSONs and every pre-compaction delta ever written. Expiry is the
+        lifecycle valve; ``vacuum()`` remains the narrower orphan sweep
+        (current-commit-only, no commit-log pruning).
+
+        Semantics kept intact:
+          * reads at any retained version are byte-identical (live set =
+            union of ALL retained commits' file listings);
+          * the changefeed is unaffected — ``read_changes`` resolves through
+            the CURRENT commit's manifest chain, which is always retained
+            (the changefeed_floor governs how far back cursors may reach,
+            independently of version expiry);
+          * ``commit_at``/``read``/``rollback`` below the floor raise a
+            clear error instead of FileNotFoundError.
+
+        Run it as offline maintenance (like ``vacuum``): an in-flight merge
+        stages data files before its commit exists, and a concurrent walk
+        would see them as unreferenced. The in-process commit lock is held
+        for the metadata swing; cross-process exclusion is the catalog's
+        job, exactly as for Iceberg.
+        """
+        with self._commit_lock:
+            cur = self.current_version()
+            floor = max(self.version_floor(), cur - keep_last + 1, 0)
+            retained: list[Commit] = []
+            for v in range(floor, cur + 1):
+                try:
+                    retained.append(self.commit_at(v))
+                except FileNotFoundError:
+                    continue  # version number was never written (sub-batches)
+            live_files = {
+                os.path.normpath(os.path.join(self.root, e["path"]))
+                for c in retained
+                for entries in c.files.values()
+                for e in entries
+            }
+            live_manifests = {m for c in retained for m in c.manifests}
+
+            removed = {"data_files": 0, "commits": 0, "manifests": 0}
+            for dirpath, _dirnames, filenames in os.walk(self._data_dir):
+                for fn in filenames:
+                    p = os.path.normpath(os.path.join(dirpath, fn))
+                    if p.endswith(".parquet") and p not in live_files:
+                        os.remove(p)
+                        removed["data_files"] += 1
+            for fn in os.listdir(self._commits_dir):
+                p = os.path.join(self._commits_dir, fn)
+                if fn.startswith("v") and fn.endswith(".json"):
+                    if int(fn[1:-5]) < floor:
+                        os.remove(p)
+                        removed["commits"] += 1
+                elif fn.startswith("m") and fn.endswith(".json"):
+                    if fn not in live_manifests:
+                        os.remove(p)
+                        removed["manifests"] += 1
+                        cache = getattr(self, "_manifest_cache", None)
+                        if cache is not None:
+                            cache.pop(fn, None)
+            tmp = os.path.join(self._commits_dir, "FLOOR.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(floor))
+            os.replace(tmp, os.path.join(self._commits_dir, "FLOOR"))
+        removed["floor"] = floor
+        return removed
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the current commit (orphans

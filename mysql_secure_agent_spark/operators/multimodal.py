@@ -9,11 +9,13 @@ tested. The codec layer is two-tier:
   (h, w, 3) uint8 array, and WAV (RIFF/fmt/data, 16-bit PCM) to an int16
   sample array. These are the wire formats a training pipeline's staging
   tier actually uses for decoded tensors at rest.
-* COMPRESSED formats (JPEG/PNG/OGG/MP4) still raise ``NotImplementedError``
-  from ``_decode_pixels`` — those codecs aren't in this container. Swap in a
-  PIL/ffmpeg call there; nothing else changes.
+* PNG decodes for real too — stdlib zlib + numpy (chunk walk, inflate, all
+  five row filters unfiltered): 8-bit gray/RGB/GA/RGBA, no interlace.
+* The remaining COMPRESSED formats (JPEG/GIF/OGG/MP4) raise
+  ``NotImplementedError`` from ``_decode_pixels`` — those codecs aren't in
+  this container. Swap in a PIL/ffmpeg call there; nothing else changes.
 
-``encode_ppm`` / ``encode_bmp`` / ``encode_wav`` synthesize deterministic
+``encode_ppm`` / ``encode_bmp`` / ``encode_png`` / ``encode_wav`` synthesize deterministic
 payloads (used by tests and the oracle-gated entry query: pixel values are
 affine in (x, y, channel) with no mod-256 wraparound, so a SQL oracle can
 verify the decoded checksum in closed form while Spark genuinely parses the
@@ -164,14 +166,107 @@ def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     return rate, n_ch, data
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): closest of left/up/up-left to a+b-c,
+    ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8, pure stdlib (zlib) + numpy — no PIL.
+
+    Supports the baseline still-image profile: 8-bit depth, color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace; all five
+    row filters (None/Sub/Up/Average/Paeth) are unfiltered. Alpha is
+    dropped and gray replicated so every image lands as (h, w, 3), the
+    shape the rest of the pipeline expects.
+
+    Filter math: Sub is a per-lane prefix sum (vectorized via cumsum mod
+    256), Up is one vector add; Average/Paeth have a true sequential
+    dependency along x and fall back to a per-byte loop — correct first,
+    and these rows are the minority in real encoders' output.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/GA/RGBA PNG supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub: per-lane prefix sum, uint8 wrap == mod 256
+            rec = np.cumsum(row.reshape(w, channels), axis=0).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential along x
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                b = prev[x]
+                if ftype == 3:
+                    rec[x] = row[x] + ((int(a) + int(b)) >> 1)
+                else:
+                    c = prev[x - channels] if x >= channels else 0
+                    rec[x] = row[x] + _paeth(int(a) & 0xFF, int(b) & 0xFF, int(c) & 0xFF)
+                rec[x] &= 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        rec = rec & 0xFF
+        recon[y] = rec.astype(np.uint8)
+        prev = rec
+    px = recon.reshape(h, w, channels)
+    if color_type == 0:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if color_type == 4:
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA minus alpha
+
+
 def _decode_pixels(payload: bytes, mime: str) -> np.ndarray:
-    """Decode an image payload to (h, w, 3) uint8. Real for the uncompressed
-    formats; compressed codecs are environment-blocked (no PIL/ffmpeg in
+    """Decode an image payload to (h, w, 3) uint8. Real for PPM/BMP/PNG
+    (PNG via stdlib zlib); JPEG/GIF stay environment-blocked (no PIL in
     this container) — plug them in here."""
     if mime == "image/x-portable-pixmap":
         return _decode_ppm(payload)
     if mime == "image/bmp":
         return _decode_bmp(payload)
+    if mime == "image/png":
+        return _decode_png(payload)
     raise NotImplementedError(
         f"media codec for {mime} not available in this environment; "
         "plug PIL/ffmpeg into multimodal._decode_pixels"
@@ -206,6 +301,65 @@ def encode_bmp(w: int, h: int, start: int) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h,
                        2835, 2835, 0, 0)
     return header + info + raster.tobytes()
+
+
+def encode_png(
+    w: int,
+    h: int,
+    start: int,
+    color_type: int = 2,
+    filter_cycle: tuple[int, ...] = (0, 1, 2, 3, 4),
+) -> bytes:
+    """PNG with the same affine raster as encode_ppm (pixel(x, y, c) =
+    start + x + y + c), stdlib zlib only. Rows cycle through
+    ``filter_cycle`` so a decoder must get every filter type right — the
+    encode direction is fully vectorized (filtering has no sequential
+    dependency; only DEcoding does)."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    y, x, c = np.ogrid[0:h, 0:w, 0:channels]
+    img = (start + x + y + c).astype(np.uint8)  # caller avoids wraparound
+    raster = img.reshape(h, w * channels).astype(np.int64)
+    up = np.vstack([np.zeros((1, w * channels), dtype=np.int64), raster[:-1]])
+    left = np.zeros_like(raster)
+    left[:, channels:] = raster[:, :-channels]
+    ul = np.zeros_like(raster)
+    ul[1:, channels:] = raster[:-1, :-channels]
+    # Paeth predictor, vectorized over the whole raster
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+    filtered_by_type = {
+        0: raster,
+        1: raster - left,
+        2: raster - up,
+        3: raster - ((left + up) >> 1),
+        4: raster - paeth,
+    }
+    out = bytearray()
+    for yy in range(h):
+        f = filter_cycle[yy % len(filter_cycle)]
+        out.append(f)
+        out += (filtered_by_type[f][yy] & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_wav(n_samples: int, start: int, rate: int = 8000) -> bytes:

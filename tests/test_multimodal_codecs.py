@@ -123,8 +123,78 @@ def test_decode_audio_batch(spark):
 
 def test_compressed_formats_still_raise(spark):
     df = spark.createDataFrame(
-        [(1, "image", b"\x89PNG\r\n\x1a\n12345", None)],
+        [(1, "image", b"\xff\xd8\xff\xe0fakejpeg", None)],
         "media_id long, kind string, payload binary, meta map<string,string>",
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_image_batch(df).collect()
+
+
+# ------------------------------------------------------------------ PNG
+def test_png_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    from mysql_secure_agent_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    for ct in (0, 2, 4, 6):
+        for cyc in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+            img = _decode_png(encode_png(7, 11, 30, color_type=ct, filter_cycle=cyc))
+            assert img.shape == (11, 7, 3)
+            y, x, c = np.ogrid[0:11, 0:7, 0:3]
+            if ct in (0, 4):  # gray replicated across channels
+                want = np.repeat((30 + x[..., :1] + y).astype(np.uint8), 3, axis=2)
+            else:
+                want = (30 + x + y + c).astype(np.uint8)
+            assert (img == want).all(), (ct, cyc)
+
+
+def test_png_matches_ppm_content():
+    from mysql_secure_agent_spark.operators.multimodal import (
+        _decode_png,
+        _decode_ppm,
+        encode_png,
+    )
+
+    assert (_decode_png(encode_png(5, 4, 10)) == _decode_ppm(encode_ppm(5, 4, 10))).all()
+
+
+def test_png_interlace_rejected():
+    import struct
+    import zlib
+
+    from mysql_secure_agent_spark.operators.multimodal import _decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlace"):
+        _decode_png(p)
+
+
+def test_decode_image_batch_includes_png(spark):
+    from mysql_secure_agent_spark.operators.multimodal import encode_png
+
+    df = spark.createDataFrame(
+        [(9, "image", encode_png(6, 5, 40), None)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    row = decode_image_batch(df).collect()[0]
+    assert (row["width"], row["height"]) == (6, 5)
+    w, h, s = 6, 5, 40
+    assert row["pix_sum"] == (
+        3 * w * h * s + 3 * h * (w * (w - 1) // 2) + 3 * w * (h * (h - 1) // 2)
+        + 3 * w * h
+    )

@@ -1098,6 +1098,27 @@ def q_train_corpus_prep(spark, sf_dir):
     ).filter(F.col("quality") >= 0.55)
 
 
+def q_train_corpus_prep_sharded(spark, sf_dir):
+    """The corpus-prep chain's production tail: dedup→cluster→quality
+    survivors (q_train_corpus_prep) are DECONTAMINATED against the eval
+    split (any trigram overlap removes the doc) and the clean remainder
+    gets deterministic training shards + sort keys. Proves the r4 corpus
+    ops compose with the existing chain, end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    prep = q_train_corpus_prep(spark, sf_dir).filter(F.col("doc_id") % 17 != 0)
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr_docs = docs.join(prep.select("doc_id"), "doc_id", "leftsemi")
+    flags = decontaminate(tr_docs, ev, n=3, min_hits=1)
+    clean = prep.join(
+        flags.filter(~F.col("contaminated")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "leftsemi",
+    )
+    return shuffle_shard(clean, n_shards=8, seed=17).select(
+        "doc_id", "lang", "n_tokens", "quality", "shard", "sort_key"
+    )
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     return minhash_signature(_t(spark, sf_dir, "documents"), num_hashes=16)
 
@@ -1608,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_keep": q_dedup_cluster_keep,
         "train_corpus_prep": q_train_corpus_prep,
+        "train_corpus_prep_sharded": q_train_corpus_prep_sharded,
         "train_decontaminate": q_train_decontaminate,
         "train_shuffle_shard": q_train_shuffle_shard,
         "text_repetition": q_text_repetition,
@@ -1812,7 +1834,9 @@ WHERE c.component IS NULL OR c.component = d.doc_id
 """
     # same chain as the Spark composition: exact-dedup survivors feed the
     # shingle/pair/closure stages, and only near-dup survivors are scored.
-    corpus_prep_sql = f"""
+    # shared CTE chain for the corpus-prep composition; the plain query and
+    # the sharded extension both build on it (one source of truth)
+    corpus_prep_ctes = f"""
 WITH RECURSIVE ex AS (
   SELECT * FROM documents
   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
@@ -1860,14 +1884,46 @@ m AS (
     END AS stop_frac
   FROM b
 )
-SELECT doc_id, lang, n_tokens, quality FROM (
-  SELECT doc_id, lang, n_tokens,
-    round(0.4 * least(n_tokens / 100.0, 1.0)
-        + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-        + 0.3 * least(stop_frac * 4, 1.0), 6) AS quality
-  FROM m
-) WHERE quality >= 0.55
+, prepped AS (
+  SELECT doc_id, lang, n_tokens, quality FROM (
+    SELECT doc_id, lang, n_tokens,
+      round(0.4 * least(n_tokens / 100.0, 1.0)
+          + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+          + 0.3 * least(stop_frac * 4, 1.0), 6) AS quality
+    FROM m
+  ) WHERE quality >= 0.55
+)"""
+    corpus_prep_sql = corpus_prep_ctes + "\nSELECT * FROM prepped\n"
+    # … then decontaminate the survivors against the eval split and assign
+    # deterministic training shards — the full pipeline tail
+    corpus_prep_sharded_sql = (
+        corpus_prep_ctes
+        + f""",
+ev2 AS (
+  SELECT DISTINCT unnest({_SHINGLES_SQL}) AS sh
+  FROM (SELECT {_TOKS_SQL} AS toks FROM documents WHERE doc_id % 17 = 0)
+),
+trd AS (
+  SELECT d.doc_id AS id, {_TOKS_SQL} AS toks
+  FROM documents d JOIN prepped p ON p.doc_id = d.doc_id
+  WHERE d.doc_id % 17 <> 0
+),
+post2 AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM trd),
+cont AS (
+  SELECT id FROM post2 WHERE sh IN (SELECT sh FROM ev2) GROUP BY id
+),
+clean AS (
+  SELECT p.* FROM prepped p
+  WHERE p.doc_id % 17 <> 0 AND p.doc_id NOT IN (SELECT id FROM cont)
+)
+SELECT doc_id, lang, n_tokens, quality,
+       CAST(((instr('0123456789abcdef', substr(k, 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(k, 2, 1)) - 1)) % 8
+            AS INTEGER) AS shard,
+       k AS sort_key
+FROM (SELECT c.*, md5('17:' || CAST(doc_id AS VARCHAR)) AS k FROM clean c)
 """
+    )
     r_rows = 4
     band_keys = ", ".join(
         "concat_ws(':', '%d', %s)"
@@ -2362,6 +2418,7 @@ FROM documents GROUP BY md5(text)
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_cluster_keep": cluster_sql,
         "train_corpus_prep": corpus_prep_sql,
+        "train_corpus_prep_sharded": corpus_prep_sharded_sql,
         # same trigram definition as the dedup family; eval = doc_id % 17 == 0
         "train_decontaminate": f"""
 WITH ev AS (

@@ -115,6 +115,7 @@ HEADLINE = [
     "train_shuffle_shard",
     "text_repetition",
     "cdc_expire_versions",
+    "train_corpus_prep_sharded",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

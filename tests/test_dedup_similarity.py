@@ -262,9 +262,10 @@ def test_extract_media_meta(spark):
     assert out[1]["sha256"] == hashlib.sha256(png).hexdigest()
 
 
-def test_decode_image_batch_is_stubbed(spark):
+def test_decode_image_batch_envblocked_formats_raise(spark):
+    # PNG decodes for real now (stdlib zlib); JPEG remains env-blocked
     df = spark.createDataFrame(
-        [(1, "image", b"\x89PNG\r\n\x1a\n12345", None)],
+        [(1, "image", b"\xff\xd8\xff\xe0fakejpeg", None)],
         "media_id long, kind string, payload binary, meta map<string,string>",
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):

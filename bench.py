@@ -19,7 +19,7 @@ Measures:
    PRE-REGISTERED sampling design (fixed before any measurement; nothing is
    conditioned on the interim metric value — the r2 adaptive
    sample-until-pass loop is gone):
-     * SPARK_GRAFT_BENCH_REPS (default 6) interleaved (low, high) JVM pairs;
+     * SPARK_GRAFT_BENCH_REPS (default 7) interleaved (low, high) JVM pairs;
      * each JVM first runs ONE UNTIMED full-size warmup replay (position-
        based, value-blind — instrumented r4 runs showed the first full-size
        replay of a fresh JVM burning 1.9-2.6× the CPU of later replays
@@ -33,7 +33,7 @@ Measures:
        intermittent 30-50 s ParallelGC storms inside single reps — the
        other big source of high-level-only wall variance;
      * the only early stop is a metric-BLIND wall budget
-       (SPARK_GRAFT_BENCH_BUDGET, default 2400 s): after a completed pair,
+       (SPARK_GRAFT_BENCH_BUDGET, default 3600 s): after a completed pair,
        if elapsed > budget and both levels have ≥ 2 JVM runs, stop.
    Every wall sample is recorded. Efficiency is reported three ways over the
    full sample set: NESTED MEDIAN (per-JVM median of replays, then the median
@@ -55,7 +55,7 @@ measured table.
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32, headline
 queries), SPARK_GRAFT_HIGH_CPUS (default 16) / low = high//4 (CDC levels),
 SPARK_GRAFT_BENCH_EVENTS (default 640M·sf), SPARK_GRAFT_BENCH_REPS (default
-3 pairs), SPARK_GRAFT_BENCH_JVM_REPS (default 3), SPARK_GRAFT_BENCH_MEM (24g).
+7 pairs), SPARK_GRAFT_BENCH_JVM_REPS (default 3), SPARK_GRAFT_BENCH_MEM (24g).
 """
 
 from __future__ import annotations
@@ -195,21 +195,34 @@ def main() -> None:
     feed_dir = os.path.join(work_dir, "feed")
 
     # ---- distributed deterministic feed generation (not timed) -------------
-    from mysql_secure_agent_spark.sources.changelog_spark import write_feed_spark
+    # In a SUBPROCESS so its JVM fully exits before any measurement: a
+    # spark.stop()'d in-process session keeps its JVM alive until python
+    # exits (py4j gateway), and an instrumented run caught that lingering
+    # 24 GiB JVM burning a full core through the entire scaling phase.
+    import subprocess
 
+    repo0 = os.path.dirname(os.path.abspath(__file__))
     if not os.path.exists(os.path.join(feed_dir, "data", "_SUCCESS")):
-        spark = _make_session(cpus, work_dir)
-        write_feed_spark(
-            spark,
-            feed_dir,
-            n_events=n_events,
-            n_convs=max(200, n_events // 50),
-            n_files=64,
-            zipf_s=1.2,
-            seed=42,
-            strict_ops=False,  # shuffle-free generation at 10^8 scale
+        genv = dict(
+            os.environ,
+            CDC_FEED=feed_dir,
+            CDC_EVENTS=str(n_events),
+            CDC_GEN_CORES=str(cpus),
+            CDC_WORK=work_dir,
+            CDC_MEM=MEM,
         )
-        spark.stop()
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo0, "tools", "gen_feed.py")],
+            env=genv,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if r.returncode != 0 or not os.path.exists(
+            os.path.join(feed_dir, "data", "_SUCCESS")
+        ):
+            sys.stderr.write(r.stderr[-2000:] + "\n")
+            raise RuntimeError("feed generation failed")
 
     # ---- CDC throughput at two parallelism levels (same input) -------------
     # Each (level, rep) runs in a FRESH process pinned with taskset to
@@ -283,7 +296,7 @@ def main() -> None:
     # metric-blind: a wall budget checked after completed pairs (host
     # contention phases can inflate a pair 3×; stopping on elapsed time does
     # not condition on the efficiency value). No extension, no resampling.
-    # 3600 s: sized so the 6 pre-registered pairs COMPLETE even when a host
+    # 3600 s: sized so the 7 pre-registered pairs COMPLETE even when a host
     # contention phase inflates pair walls ~1.5× (a 2400 s budget cut one
     # recorded run to 2 pairs — 6 samples/level leaves the median hostage to
     # a single bad phase). The stop remains metric-blind: elapsed time only.

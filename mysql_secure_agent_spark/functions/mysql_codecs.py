@@ -320,8 +320,15 @@ def wkb_linestring(points: list[tuple[float, float]]) -> bytes:
 
 
 def _fmt_coord(x: float) -> str:
-    # %g with -0 normalized, matching integer-valued coordinate rendering
-    return f"{x + 0.0 if x != 0 else 0.0:g}"
+    """Shortest round-trip rendering (repr) with -0 normalized and
+    integer-valued doubles printed without the trailing '.0' — full double
+    precision, matching MySQL's ST_AsText (the earlier %g formatting
+    silently truncated to 6 significant digits, corrupting any real-world
+    coordinate like 139.6917)."""
+    x = x + 0.0 if x != 0 else 0.0  # -0.0 -> 0.0
+    if x == int(x) and abs(x) < 1e16:
+        return str(int(x))
+    return repr(x)
 
 
 def wkb_to_wkt(payload: bytes) -> str:

@@ -126,7 +126,15 @@ class SecondaryIndex:
             return {"skipped": True, "reason": "index already at main head"}
         keys = main_commit.key_cols
 
-        changes = self.main.read_changes(spark, since_lsn=cur["cursor_lsn"])
+        # Pin the feed read to the SAME snapshot as head_version: a merge
+        # landing between commit_at() above and this read would otherwise
+        # slip events into the delta that the recorded cursor_version does
+        # not cover — the next refresh's "old value" time-travel read would
+        # then miss that value's stale index entry forever (reachable now
+        # that multi-shard merges run concurrently).
+        changes = self.main.read_changes(
+            spark, since_lsn=cur["cursor_lsn"], version=head_version
+        )
         changes = changes.persist()
         try:
             # old (value, key) pairs: main table AT THE CURSOR VERSION,

@@ -478,6 +478,49 @@ class LakeTable:
             f.write(str(commit.version))
         os.replace(cur_tmp, self._current_path())  # atomic pointer swing
 
+    def _walk_written(
+        self,
+        out_dir: str,
+        rel_dir: str,
+        kind: str,
+        footer_lsn_stats: bool = False,
+        key_stats_cols: list[str] | None = None,
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Manifest entries for the ``_bucket=``-partitioned parquet files a
+        rewrite just wrote under ``out_dir`` — the ONE implementation every
+        rewrite path (merge, compact, rebucket, purge, modify) records its
+        files through, so a new stats field lands in all manifests at once
+        instead of silently diverging between them. ``footer_lsn_stats``
+        reads each file's footer for its lsn range (base rewrites; deltas
+        get exact batch-level stamps from the merge Observation instead);
+        ``key_stats_cols`` additionally records per-file key min/max for
+        listing-level range pruning of key-sorted files."""
+        files: dict[str, list[dict[str, Any]]] = {}
+        for d in sorted(os.listdir(out_dir)):
+            if not d.startswith("_bucket="):
+                continue
+            b = str(int(d.split("=")[1]))
+            for fn in sorted(os.listdir(os.path.join(out_dir, d))):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(rel_dir, d, fn)
+                abs_p = os.path.join(self.root, p)
+                entry: dict[str, Any] = {
+                    "path": p,
+                    "kind": kind,
+                    "bytes": os.path.getsize(abs_p),
+                }
+                if footer_lsn_stats:
+                    _, _, mn, mx = _footer_stats([abs_p])
+                    if mn is not None and mx is not None:
+                        entry["lsn_min"], entry["lsn_max"] = int(mn), int(mx)
+                if key_stats_cols:
+                    ks = _file_key_stats(abs_p, key_stats_cols)
+                    if ks:
+                        entry["key_stats"] = ks
+                files.setdefault(b, []).append(entry)
+        return files
+
     # ------------------------------------------------------------- bucketing
     def _bucket_expr(self, commit: Commit) -> F.Column:
         """bucket = pmod(hash(bucket_cols), n_buckets), dispatched on the
@@ -645,6 +688,7 @@ class LakeTable:
         since_lsn: int,
         to_lsn: int | None = None,
         strategy: str = "max_by",
+        version: int | None = None,
     ) -> DataFrame:
         """Incremental changefeed OUT of the lake: the net change per key in
         ``(since_lsn, to_lsn]`` as changelog rows (``op`` U/D + payload +
@@ -667,8 +711,15 @@ class LakeTable:
         — the reference reconnect path surfaces it rather than silently
         missing deletes). Poll faster than you compact, or gate compaction
         on downstream cursors.
+        ``version`` pins the read to that committed snapshot (time-travel
+        changefeed). An incremental maintainer that captures the head
+        version and THEN reads the feed must pass it: a merge landing in
+        between would otherwise slip events into the delta that the
+        recorded cursor version does not cover — and with multi-shard
+        namespaced lsns a ``to_lsn`` bound cannot exclude them (per-shard
+        lsn sequences are not globally ordered across commits).
         """
-        commit = self.commit_at()
+        commit = self.commit_at(version)
         if since_lsn < commit.changefeed_floor:
             raise ValueError(
                 f"changefeed cursor {since_lsn} predates compacted history "
@@ -794,38 +845,28 @@ class LakeTable:
             deduped = post_dedup_transform(deduped)
         with_bucket = deduped.withColumn("_bucket", self._bucket_expr(commit))
 
-        # Data dir is keyed by BATCH, not by version: the version is only
+        # Data dir is keyed by batch AND attempt: the version is only
         # assigned under the commit lock AFTER the write, so concurrent
-        # merges (multi-shard ingest) never race on a directory, and a
-        # replay after a crash-before-commit simply overwrites its own
-        # partial staging dir (deterministic name per batch_id).
+        # merges (multi-shard ingest) never race on a directory. The attempt
+        # suffix matters for DUPLICATE submissions of the same batch_id (a
+        # replay racing an in-flight first attempt): with a purely
+        # batch-deterministic dir, the loser's mode("overwrite") write
+        # clobbers — and its losing-path rmtree then deletes — the very
+        # files the winner's commit manifest references. Each attempt stages
+        # privately; a crashed attempt's orphan dir is unreferenced by any
+        # commit and is exactly what vacuum()/expire_versions() reclaim.
         batch_tag = hashlib.sha1(batch_id.encode()).hexdigest()[:16]
-        rel_dir = os.path.join("data", f"b{batch_tag}")
+        attempt_tag = uuid.uuid4().hex[:8]
+        rel_dir = os.path.join("data", f"b{batch_tag}_{attempt_tag}")
         out_dir = os.path.join(self.root, rel_dir)
         # No repartition here: merge() already clustered the batch on
         # bucket_cols (single fused exchange), so partition id == _bucket and
         # partitionBy writes exactly one file per bucket per commit.
         with_bucket.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
-        delta: dict[str, list[dict[str, Any]]] = {}
-        n_files = 0
-        touched: list[int] = []
-        for d in sorted(os.listdir(out_dir)):
-            if not d.startswith("_bucket="):
-                continue
-            b = str(int(d.split("=")[1]))
-            touched.append(int(b))
-            for fn in sorted(os.listdir(os.path.join(out_dir, d))):
-                if fn.endswith(".parquet"):
-                    p = os.path.join(rel_dir, d, fn)
-                    delta.setdefault(b, []).append(
-                        {
-                            "path": p,
-                            "kind": "delta",
-                            "bytes": os.path.getsize(os.path.join(self.root, p)),
-                        }
-                    )
-                    n_files += 1
+        delta = self._walk_written(out_dir, rel_dir, "delta")
+        touched = sorted(int(b) for b in delta)
+        n_files = sum(len(es) for es in delta.values())
         try:
             stats = obs_out.get
             n_in = obs_in.get["rows_in"]
@@ -1129,26 +1170,11 @@ class LakeTable:
             for b, entries in commit.files.items()
             if int(b) not in todo
         }
-        for d in sorted(os.listdir(out_dir)):
-            if not d.startswith("_bucket="):
-                continue
-            b = str(int(d.split("=")[1]))
-            for fn in sorted(os.listdir(os.path.join(out_dir, d))):
-                if fn.endswith(".parquet"):
-                    p = os.path.join(rel_dir, d, fn)
-                    abs_p = os.path.join(self.root, p)
-                    _, _, mn, mx = _footer_stats([abs_p])
-                    entry: dict[str, Any] = {
-                        "path": p,
-                        "kind": "base",
-                        "bytes": os.path.getsize(abs_p),
-                    }
-                    if mn is not None and mx is not None:
-                        entry["lsn_min"], entry["lsn_max"] = int(mn), int(mx)
-                    ks = _file_key_stats(abs_p, commit.key_cols)
-                    if ks:
-                        entry["key_stats"] = ks
-                    files.setdefault(b, []).append(entry)
+        for b, es in self._walk_written(
+            out_dir, rel_dir, "base",
+            footer_lsn_stats=True, key_stats_cols=commit.key_cols,
+        ).items():
+            files.setdefault(b, []).extend(es)
         # compaction rewrites the referenced file set → reset the manifest
         # chain to one full manifest (the Iceberg-style consolidation point)
         new_commit = Commit(
@@ -1245,26 +1271,11 @@ class LakeTable:
                 .withColumn("_bucket", new_bucket)
             )
             reconciled.write.partitionBy("_bucket").parquet(out_dir)
-            for d in sorted(os.listdir(out_dir)):
-                if not d.startswith("_bucket="):
-                    continue
-                b = str(int(d.split("=")[1]))
-                for fn in sorted(os.listdir(os.path.join(out_dir, d))):
-                    if fn.endswith(".parquet"):
-                        p = os.path.join(rel_dir, d, fn)
-                        abs_p = os.path.join(self.root, p)
-                        _, _, mn, mx = _footer_stats([abs_p])
-                        entry: dict[str, Any] = {
-                            "path": p,
-                            "kind": "base",
-                            "bytes": os.path.getsize(abs_p),
-                        }
-                        if mn is not None and mx is not None:
-                            entry["lsn_min"], entry["lsn_max"] = int(mn), int(mx)
-                        ks = _file_key_stats(abs_p, commit.key_cols)
-                        if ks:
-                            entry["key_stats"] = ks
-                        files.setdefault(b, []).append(entry)
+            for b, es in self._walk_written(
+                out_dir, rel_dir, "base",
+                footer_lsn_stats=True, key_stats_cols=commit.key_cols,
+            ).items():
+                files.setdefault(b, []).extend(es)
 
         new_commit = Commit(
             version=version,
@@ -1401,15 +1412,7 @@ class LakeTable:
             rel_dir = os.path.join("data", f"v{version:08d}")
             out_dir = os.path.join(self.root, rel_dir)
             rewritten.write.partitionBy("_bucket").parquet(out_dir)
-            for d in sorted(os.listdir(out_dir)):
-                if not d.startswith("_bucket="):
-                    continue
-                b = str(int(d.split("=")[1]))
-                for fn in sorted(os.listdir(os.path.join(out_dir, d))):
-                    if fn.endswith(".parquet"):
-                        files.setdefault(b, []).append(
-                            {"path": os.path.join(rel_dir, d, fn), "kind": "delta"}
-                        )
+            files = self._walk_written(out_dir, rel_dir, "delta")
         new_commit = Commit(
             version=version,
             schema=commit.schema,
@@ -1459,15 +1462,7 @@ class LakeTable:
             rel_dir = os.path.join("data", f"v{version:08d}")
             out_dir = os.path.join(self.root, rel_dir)
             casted.write.partitionBy("_bucket").parquet(out_dir)
-            for d in sorted(os.listdir(out_dir)):
-                if not d.startswith("_bucket="):
-                    continue
-                b = str(int(d.split("=")[1]))
-                for fn in sorted(os.listdir(os.path.join(out_dir, d))):
-                    if fn.endswith(".parquet"):
-                        files.setdefault(b, []).append(
-                            {"path": os.path.join(rel_dir, d, fn), "kind": "delta"}
-                        )
+            files = self._walk_written(out_dir, rel_dir, "delta")
         new_commit = Commit(
             version=version,
             schema=new_schema,
@@ -1632,6 +1627,15 @@ class LakeTable:
             }
             live_manifests = {m for c in retained for m in c.manifests}
 
+            # Persist the floor BEFORE deleting anything: a crash mid-sweep
+            # then leaves sub-floor access raising the clear expired-version
+            # error (not a raw FileNotFoundError on a half-deleted commit),
+            # and re-running expire_versions finishes the cleanup.
+            tmp = os.path.join(self._commits_dir, "FLOOR.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(floor))
+            os.replace(tmp, os.path.join(self._commits_dir, "FLOOR"))
+
             removed = {"data_files": 0, "commits": 0, "manifests": 0}
             for dirpath, _dirnames, filenames in os.walk(self._data_dir):
                 for fn in filenames:
@@ -1652,10 +1656,6 @@ class LakeTable:
                         cache = getattr(self, "_manifest_cache", None)
                         if cache is not None:
                             cache.pop(fn, None)
-            tmp = os.path.join(self._commits_dir, "FLOOR.tmp")
-            with open(tmp, "w") as f:
-                f.write(str(floor))
-            os.replace(tmp, os.path.join(self._commits_dir, "FLOOR"))
         removed["floor"] = floor
         return removed
 

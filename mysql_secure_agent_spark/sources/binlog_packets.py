@@ -541,14 +541,35 @@ def packets_to_changelog(
         if (ev.schema_name, ev.table_name) != (schema_name, table_name):
             continue
         op = {"insert": "I", "update": "U", "delete": "D"}[ev.kind]
-        present = [
-            column_names[c] for c in ev.included_columns if c < len(column_names)
+        # Under binlog_row_image=MINIMAL an UPDATE's after-image carries only
+        # the columns the statement SET — the primary key travels in the
+        # BEFORE-image (its own bitmap), unless the statement changed it. A
+        # column present in the before-image but absent from the after-image
+        # was unchanged by the update, so its before value is current: merge
+        # it in (under FULL the after-image has every column and this is a
+        # no-op). Without the merge, MINIMAL updates emit NULL key columns
+        # and the downstream keyed merge collapses them onto garbage keys.
+        new_set = set(ev.included_columns)
+        old_only = [
+            c
+            for c in (ev.included_columns_old or [])
+            if c not in new_set and c < len(column_names)
         ]
-        for row in ev.new_rows:
+        present_cols = sorted(
+            {c for c in ev.included_columns if c < len(column_names)}
+            | set(old_only)
+        )
+        present = [column_names[c] for c in present_cols]
+        old_pos = {c: j for j, c in enumerate(ev.included_columns_old or [])}
+        for idx, row in enumerate(ev.new_rows):
             rec = {"op": op, "source_lsn": lsn}
             for i, col in enumerate(ev.included_columns):
                 if col < len(column_names):
                     rec[column_names[col]] = row[i]
+            if op == "U" and old_only and idx < len(ev.old_rows):
+                old_row = ev.old_rows[idx]
+                for col in old_only:
+                    rec[column_names[col]] = old_row[old_pos[col]]
             if emit_presence:
                 rec["_present"] = list(present)
             out.append(rec)

@@ -114,3 +114,20 @@ def test_compacted_base_entries_carry_lsn_stats(spark, tbl3):
     entries = [e for es in tbl3.commit_at().files.values() for e in es]
     assert entries and all(e["kind"] == "base" for e in entries)
     assert all(e.get("lsn_max") is not None for e in entries)
+
+
+def test_read_changes_version_pin(spark, tbl3):
+    """version= pins the feed to a committed snapshot: a merge landing after
+    the pin is invisible, so an incremental maintainer's (cursor_version,
+    delta) pair is consistent even when merges race the refresh."""
+    v = tbl3.current_version()
+    tbl3.merge(spark, _cl(spark, [("U", 4, "d9", 31)]), "4")
+
+    pinned = {r["k"]: r["v"] for r in
+              tbl3.read_changes(spark, since_lsn=4, version=v).collect()}
+    assert 4 not in pinned  # lsn-31 event invisible at the pinned snapshot
+    assert pinned and set(pinned) == {1, 2, 3, 5}
+
+    head = {r["k"]: r["v"] for r in
+            tbl3.read_changes(spark, since_lsn=4).collect()}
+    assert head[4] == "d9"

@@ -112,3 +112,36 @@ def test_expire_after_rebucket_reclaims_old_layout(spark, tmp_path):
     # lookups still bucket-prune correctly under the new layout
     row = tbl.lookup(spark, {"id": 8}).collect()
     assert len(row) == 1
+
+
+def test_expire_crash_mid_sweep_is_resumable(spark, tmp_path, monkeypatch):
+    """FLOOR persists BEFORE any deletion: a crash mid-sweep must leave
+    sub-floor access raising the clear expired-version error (not a raw
+    FileNotFoundError on a half-deleted commit), and a re-run finishes."""
+    import os as _os
+
+    tbl = _mk(spark, tmp_path, n_batches=3)
+    cur = tbl.current_version()
+
+    real_remove = _os.remove
+    calls = {"n": 0}
+
+    def dying_remove(p):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise OSError("simulated crash mid-sweep")
+        real_remove(p)
+
+    monkeypatch.setattr("mysql_secure_agent_spark.lake.table.os.remove", dying_remove)
+    with pytest.raises(OSError, match="simulated"):
+        tbl.expire_versions(keep_last=1)
+    monkeypatch.undo()
+
+    # floor already persisted → clear error, not FileNotFoundError
+    assert tbl.version_floor() == cur
+    with pytest.raises(ValueError, match="expired"):
+        tbl.read(spark, version=cur - 1)
+    # re-run completes the sweep; current read unaffected
+    out = tbl.expire_versions(keep_last=1)
+    assert out["floor"] == cur
+    assert tbl.read(spark).count() > 0

@@ -119,3 +119,91 @@ def test_group_resurrection_after_tombstone(spark, tmp_path):
     base.merge(spark, _cl(spark, [("I", 7, 3, 42, 3)]), "b2")
     refresh_aggregate(spark, base, agg, ["user_id"], _aggs(), 2, 3, "r2")
     assert _view(spark, agg) == {7: (1, 42, 42)}
+
+
+def test_refresh_nonkey_group_requires_prev_version(spark, tmp_path):
+    base, _ = _mk(tmp_path, "nk0")
+    agg = LakeTable.create(
+        str(tmp_path / "nk0_v"),
+        T.StructType(
+            [
+                T.StructField("score", T.LongType(), False),
+                T.StructField("n", T.LongType(), True),
+            ]
+        ),
+        ["score"],
+        n_buckets=4,
+    )
+    base.merge(spark, _cl(spark, [("I", 1, 0, 10, 1)]), "b0")
+    with pytest.raises(ValueError, match="prev_version"):
+        refresh_aggregate(
+            spark, base, agg, ["score"], [F.count(F.lit(1)).alias("n")], 0, 1, "r0"
+        )
+
+
+def test_refresh_nonkey_group_move_and_delete(spark, tmp_path):
+    """A row's group value moves 10→99 and a 20-group row is deleted: both
+    OLD groups must be recomputed/tombstoned, which only works because the
+    refresher reads the changed keys' previous images at prev_version (the
+    changefeed alone names only the NEW groups)."""
+    base, _ = _mk(tmp_path, "nk1")
+    agg = LakeTable.create(
+        str(tmp_path / "nk1_v"),
+        T.StructType(
+            [
+                T.StructField("score", T.LongType(), False),
+                T.StructField("n", T.LongType(), True),
+            ]
+        ),
+        ["score"],
+        n_buckets=4,
+    )
+    naggs = [F.count(F.lit(1)).alias("n")]
+    v_start = base.current_version()
+    base.merge(
+        spark,
+        _cl(spark, [("I", 1, 0, 10, 1), ("I", 1, 1, 10, 2), ("I", 2, 0, 20, 3)]),
+        "b0",
+    )
+    v0 = base.current_version()
+    refresh_aggregate(
+        spark, base, agg, ["score"], naggs, 0, 3, "r0", prev_version=v_start
+    )
+    assert {r["score"]: r["n"] for r in agg.read(spark).collect()} == {10: 2, 20: 1}
+
+    base.merge(
+        spark, _cl(spark, [("U", 1, 0, 99, 4), ("D", 2, 0, None, 5)]), "b1"
+    )
+    refresh_aggregate(
+        spark, base, agg, ["score"], naggs, 3, 5, "r1", prev_version=v0
+    )
+    got = {r["score"]: r["n"] for r in agg.read(spark).collect()}
+    direct = {
+        r["score"]: r["n"]
+        for r in base.read(spark).groupBy("score").agg(*naggs).collect()
+    }
+    assert got == direct == {10: 1, 99: 1}  # 20 tombstoned, 10 decremented
+
+
+def test_refresh_bucket_pruned_when_group_is_bucket(spark, tmp_path):
+    """bucket_cols ⊆ group_cols ⇒ the base re-read is pruned to the dirty
+    groups' buckets at the listing level."""
+    base = LakeTable.create(
+        str(tmp_path / "bp_base"),
+        BASE_SCHEMA,
+        ["user_id", "slot"],
+        n_buckets=8,
+        bucket_cols=["user_id"],
+    )
+    agg = LakeTable.create(
+        str(tmp_path / "bp_agg"), AGG_SCHEMA, ["user_id"], n_buckets=4
+    )
+    rows = [("I", u, s, u * 10 + s, u * 4 + s + 1) for u in range(1, 9) for s in range(3)]
+    base.merge(spark, _cl(spark, rows), "b0")
+    refresh_aggregate(spark, base, agg, ["user_id"], _aggs(), 0, 100, "r0")
+    # touch one user only
+    base.merge(spark, _cl(spark, [("U", 3, 0, 999, 200)]), "b1")
+    m = refresh_aggregate(spark, base, agg, ["user_id"], _aggs(), 100, 200, "r1")
+    pruned = m["incremental_refresh"]["base_buckets_pruned_read"]
+    assert len(pruned) == 1  # one dirty user → one bucket read
+    assert _view(spark, agg) == _direct(spark, base)

@@ -292,3 +292,56 @@ def test_concurrent_merges_serialize_commits(spark, tmp_path):
     v = table.current_version()
     assert table.merge(spark, frames["a"], "batch-a")["skipped"]
     assert table.current_version() == v
+
+
+def test_concurrent_same_batch_merge_preserves_winner_files(spark, tmp_path):
+    """Two driver threads merging the SAME batch_id (a replay racing an
+    in-flight first attempt): exactly one commits, the loser reports
+    skipped — and, critically, the loser's cleanup must not clobber the
+    winner's committed files (attempt-unique staging dirs; a shared
+    batch-keyed dir would be overwritten and then rmtree'd by the loser)."""
+    import threading
+
+    from mysql_secure_agent_spark.sources.changelog import generate_changelog
+
+    spec = FeedSpec(n_events=800, n_convs=20, seed=43, conv_prefix="r")
+    table = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=8
+    )
+    cl, _ = generate_changelog(spec)
+    frame = spark.createDataFrame(cl)
+
+    results, errors = {}, []
+
+    def worker(name):
+        try:
+            results[name] = table.merge(spark, frame, "same-batch")
+        except Exception as e:  # pragma: no cover - surfaced by assert below
+            errors.append((name, e))
+
+    ts = [threading.Thread(target=worker, args=(n,)) for n in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    skips = [r for r in results.values() if r.get("skipped")]
+    commits = [r for r in results.values() if not r.get("skipped")]
+    assert len(commits) == 1 and len(skips) == 1
+    assert table.current_version() == 1
+
+    # every committed file must still exist and be readable end to end
+    resolved = table.commit_at()
+    for entries in resolved.files.values():
+        for e in entries:
+            assert os.path.exists(os.path.join(table.root, e["path"])), e["path"]
+    exp = oracle.replay(generate_changelog(spec)[0])
+    got = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, exp[got.columns.tolist()].reset_index(drop=True), check_dtype=False
+    )
+    # the loser's orphaned staging dir (if any) is reclaimable maintenance
+    table.vacuum()
+    assert table.read(spark).count() == len(got)

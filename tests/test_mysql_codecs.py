@@ -226,6 +226,19 @@ def test_geometry_golden_vector_mysql_docs():
     assert wkb_to_wkt(payload) == "POINT(1 -1)"
 
 
+def test_geometry_wkt_full_double_precision():
+    """Coordinates render at full double precision (shortest round-trip),
+    not %g's 6 significant digits — real GPS coordinates must survive."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        wkb_point,
+        wkb_to_wkt,
+    )
+
+    payload = (0).to_bytes(4, "little") + wkb_point(139.6917, -35.123456789)
+    assert wkb_to_wkt(payload) == "POINT(139.6917 -35.123456789)"
+    assert float(wkb_to_wkt(payload).split("(")[1].split(" ")[0]) == 139.6917
+
+
 def test_geometry_roundtrip_point_linestring_srid_and_nulls():
     from mysql_secure_agent_spark.functions.mysql_codecs import (
         GEOMETRY,

@@ -124,6 +124,34 @@ def test_packets_to_changelog_emits_presence():
     assert df.loc[1, "score"] == 20
 
 
+def test_packets_to_changelog_pk_from_before_image():
+    """TRUE MySQL MINIMAL contract: the UPDATE's after-image carries ONLY the
+    SET columns — the PK travels in the before-image. The emitter must merge
+    unchanged before-image columns in, or every such update emits a NULL key
+    and the keyed merge collapses them onto garbage keys."""
+    packets = [
+        (TABLE_MAP_EVENT, _tmap()),
+        (EXT_WRITE_ROWS, _single_body([0, 1, 2], {0: 7, 1: "a", 2: 10})),
+        # UPDATE t SET score=33 WHERE id=7 → before={id}, after={score} ONLY
+        (EXT_UPDATE_ROWS, _update_body([0], {0: 7}, [2], {2: 33})),
+    ]
+    df = packets_to_changelog(
+        packets, "s", "t", ["id", "name", "score"], emit_presence=True
+    )
+    u = df.iloc[1]
+    assert u["op"] == "U" and u["id"] == 7 and u["score"] == 33
+    assert pd.isna(u["name"])
+    assert list(u["_present"]) == ["id", "score"]
+    # a PK change: both images present, after-image key wins
+    packets2 = [
+        (TABLE_MAP_EVENT, _tmap()),
+        (EXT_UPDATE_ROWS, _update_body([0], {0: 7}, [0, 2], {0: 8, 2: 1})),
+    ]
+    df2 = packets_to_changelog(packets2, "s", "t", ["id", "name", "score"],
+                               emit_presence=True)
+    assert df2.iloc[0]["id"] == 8
+
+
 # ------------------------------------------------------------ fold semantics
 SCHEMA = T.StructType(
     [

@@ -46,7 +46,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .table import LakeTable, _type_from_ddl
+from ..operators.dedup_changelog import last_image_wins
+from .table import SYS_DELETED, SYS_LSN, LakeTable, _type_from_ddl
 
 
 class SecondaryIndex:
@@ -120,21 +121,33 @@ class SecondaryIndex:
         buckets, one lake merge of O(changed keys) index entries.
         """
         cur = self._cursor()
-        main_commit = self.main.commit_at()
+        main_commit = self.main.commit_at(resolve=False)
         head_version = main_commit.version
         if head_version == cur["cursor_version"]:
             return {"skipped": True, "reason": "index already at main head"}
+        if cur["cursor_version"] < self.main.version_floor():
+            # the cursor's snapshot was expired (or this is a fresh index on
+            # an already-expired table): the old-value time-travel read is
+            # impossible — full backfill instead of wedging forever
+            return self._rebuild(spark)
         keys = main_commit.key_cols
 
-        # Pin the feed read to the SAME snapshot as head_version: a merge
-        # landing between commit_at() above and this read would otherwise
-        # slip events into the delta that the recorded cursor_version does
-        # not cover — the next refresh's "old value" time-travel read would
-        # then miss that value's stale index entry forever (reachable now
-        # that multi-shard merges run concurrently).
-        changes = self.main.read_changes(
-            spark, since_lsn=cur["cursor_lsn"], version=head_version
-        )
+        # The delta is bounded by the COMMIT WINDOW (cursor_version, head],
+        # pinned to the head snapshot — both bounds matter: a merge racing
+        # this refresh must not slip events past the recorded cursor, and a
+        # scalar lsn cursor would silently drop every lower-namespaced
+        # shard's events once one higher-shard lsn had been seen (per-shard
+        # lsn sequences are not globally ordered). If the window's history
+        # was rewritten (compaction/rebucket), fall back to a full rebuild.
+        try:
+            changes = self.main.read_changes(
+                spark,
+                since_lsn=-1,
+                since_version=cur["cursor_version"],
+                version=head_version,
+            )
+        except ValueError:
+            return self._rebuild(spark)
         changes = changes.persist()
         try:
             # old (value, key) pairs: main table AT THE CURSOR VERSION,
@@ -142,7 +155,7 @@ class SecondaryIndex:
             # Bucket ids are only meaningful under the layout of the version
             # being read — after a rebucket between cursor and head, fall
             # back to an unpruned time-travel read rather than miss files.
-            old_commit = self.main.commit_at(cur["cursor_version"])
+            old_commit = self.main.commit_at(cur["cursor_version"], resolve=False)
             same_layout = (
                 old_commit.n_buckets == main_commit.n_buckets
                 and old_commit.bucket_function == main_commit.bucket_function
@@ -206,10 +219,109 @@ class SecondaryIndex:
             to_lsn = int(hi) if hi is not None else cur["cursor_lsn"]
             batch_id = f"{cur['seq'] + 1}.idx{to_lsn}_{head_version}"
             metrics = self.table.merge(spark, entries, batch_id)
+        except ValueError as e:
+            # expire_versions can land CONCURRENTLY after the floor check
+            # above — the cursor commit_at / time-travel read then raises
+            # the expired-version error; recover through the same rebuild
+            # path instead of crashing the refresh
+            if "expired" in str(e):
+                return self._rebuild(spark)
+            raise
         finally:
             changes.unpersist()
         if touched is not None:
             metrics["index_buckets_pruned_read"] = sorted(int(b) for b in touched)
+        return metrics
+
+    def _rebuild(self, spark: SparkSession) -> dict[str, Any]:
+        """Full backfill — the recovery path when the incremental cursor
+        cannot be honored (cursor snapshot expired by ``expire_versions``,
+        or the window's history rewritten by compaction/rebucket). The
+        DynamoDB-GSI-backfill analog: recompute the full (value, key) set
+        at head, delete index entries the head state no longer supports,
+        upsert the rest — one idempotent merge whose batch id advances the
+        cursor to head atomically.
+
+        Lsn stamping is the subtle part (index rows resolve per key by
+        ``source_lsn``, and shard-namespaced lsns are only ordered WITHIN a
+        key's shard): upserts carry their main row's OWN lsn (consistent
+        with every future event of that key); deletes of vanished pairs
+        carry the stale entry's own lsn + 1 — strictly above the entry
+        (so the delete wins) and no higher than the main-side event that
+        removed the value (every future event of that key lands above it).
+        A global-max stamp would instead let a huge higher-shard lsn
+        permanently shadow a lower-shard key's future inserts.
+        """
+        cur = self._cursor()
+        head_commit = self.main.commit_at()
+        head_version = head_commit.version
+        keys = head_commit.key_cols
+        # snapshot cursor lsn from listing metadata (display/ordering only)
+        to_lsn = max(
+            (
+                int(e["lsn_max"])
+                for es in head_commit.files.values()
+                for e in es
+                if e.get("lsn_max") is not None
+            ),
+            default=max(cur["cursor_lsn"], 0),
+        )
+        raw = self.main._read_files(spark, head_commit)
+        if raw is None:
+            fresh = None
+        else:
+            state = last_image_wins(
+                raw, key_cols=keys, order_col=SYS_LSN, strategy="max_by"
+            ).filter(~F.col(SYS_DELETED))
+            fresh = (
+                state.filter(F.col(self.col).isNotNull())
+                .select(
+                    F.col(self.col),
+                    *keys,
+                    F.col(SYS_LSN).alias("source_lsn"),
+                )
+                .persist()
+            )
+        try:
+            iraw = self.table._read_files(spark, self.table.commit_at())
+            entries_parts = []
+            if iraw is not None:
+                existing = last_image_wins(
+                    iraw,
+                    key_cols=[self.col, *keys],
+                    order_col=SYS_LSN,
+                    strategy="max_by",
+                ).filter(~F.col(SYS_DELETED))
+                gone = existing.select(
+                    self.col, *keys, F.col(SYS_LSN).alias("_elsn")
+                )
+                if fresh is not None:
+                    gone = gone.join(
+                        fresh.select(self.col, *keys), [self.col, *keys], "left_anti"
+                    )
+                entries_parts.append(
+                    gone.select(
+                        F.lit("D").alias("op"),
+                        self.col,
+                        *keys,
+                        (F.col("_elsn") + 1).alias("source_lsn"),
+                    )
+                )
+            if fresh is not None:
+                entries_parts.append(
+                    fresh.select(F.lit("U").alias("op"), self.col, *keys, "source_lsn")
+                )
+            if not entries_parts:
+                return {"skipped": True, "reason": "empty main and index"}
+            entries = entries_parts[0]
+            for p in entries_parts[1:]:
+                entries = entries.unionByName(p)
+            batch_id = f"{cur['seq'] + 1}.idx{to_lsn}_{head_version}"
+            metrics = self.table.merge(spark, entries, batch_id)
+        finally:
+            if fresh is not None:
+                fresh.unpersist()
+        metrics["rebuild"] = True
         return metrics
 
     # ---------------------------------------------------------------- lookup

@@ -45,6 +45,7 @@ import os
 import shutil
 import time
 import uuid
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -689,6 +690,7 @@ class LakeTable:
         to_lsn: int | None = None,
         strategy: str = "max_by",
         version: int | None = None,
+        since_version: int | None = None,
     ) -> DataFrame:
         """Incremental changefeed OUT of the lake: the net change per key in
         ``(since_lsn, to_lsn]`` as changelog rows (``op`` U/D + payload +
@@ -718,27 +720,88 @@ class LakeTable:
         recorded cursor version does not cover — and with multi-shard
         namespaced lsns a ``to_lsn`` bound cannot exclude them (per-shard
         lsn sequences are not globally ordered across commits).
+
+        ``since_version`` selects the delta by COMMIT WINDOW instead of lsn:
+        the net change carried by the delta files added in
+        ``(since_version, version]``. This is the only sound cursor for
+        multi-shard tables — a scalar ``since_lsn`` cursor silently drops
+        every lower-namespaced shard's events once any higher shard has been
+        seen (shard lsn sequences are not globally ordered). ``since_lsn``
+        is ignored when ``since_version`` is given, and ``to_lsn`` must be
+        None (an lsn upper bound is meaningless across shards — raising
+        beats silently returning events past the caller's recorded bound).
+        Raises when the window's history was REWRITTEN — detected as any
+        path referenced at ``since_version`` no longer referenced at head
+        (compaction, rebucket, purge and modify all replace listings; this
+        also catches a compaction that reconciles a bucket to EMPTY and a
+        purge whose rewritten files are delta-kind) — the consumer must
+        full-resync, exactly like an lsn cursor below the floor.
         """
         commit = self.commit_at(version)
-        if since_lsn < commit.changefeed_floor:
-            raise ValueError(
-                f"changefeed cursor {since_lsn} predates compacted history "
-                f"(floor {commit.changefeed_floor}): deltas before the floor "
-                "were collapsed and tombstones dropped; re-read the full "
-                "table state instead"
-            )
+        if since_version is not None:
+            if to_lsn is not None:
+                raise ValueError(
+                    "to_lsn cannot combine with since_version: shard-"
+                    "namespaced lsns are not globally ordered, so an lsn "
+                    "upper bound over a commit window is not meaningful"
+                )
+            base_commit = self.commit_at(since_version)
+            old_paths = {
+                e["path"]
+                for entries in base_commit.files.values()
+                for e in entries
+            }
+            head_paths = {
+                e["path"] for entries in commit.files.values() for e in entries
+            }
+            new_files = {
+                b: [e for e in es if e["path"] not in old_paths]
+                for b, es in commit.files.items()
+            }
+            new_files = {b: es for b, es in new_files.items() if es}
+            if (
+                not old_paths <= head_paths
+                or commit.changefeed_floor != base_commit.changefeed_floor
+                or any(
+                    e["kind"] != "delta"
+                    for es in new_files.values()
+                    for e in es
+                )
+            ):
+                raise ValueError(
+                    f"history in versions ({since_version}, {commit.version}] "
+                    "was rewritten (compaction/rebucket/purge/modify) — an "
+                    "incremental read over the window is impossible; "
+                    "full-resync the consumer instead"
+                )
+            read_commit = dataclasses.replace(commit, files=new_files)
+            win_lo, win_hi = None, None
+        else:
+            if since_lsn < commit.changefeed_floor:
+                raise ValueError(
+                    f"changefeed cursor {since_lsn} predates compacted history "
+                    f"(floor {commit.changefeed_floor}): deltas before the floor "
+                    "were collapsed and tombstones dropped; re-read the full "
+                    "table state instead"
+                )
+            read_commit = commit
+            win_lo, win_hi = since_lsn, to_lsn
         cols = [n for n, _ in commit.schema]
         out_schema = T.StructType(
             [T.StructField("op", T.StringType(), False)]
             + [T.StructField(n, _type_from_ddl(dt), True) for n, dt in commit.schema]
             + [T.StructField("source_lsn", T.LongType(), True)]
         )
-        raw = self._read_files(spark, commit, min_lsn_exclusive=since_lsn)
+        raw = self._read_files(
+            spark, read_commit, min_lsn_exclusive=win_lo
+        )
         if raw is None:
             return spark.createDataFrame([], out_schema)
-        win = raw.filter(F.col(SYS_LSN) > F.lit(since_lsn))
-        if to_lsn is not None:
-            win = win.filter(F.col(SYS_LSN) <= F.lit(to_lsn))
+        win = raw
+        if win_lo is not None:
+            win = win.filter(F.col(SYS_LSN) > F.lit(win_lo))
+        if win_hi is not None:
+            win = win.filter(F.col(SYS_LSN) <= F.lit(win_hi))
         last = last_image_wins(
             win, key_cols=commit.key_cols, order_col=SYS_LSN, strategy=strategy
         )
@@ -1591,8 +1654,14 @@ class LakeTable:
         Without expiry the commit log and superseded files grow forever: at
         10^10 events with per-micro-batch commits that is millions of commit
         JSONs and every pre-compaction delta ever written. Expiry is the
-        lifecycle valve; ``vacuum()`` remains the narrower orphan sweep
-        (current-commit-only, no commit-log pruning).
+        lifecycle valve; ``vacuum()`` is the data-only orphan sweep against
+        the SAME retained live set (no commit-log pruning, no floor move).
+
+        Incremental maintainers (``SecondaryIndex.refresh``,
+        ``refresh_aggregate``) time-travel to the version of their previous
+        refresh: size ``keep_last`` above the oldest maintainer cursor, or
+        let the index fall back to its full-rebuild path when its cursor is
+        expired (``SecondaryIndex.refresh`` does this automatically).
 
         Semantics kept intact:
           * reads at any retained version are byte-identical (live set =
@@ -1610,22 +1679,15 @@ class LakeTable:
         for the metadata swing; cross-process exclusion is the catalog's
         job, exactly as for Iceberg.
         """
+        if keep_last < 1:
+            # keep_last=0 would set floor = cur+1, retain NOTHING, and the
+            # sweep would delete every data file, commit and manifest —
+            # total table destruction from a plausible-looking call.
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         with self._commit_lock:
             cur = self.current_version()
             floor = max(self.version_floor(), cur - keep_last + 1, 0)
-            retained: list[Commit] = []
-            for v in range(floor, cur + 1):
-                try:
-                    retained.append(self.commit_at(v))
-                except FileNotFoundError:
-                    continue  # version number was never written (sub-batches)
-            live_files = {
-                os.path.normpath(os.path.join(self.root, e["path"]))
-                for c in retained
-                for entries in c.files.values()
-                for e in entries
-            }
-            live_manifests = {m for c in retained for m in c.manifests}
+            live_files, live_manifests = self._retained_live_set(floor, cur)
 
             # Persist the floor BEFORE deleting anything: a crash mid-sweep
             # then leaves sub-floor access raising the clear expired-version
@@ -1637,12 +1699,7 @@ class LakeTable:
             os.replace(tmp, os.path.join(self._commits_dir, "FLOOR"))
 
             removed = {"data_files": 0, "commits": 0, "manifests": 0}
-            for dirpath, _dirnames, filenames in os.walk(self._data_dir):
-                for fn in filenames:
-                    p = os.path.normpath(os.path.join(dirpath, fn))
-                    if p.endswith(".parquet") and p not in live_files:
-                        os.remove(p)
-                        removed["data_files"] += 1
+            removed["data_files"] = self._sweep_data_files(live_files)
             for fn in os.listdir(self._commits_dir):
                 p = os.path.join(self._commits_dir, fn)
                 if fn.startswith("v") and fn.endswith(".json"):
@@ -1659,20 +1716,63 @@ class LakeTable:
         removed["floor"] = floor
         return removed
 
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the current commit (orphans
-        from crashes + files superseded by compaction). Returns count."""
-        commit = self.commit_at()
-        live = {
-            os.path.normpath(os.path.join(self.root, e["path"]))
-            for entries in commit.files.values()
-            for e in entries
-        }
+    def _retained_live_set(
+        self, floor: int, cur: int
+    ) -> tuple[set[str], set[str]]:
+        """(live data-file paths, live manifest names) across every
+        retained version in [floor, cur]. A version whose commit JSON never
+        existed (sub-batch numbering) is skipped by an explicit existence
+        check; a commit whose MANIFEST is missing raises loudly instead —
+        treating it as nonexistent would exclude its files from the live
+        set and convert a recoverable metadata problem into data loss."""
+        live_files: set[str] = set()
+        live_manifests: set[str] = set()
+        for v in range(max(floor, 0), cur + 1):
+            if not os.path.exists(
+                os.path.join(self._commits_dir, f"v{v:08d}.json")
+            ):
+                continue
+            c = self.commit_at(v)
+            for entries in c.files.values():
+                for e in entries:
+                    live_files.add(
+                        os.path.normpath(os.path.join(self.root, e["path"]))
+                    )
+            live_manifests.update(c.manifests)
+        return live_files, live_manifests
+
+    def _sweep_data_files(self, live_files: set[str]) -> int:
+        """Delete everything under data/ the live set does not reference:
+        unreferenced parquet, writer sidecars (_SUCCESS, .crc — readers use
+        explicit file lists, never directory listings), and the then-empty
+        directories bottom-up (per-attempt staging dirs are never reused,
+        so without this the directory count grows one per merge forever).
+        Returns the count of parquet files removed."""
         removed = 0
-        for dirpath, _dirnames, filenames in os.walk(self._data_dir):
+        for dirpath, dirnames, filenames in os.walk(self._data_dir, topdown=False):
             for fn in filenames:
                 p = os.path.normpath(os.path.join(dirpath, fn))
-                if p.endswith(".parquet") and p not in live:
-                    os.remove(p)
+                if p in live_files:
+                    continue
+                if p.endswith(".parquet"):
                     removed += 1
+                    os.remove(p)
+                elif fn == "_SUCCESS" or fn.endswith(".crc"):
+                    os.remove(p)
+            if dirpath != self._data_dir and not os.listdir(dirpath):
+                os.rmdir(dirpath)
         return removed
+
+    def vacuum(self) -> int:
+        """Data-only orphan sweep: delete files under data/ that no
+        RETAINED version references — crashed-attempt staging dirs, files
+        superseded by compaction older than the floor. Unlike
+        ``expire_versions`` it never prunes the commit log or moves the
+        floor; like it, the live set spans every retained version, so time
+        travel and maintainer time-travel reads within the retention window
+        stay intact (a current-commit-only live set would delete files
+        older retained versions still reference). Returns parquet count."""
+        with self._commit_lock:
+            cur = self.current_version()
+            live, _ = self._retained_live_set(self.version_floor(), cur)
+            return self._sweep_data_files(live)

@@ -61,6 +61,7 @@ def refresh_aggregate(
     dedup_strategy: str = "window",
     prev_version: int | None = None,
     version: int | None = None,
+    since_version: int | None = None,
 ) -> dict[str, Any]:
     """Fold the base table's changes in ``(since_lsn, to_lsn]`` into
     ``agg_table`` (keyed on ``group_cols``; value columns = the aliases of
@@ -71,14 +72,28 @@ def refresh_aggregate(
     head — run the refresh after the merges whose lsn range it covers).
     ``prev_version`` is REQUIRED when ``group_cols`` are not all base key
     columns (see module docstring: old group values of moved/deleted rows
-    are not in the changefeed). Idempotent per ``batch_id`` via the merge
-    ledger. Returns the merge metrics plus the dirty-group count bucket ids
-    when pruned.
+    are not in the changefeed). ``since_version`` selects the delta by
+    commit window instead of the (since_lsn, to_lsn] lsn window — REQUIRED
+    for multi-shard tables, whose namespaced lsns are not globally ordered
+    (a scalar lsn cursor silently drops lower-shard events; see
+    ``LakeTable.read_changes``). Idempotent per ``batch_id`` via the merge
+    ledger. Returns the merge metrics plus the dirty buckets when pruned.
     """
     head = base.current_version() if version is None else version
     commit = base.commit_at(head)
     group_in_key = set(group_cols) <= set(commit.key_cols)
-    delta = base.read_changes(spark, since_lsn, to_lsn, version=head)
+    delta = base.read_changes(
+        spark, since_lsn, to_lsn, version=head, since_version=since_version
+    )
+    if since_version is not None:
+        # read_changes rejects to_lsn with since_version (not meaningful
+        # across shards), so the stamp comes from the window itself: the
+        # delta's actual max lsn — never a caller-supplied bound the delta
+        # could silently exceed
+        hi = delta.agg(F.max("source_lsn")).collect()[0][0]
+        stamp = int(hi) if hi is not None else -1
+    else:
+        stamp = to_lsn
 
     if group_in_key:
         # every changefeed row (U and D) carries its key columns
@@ -134,7 +149,7 @@ def refresh_aggregate(
             F.lit("U").alias("op"),
             *group_cols,
             *value_cols,
-            F.lit(to_lsn).cast("long").alias("source_lsn"),
+            F.lit(stamp).cast("long").alias("source_lsn"),
         )
         # a dirty group with no surviving base rows was fully deleted →
         # tombstone
@@ -142,7 +157,7 @@ def refresh_aggregate(
             F.lit("D").alias("op"),
             *group_cols,
             *[F.lit(None).alias(c) for c in value_cols],
-            F.lit(to_lsn).cast("long").alias("source_lsn"),
+            F.lit(stamp).cast("long").alias("source_lsn"),
         )
         metrics = agg_table.merge(
             spark,
@@ -155,9 +170,11 @@ def refresh_aggregate(
     if not metrics.get("skipped"):
         metrics["incremental_refresh"] = {
             "since_lsn": since_lsn,
-            "to_lsn": to_lsn,
+            "to_lsn": stamp,
             "base_version": head,
         }
+        if since_version is not None:
+            metrics["incremental_refresh"]["since_version"] = since_version
         if touched is not None:
             metrics["incremental_refresh"]["base_buckets_pruned_read"] = touched
     return metrics

@@ -131,3 +131,29 @@ def test_read_changes_version_pin(spark, tbl3):
     head = {r["k"]: r["v"] for r in
             tbl3.read_changes(spark, since_lsn=4).collect()}
     assert head[4] == "d9"
+
+
+def test_read_changes_since_version_window(spark, tbl3):
+    """Commit-window delta: net change carried by files added in
+    (since_version, version] — the sound cursor for multi-shard tables."""
+    got = {
+        r["k"]: (r["op"], r["v"])
+        for r in tbl3.read_changes(spark, since_lsn=-1, since_version=1).collect()
+    }
+    # batches 2+3: k2 upserted twice (net b3), k5 inserted, k1 deleted, k3 updated
+    assert got == {
+        2: ("U", "b3"),
+        5: ("U", "e1"),
+        1: ("D", "a1"),
+        3: ("U", "c2"),
+    }
+    # empty window
+    v = tbl3.current_version()
+    assert tbl3.read_changes(spark, since_lsn=-1, since_version=v).count() == 0
+
+
+def test_read_changes_since_version_rejects_rewritten_window(spark, tbl3):
+    v1 = 1
+    tbl3.compact(spark)
+    with pytest.raises(ValueError, match="rewritten"):
+        tbl3.read_changes(spark, since_lsn=-1, since_version=v1).collect()

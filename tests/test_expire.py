@@ -145,3 +145,44 @@ def test_expire_crash_mid_sweep_is_resumable(spark, tmp_path, monkeypatch):
     out = tbl.expire_versions(keep_last=1)
     assert out["floor"] == cur
     assert tbl.read(spark).count() > 0
+
+
+def test_expire_keep_last_zero_rejected(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, n_batches=1)
+    with pytest.raises(ValueError, match="keep_last"):
+        tbl.expire_versions(keep_last=0)
+
+
+def test_vacuum_respects_retained_versions(spark, tmp_path):
+    """vacuum() must not delete files that RETAINED (non-current) versions
+    still reference — a current-commit-only live set would break time
+    travel and maintainer time-travel reads inside the retention window."""
+    tbl = _mk(spark, tmp_path, n_batches=4)
+    tbl.compact(spark)
+    tbl.merge(spark, _batch(spark, [("U", 3, "post", 9_999)]), "post")
+    pre_compact_state = _state(spark, tbl, version=2)
+    assert tbl.vacuum() == 0  # nothing outside the retained live set
+    assert _state(spark, tbl, version=2) == pre_compact_state  # still readable
+    # after expiry narrows retention, vacuum may reclaim — and the current
+    # read is unaffected
+    want_cur = _state(spark, tbl)
+    tbl.expire_versions(keep_last=2)
+    assert _state(spark, tbl) == want_cur
+
+
+def test_expire_sweeps_sidecars_and_empty_dirs(spark, tmp_path):
+    import os
+
+    tbl = _mk(spark, tmp_path, n_batches=4)
+    tbl.compact(spark)
+    tbl.merge(spark, _batch(spark, [("U", 3, "post", 9_999)]), "post")
+    tbl.expire_versions(keep_last=1)
+    leftovers = []
+    for dirpath, dirnames, filenames in os.walk(tbl._data_dir):
+        if dirpath != tbl._data_dir and not os.listdir(dirpath):
+            leftovers.append(("emptydir", dirpath))
+        for fn in filenames:
+            if fn == "_SUCCESS" or fn.endswith(".crc"):
+                leftovers.append(("sidecar", os.path.join(dirpath, fn)))
+    assert leftovers == []
+    assert tbl.read(spark).count() > 0

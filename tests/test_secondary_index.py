@@ -136,3 +136,73 @@ def test_refresh_prunes_buckets(spark, tmp_path):
     m = idx.refresh(spark)
     assert len(m["index_buckets_pruned_read"]) == 1
     assert _index_pairs(spark, idx) == {("green", 1), ("blue", 2), ("red", 3)}
+
+
+def _cl(spark, rows):
+    return spark.createDataFrame(rows, CL_SCHEMA)
+
+
+def test_refresh_rebuilds_after_cursor_expiry(spark, tmp_path):
+    """expire_versions can outrun the index cursor; refresh must fall back
+    to a full rebuild (stale entries deleted, new state indexed) instead of
+    wedging on the expired time-travel read."""
+    tbl, idx = _mk(spark, tmp_path)
+    tbl.merge(spark, _cl(spark, BATCH1), "b1")
+    idx.refresh(spark)
+    tbl.merge(spark, _cl(spark, BATCH2), "b2")
+    tbl.merge(spark, _cl(spark, [("U", 5, "green", 51, 300)]), "b3")
+    tbl.expire_versions(keep_last=1)  # cursor's snapshot is gone
+
+    m = idx.refresh(spark)
+    assert m.get("rebuild") is True
+    assert _index_pairs(spark, idx) == {
+        ("blue", 1),
+        ("blue", 2),
+        ("green", 5),
+    }
+    # and the rebuilt cursor works incrementally again afterwards
+    tbl.merge(spark, _cl(spark, [("U", 1, "red", 12, 400)]), "b4")
+    m2 = idx.refresh(spark)
+    assert not m2.get("rebuild")
+    assert ("red", 1) in _index_pairs(spark, idx)
+    assert ("blue", 1) not in _index_pairs(spark, idx)
+
+
+def test_fresh_index_on_expired_table_backfills(spark, tmp_path):
+    tbl = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=8)
+    tbl.merge(spark, _cl(spark, BATCH1), "b1")
+    tbl.merge(spark, _cl(spark, BATCH2), "b2")
+    tbl.expire_versions(keep_last=1)
+    idx = SecondaryIndex.create(str(tmp_path / "ix"), tbl, "color", n_buckets=8)
+    m = idx.refresh(spark)
+    assert m.get("rebuild") is True
+    assert _index_pairs(spark, idx) == {("blue", 1), ("blue", 2), ("red", 5)}
+
+
+def test_multi_shard_namespaced_lsn_cursor_sound(spark, tmp_path):
+    """A scalar lsn cursor would drop every lower-shard event after one
+    higher-shard lsn had been seen; the commit-window cursor must not.
+    Shard 1 uses namespaced lsns around 2^44, shard 0 uses tiny lsns."""
+    HI = 1 << 44
+    tbl, idx = _mk(spark, tmp_path)
+    tbl.merge(
+        spark,
+        _cl(spark, [("I", 101, "red", 1, HI + 1), ("I", 102, "blue", 2, HI + 2)]),
+        "s1-b1",
+    )
+    idx.refresh(spark)  # cursor has seen lsns ≈ 2^44
+    # now shard 0 commits with SMALL lsns — below any scalar cursor
+    tbl.merge(
+        spark,
+        _cl(spark, [("I", 1, "green", 3, 5), ("I", 2, "red", 4, 6)]),
+        "s0-b1",
+    )
+    m = idx.refresh(spark)
+    assert not m.get("skipped")
+    pairs = _index_pairs(spark, idx)
+    assert ("green", 1) in pairs and ("red", 2) in pairs  # shard-0 indexed
+    # and a shard-0 value move is also seen (stale deletion across shards)
+    tbl.merge(spark, _cl(spark, [("U", 1, "blue", 5, 7)]), "s0-b2")
+    idx.refresh(spark)
+    pairs = _index_pairs(spark, idx)
+    assert ("blue", 1) in pairs and ("green", 1) not in pairs

@@ -193,6 +193,7 @@ def _spin_probe(sec: float = 0.4) -> float:
 walls = []
 windows = []
 spins = []
+spins_post = []
 for i in range(reps):
     spins.append(_spin_probe())
     tbl_dir = os.path.join(work, f"tbl{cores}")
@@ -206,6 +207,10 @@ for i in range(reps):
     t0 = time.time()
     pipe.run_stream(spark, ck_dir, max_files_per_trigger=mfpt)
     t1 = time.time()
+    # post-replay probe: a rep bracketed by two healthy probes is unlikely
+    # to have spanned a hypervisor-steal window (they last minutes here) —
+    # the pair feeds the metric-blind host-validity gate in bench.py
+    spins_post.append(_spin_probe())
     walls.append(round(t1 - t0, 2))
     windows.append((t0, t1))
     shutil.rmtree(tbl_dir, ignore_errors=True)
@@ -217,7 +222,13 @@ except Exception:
     cpu_s = []
 if not os.environ.get("CDC_KEEP_EVLOG"):  # keep for per-stage diagnostics
     shutil.rmtree(evdir, ignore_errors=True)
-out = {"cores": cores, "walls": walls, "best": min(walls), "spin_mips": spins}
+out = {
+    "cores": cores,
+    "walls": walls,
+    "best": min(walls),
+    "spin_mips": spins,
+    "spin_post": spins_post,
+}
 if cpu_s:
     out["cpu_s"] = cpu_s
     out["best_cpu"] = min(c for c in cpu_s if c > 0) if any(cpu_s) else 0.0

@@ -2347,7 +2347,7 @@ FROM w GROUP BY conv_id
         "train_sample_stratified": f"""
 SELECT doc_id, lang FROM documents
 WHERE {_H32_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 1000000
-      < CAST((CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END) * 1000000 AS BIGINT)
+      < CAST(round((CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END) * 1000000) AS BIGINT)
 """,
         "train_pack_sequences": f"""
 WITH t AS (SELECT doc_id, text, {_TOK_N_SQL} AS tok,

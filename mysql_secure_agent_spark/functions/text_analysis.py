@@ -20,10 +20,21 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def token_count_col(c):
+    """Whitespace token count over a Column (0 for NULL/empty/blank).
+
+    NULL must map to 0, not NULL: ``size(split(NULL))`` is NULL, and a NULL
+    leaking into aggregate sums poisons them (a single NULL turn would
+    otherwise empty a whole conversation in truncate_to_token_budget)."""
+    t = F.trim(c)
+    return F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
 def token_count(text_col="text"):
-    """Whitespace token count (0 for empty/blank)."""
-    t = F.trim(F.col(text_col))
-    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+    """Whitespace token count (0 for NULL/empty/blank)."""
+    return token_count_col(F.col(text_col))
 
 
 def bpe_ish_token_count(text_col="text"):

@@ -87,6 +87,11 @@ def asof_join(
         F.lit(l_tag).alias("__asof_tag"),
         F.lit(None).cast(payload_type).alias("__asof_payload"),
     )
+    # a NULL right_on can satisfy neither 'right_on <= left_on' nor the
+    # strict variant — but Spark's ascending sort is NULLS FIRST, so such a
+    # row would land at the partition head and fabricate a match for every
+    # early left row; drop it from the join domain entirely
+    right = right.filter(F.col(right_on).isNotNull())
     tagged_r = right.select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)

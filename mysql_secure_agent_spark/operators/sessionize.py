@@ -125,8 +125,14 @@ def _fold_sessions(
         if state.exists:
             items.append(tuple(state.get))
         for pdf in pdfs:
-            for t in pdf["ts"]:
-                tsec = t.timestamp()
+            # TRUE epoch seconds, shipped as a numeric column by
+            # sessionize_stream: Arrow hands pandas tz-NAIVE timestamps in
+            # the SESSION timezone, so Timestamp.timestamp() here would be
+            # off by the tz offset — and setTimeoutTimestamp compares
+            # against the true-epoch watermark (a west-of-UTC session tz
+            # would set timeouts below the watermark and kill the query)
+            for tsec in pdf["_epoch"]:
+                tsec = float(tsec)
                 items.append((tsec, tsec, 1))
         items.sort(key=lambda it: (it[0], it[1]))
 
@@ -153,8 +159,10 @@ def _fold_sessions(
         out = pd.DataFrame(
             closed, columns=["user_id", "session_start", "session_end", "n_events"]
         )
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+        # tz-AWARE UTC out: Arrow converts aware timestamps by instant;
+        # naive ones would be reinterpreted in the session timezone
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="s", utc=True)
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="s", utc=True)
         yield out
 
 
@@ -182,7 +190,12 @@ def sessionize_stream(
     def fold(key, pdfs, state):
         return _fold_sessions(key, pdfs, state, gap_seconds, use_timeout)
 
-    src = events.select("user_id", "ts")
+    # _epoch = true epoch seconds (cast is tz-independent) — the fold works
+    # in true epochs so event-time timeouts line up with the watermark under
+    # ANY spark.sql.session.timeZone, not just UTC
+    src = events.select(
+        "user_id", "ts", F.col("ts").cast("double").alias("_epoch")
+    )
     if use_timeout:
         src = src.withWatermark("ts", watermark_delay)
     return src.groupBy("user_id").applyInPandasWithState(

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text_analysis import token_count_col
 from .text_dedup import _h32
 
 
@@ -59,9 +60,7 @@ def assemble_conversations(
     summed over turns (the cheap token proxy used across the text operators).
     """
     turns = F.sort_array(F.collect_list(_turn_struct(role_col, text_col, turn_col)))
-    toks = lambda c: F.when(  # noqa: E731
-        F.length(F.trim(c)) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(c), r"\s+")))
+    toks = token_count_col
     return (
         df.groupBy(F.col(conv_col).alias("conv_id"))
         .agg(turns.alias("_turns"))
@@ -103,10 +102,7 @@ def truncate_to_token_budget(
     never shuffled, bounded by conversation depth, vectorized by codegen.
     """
     turns = F.sort_array(F.collect_list(_turn_struct(role_col, text_col, turn_col)))
-    toks = lambda c: F.when(  # noqa: E731
-        F.length(F.trim(c)) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(c), r"\s+")))
-    per_turn = F.transform("_turns", lambda t: toks(t["text"]))
+    per_turn = F.transform("_turns", lambda t: token_count_col(t["text"]))
     agg = df.groupBy(F.col(conv_col).alias("conv_id")).agg(turns.alias("_turns"))
     with_counts = agg.withColumn("_tok", per_turn).withColumn(
         "_n", F.size("_turns")
@@ -130,7 +126,7 @@ def truncate_to_token_budget(
         F.col("_n").alias("n_turns"),
         F.size(kept).alias("kept_turns"),
         F.aggregate(
-            F.transform(kept, lambda t: toks(t["text"])),
+            F.transform(kept, lambda t: token_count_col(t["text"])),
             F.lit(0),
             lambda acc, x: acc + x,
         ).alias("kept_tokens"),
@@ -168,9 +164,7 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    )
+    toks = token_count_col(F.col(text_col))
     shard = F.floor(F.col(id_col) / F.lit(shard_size)).cast("long")
     with_tok = df.select(
         F.col(id_col), F.col(text_col), toks.alias("_tok"), shard.alias("shard")
@@ -237,4 +231,8 @@ def sample_stratified(
         else F.lit(float(default_rate))
     )
     bucket = F.pmod(_h32(F.col(key_col).cast("string")), F.lit(denom))
-    return df.filter(bucket < (rate_col * denom).cast("long"))
+    # explicit round: cast("long") TRUNCATES, so a rate like 0.29 (whose
+    # float product is 289999.99999…) would silently drop one bucket — and
+    # DuckDB's CAST rounds, so the two engines would disagree off the
+    # exactly-representable rates
+    return df.filter(bucket < F.round(rate_col * denom).cast("long"))

@@ -54,17 +54,42 @@ class MultiSourceIngest:
     """Drain N shard feeds into one LakeTable with a GtidSet watermark.
 
     ``feeds`` maps source id → feed dir (each the layout ``write_feed``
-    produces: ``<dir>/data/*.parquet`` of CHANGELOG_SCHEMA rows). Source ids
-    are assigned stable indices by sorted order; adding a NEW shard later is
-    safe (new index, empty watermark ⇒ full drain), renaming one is not —
-    the id is part of the durable state, exactly like a server UUID in a
-    MySQL GTID set.
+    produces: ``<dir>/data/*.parquet`` of CHANGELOG_SCHEMA rows). Source
+    indices come from a PERSISTED registry in the table root
+    (``_sources.json``): assigned first-seen, append-only, never reassigned
+    or reused — a purely positional assignment (sorted order) would shift
+    when a shard whose id sorts earlier joins, colliding the new shard's
+    global-lsn namespace with an already-committed one (and a changefeed
+    cursor past the old ceiling would silently skip the new shard's files).
+    Adding a NEW shard is safe (fresh index, empty watermark ⇒ full drain);
+    removing one leaves its index reserved; renaming is not safe — the id
+    is durable state, exactly like a server UUID in a MySQL GTID set.
     """
 
     def __init__(self, table: LakeTable, feeds: dict[str, str]):
         self.table = table
         self.feeds = dict(feeds)
-        self.source_index = {s: i for i, s in enumerate(sorted(feeds))}
+        self.source_index = self._load_or_assign_indices()
+
+    def _load_or_assign_indices(self) -> dict[str, int]:
+        import json
+
+        path = os.path.join(self.table.root, "_sources.json")
+        reg: dict[str, int] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                reg = json.load(f)
+        new = [s for s in sorted(self.feeds) if s not in reg]
+        if new:
+            nxt = max(reg.values(), default=-1) + 1
+            for s in new:
+                reg[s] = nxt
+                nxt += 1
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(reg, f, indent=1)
+            os.replace(tmp, path)
+        return reg
 
     # ------------------------------------------------------------------ read
     def _source_frame(
@@ -185,10 +210,22 @@ class MultiSourceIngest:
                 m = self.table.merge(
                     spark, shifted, f"{_src}:{epoch_id}", dedup_strategy=dedup_strategy
                 )
+                if m.get("skipped"):
+                    # replayed epoch whose merge the commit log skipped (a
+                    # prior crash landed the data but not the checkpoint):
+                    # the watermark must STILL advance to this batch's
+                    # ceiling, or gtid.json permanently lags the table and
+                    # a later run_once re-merges already-applied rows
+                    hi = fresh.agg(F.max("source_lsn")).collect()[0][0]
+                else:
+                    hi = (
+                        int(m["lsn_max"]) - (_idx << LSN_BITS)
+                        if m.get("lsn_max") is not None
+                        else None
+                    )
                 with gtid_lock:
-                    if not m.get("skipped") and m.get("lsn_max") is not None:
-                        # un-namespace the committed ceiling to shard-local
-                        gtid.advance(_src, int(m["lsn_max"]) - (_idx << LSN_BITS))
+                    if hi is not None:
+                        gtid.advance(_src, int(hi))
                         gtid.save(state_path)
                     totals["batches"] += 1
 

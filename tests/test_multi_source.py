@@ -11,6 +11,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from mysql_secure_agent_spark import oracle
 from mysql_secure_agent_spark.lake.table import LakeTable
@@ -345,3 +346,49 @@ def test_concurrent_same_batch_merge_preserves_winner_files(spark, tmp_path):
     # the loser's orphaned staging dir (if any) is reclaimable maintenance
     table.vacuum()
     assert table.read(spark).count() == len(got)
+
+
+def test_new_shard_sorting_earlier_keeps_indices(spark, tmp_path):
+    """A shard id that SORTS BEFORE existing ones must get a fresh index,
+    not steal index 0 (which would collide its global-lsn namespace with
+    already-committed data and make changefeed cursors skip its files)."""
+    import json
+
+    specs = {"s1": FeedSpec(n_events=900, n_convs=20, seed=13, conv_prefix="x")}
+    feeds = _write_shards(tmp_path, specs)
+    table = LakeTable.create(
+        str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=8
+    )
+    state = str(tmp_path / "gtid.json")
+    MultiSourceIngest(table, feeds).run_once(spark, state)
+    cursor = (0 << LSN_BITS) + specs["s1"].n_events  # ceiling after drain 1
+
+    # 'a0' sorts before 's1' — with sorted-order assignment it would take
+    # index 0 and emit lsns BELOW the cursor
+    specs["a0"] = FeedSpec(n_events=500, n_convs=12, seed=14, conv_prefix="y")
+    feeds.update(_write_shards(tmp_path, {"a0": specs["a0"]}))
+    ing2 = MultiSourceIngest(table, feeds)
+    assert ing2.source_index == {"s1": 0, "a0": 1}
+    with open(os.path.join(table.root, "_sources.json")) as f:
+        assert json.load(f) == {"s1": 0, "a0": 1}
+    ing2.run_once(spark, state)
+
+    # an incremental reader whose cursor predates the new shard SEES it
+    delta = table.read_changes(spark, since_lsn=cursor)
+    assert delta.filter(F.col("conv_id").startswith("y")).count() > 0
+
+    got = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    # oracle namespacing order differs (first-seen vs sorted) — final state
+    # is namespace-independent for disjoint key spaces, so map explicitly
+    parts = []
+    for i, s in enumerate(["s1", "a0"]):
+        cl, _ = generate_changelog(specs[s])
+        cl = cl.copy()
+        cl["source_lsn"] = cl["source_lsn"] + (i << LSN_BITS)
+        parts.append(cl)
+    exp = oracle.replay(pd.concat(parts, ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got, exp[got.columns.tolist()].reset_index(drop=True), check_dtype=False
+    )

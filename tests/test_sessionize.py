@@ -195,7 +195,12 @@ class _FakeState:
 def _fold(state, ts_list, gap=300, use_timeout=True):
     from mysql_secure_agent_spark.operators.sessionize import _fold_sessions
 
-    pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list, unit="s")})
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts_list, unit="s"),
+            "_epoch": [float(t) for t in ts_list],
+        }
+    )
     out = list(_fold_sessions((1,), iter([pdf]), state, gap, use_timeout))
     return pd.concat(out) if out else pd.DataFrame()
 
@@ -218,8 +223,10 @@ def test_fold_gap_separated_early_event_splits():
     closed = _fold(st, [100.0, 150.0])
     assert len(closed) == 1
     row = closed.iloc[0]
-    assert row["session_start"] == pd.Timestamp(100.0, unit="s")
-    assert row["session_end"] == pd.Timestamp(150.0, unit="s")
+    # output is tz-aware UTC (true instants; Arrow converts aware
+    # timestamps by instant regardless of the session timezone)
+    assert row["session_start"] == pd.Timestamp(100.0, unit="s", tz="UTC")
+    assert row["session_end"] == pd.Timestamp(150.0, unit="s", tz="UTC")
     assert row["n_events"] == 2
     # the open session is untouched
     assert st.get == (1000.0, 1050.0, 2)

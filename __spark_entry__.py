@@ -541,6 +541,40 @@ def q_cdc_drop_column(spark, sf_dir):
     )
 
 
+def q_cdc_rename_column(spark, sf_dir):
+    """T6 RENAME_COLUMN mid-replay (metadata-only, the Iceberg renameColumn
+    analog): first half of the feed merges with event_type, then RENAME
+    COLUMN event_type→etype — NOT ONE data file is rewritten; old files'
+    values surface under the new logical name via coalesce-on-read — then
+    the second half merges with the feed STILL labeling the value
+    ``event_type`` (a binlog row image carries positions, not names; the
+    decoder's tableDefinition predates the rename). Final state = plain
+    replay with the column renamed. The reference has no rename path at all:
+    its re-infer loop (Updater.java:188-217) only notices column-COUNT
+    changes, so a pure rename silently mislabels downstream output."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    mid = (cl.agg(F.max("source_lsn")).first()[0] or 0) // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_ren_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= mid), "pre-ddl")
+    tbl.rename_column("event_type", "etype")
+    assert tbl.commit_at(resolve=False).files == {}, "rename must not rewrite data"
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > mid), "post-ddl")
+    return tbl.read(spark).select(
+        "user_id", "slot", "etype", F.col("value").alias("last_value")
+    )
+
+
 def q_cdc_last_image_wins(spark, sf_dir):
     """A3 in isolation: max-lsn image per (user_id, event_type)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
@@ -1596,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed_compose": q_cdc_changefeed_compose,
         "cdc_modify_column": q_cdc_modify_column,
         "cdc_drop_column": q_cdc_drop_column,
+        "cdc_rename_column": q_cdc_rename_column,
         "cdc_last_image_wins": q_cdc_last_image_wins,
         "cdc_update_decompose": q_cdc_update_decompose,
         "cdc_scd2_history": q_cdc_scd2_history,
@@ -2118,6 +2153,15 @@ WHERE rn = 1 AND op <> 'D'
         "cdc_drop_column": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # rename is value-preserving: same final state as the plain replay,
+        # with the column surfaced under its new logical name
+        "cdc_rename_column": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS etype, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'

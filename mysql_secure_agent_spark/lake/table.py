@@ -213,6 +213,16 @@ class Commit:
     # resurrect the old values — add_column() forces a physical rewrite for
     # names on this list.
     dropped_cols: list[str] = field(default_factory=list)
+    # RENAME COLUMN mapping: logical (current) name -> prior physical names,
+    # newest first. Renames are metadata-only (the Iceberg renameColumn
+    # analog — no 100 TB rewrite for a name change): files written before
+    # the rename keep the old physical column, and ``_read_files`` projects
+    # ``coalesce(logical, *priors)`` so every reader sees the logical name.
+    # Sound because each file holds exactly ONE of the names (the rename
+    # guard refuses a target name that any live file could physically hold).
+    # Full-rewrite operations (purge/modify/rebucket) materialize the
+    # logical names and clear this map.
+    renamed_cols: dict[str, list[str]] = field(default_factory=dict)
     # Highest DDL-event lsn applied to this table. DDL idempotence cannot be
     # judged from schema state alone: ADD(c) then DROP(c) leaves the schema
     # exactly as if ADD were never applied, so a state-only "pending" check
@@ -242,6 +252,7 @@ class Commit:
                 "applied_hwm": self.applied_hwm,
                 "changefeed_floor": self.changefeed_floor,
                 "dropped_cols": self.dropped_cols,
+                "renamed_cols": self.renamed_cols,
                 "ddl_hwm": self.ddl_hwm,
                 "parent": self.parent,
                 "summary": self.summary,
@@ -271,6 +282,7 @@ class Commit:
             applied_hwm=d.get("applied_hwm", -1),
             changefeed_floor=d.get("changefeed_floor", -1),
             dropped_cols=d.get("dropped_cols", []),
+            renamed_cols=d.get("renamed_cols", {}),
             ddl_hwm=d.get("ddl_hwm", -1),
             parent=d.get("parent"),
             summary=d.get("summary", {}),
@@ -464,6 +476,13 @@ class LakeTable:
 
     def _stored_schema(self, commit: Commit) -> T.StructType:
         fields = [T.StructField(n, _type_from_ddl(dt), True) for n, dt in commit.schema]
+        # prior physical names of renamed columns, typed as their logical
+        # column: files written before the rename surface their values here
+        # (and read the logical name as NULL); _read_files coalesces.
+        types = dict(commit.schema)
+        for logical, priors in commit.renamed_cols.items():
+            for p in priors:
+                fields.append(T.StructField(p, _type_from_ddl(types[logical]), True))
         fields.append(T.StructField(SYS_LSN, T.LongType(), True))
         fields.append(T.StructField(SYS_DELETED, T.BooleanType(), True))
         return T.StructType(fields)
@@ -590,7 +609,20 @@ class LakeTable:
             return None
         # Explicit schema → files written before an ADD COLUMN project the new
         # column as NULL (Iceberg-style schema evolution on read).
-        return spark.read.schema(self._stored_schema(commit)).parquet(*paths)
+        df = spark.read.schema(self._stored_schema(commit)).parquet(*paths)
+        if commit.renamed_cols:
+            # RENAME COLUMN resolution: a pre-rename file holds the value
+            # under a prior physical name (logical reads NULL there); a
+            # post-rename file holds it under the logical name (priors read
+            # NULL). Each row comes from exactly one file, so a per-row
+            # coalesce newest-name-first reconstructs the column without
+            # rewriting a byte of data.
+            for logical, priors in commit.renamed_cols.items():
+                df = df.withColumn(logical, F.coalesce(F.col(logical), *[F.col(p) for p in priors]))
+            df = df.select(
+                *[n for n, _ in commit.schema], SYS_LSN, SYS_DELETED
+            )
+        return df
 
     def read(
         self,
@@ -856,11 +888,22 @@ class LakeTable:
         # parquet-footer stats (trivially cheap exactly in that empty case).
         obs_in = Observation()
         obs_out = Observation()
+
+        def _src(c: str):
+            # Rename-lag relabeling: a binlog row image carries no column
+            # names — the decoder labels values from whatever tableDefinition
+            # it holds, so a feed can keep shipping a column under its
+            # pre-RENAME name. Accept the newest prior name as the same
+            # physical slot (exactly what position-based decode means).
+            if c in batch_df.columns:
+                return F.col(c)
+            for p in commit.renamed_cols.get(c, []):
+                if p in batch_df.columns:
+                    return F.col(p)
+            return F.lit(None)
+
         projected = batch_df.select(
-            *[
-                (F.col(c) if c in batch_df.columns else F.lit(None)).cast(dt).alias(c)
-                for c, dt in commit.schema
-            ],
+            *[_src(c).cast(dt).alias(c) for c, dt in commit.schema],
             F.col(SYS_LSN).cast("long").alias(SYS_LSN),
             (F.col(op_col) == F.lit("D")).alias(SYS_DELETED),
         ).observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
@@ -1008,6 +1051,7 @@ class LakeTable:
                 applied_hwm=hwm,
                 changefeed_floor=head.changefeed_floor,
                 dropped_cols=list(head.dropped_cols),
+                renamed_cols=dict(head.renamed_cols),
                 ddl_hwm=head.ddl_hwm,
                 parent=head.version,
                 summary={"operation": "merge", **{k: metrics[k] for k in ("batch_id", "rows_in", "deletes", "upserts")}},
@@ -1253,6 +1297,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=floor,
             dropped_cols=list(commit.dropped_cols),
+            renamed_cols=dict(commit.renamed_cols),
             ddl_hwm=commit.ddl_hwm,
             parent=commit.version,
             summary={"operation": "compact", "buckets": todo},
@@ -1353,6 +1398,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=floor,
             dropped_cols=list(commit.dropped_cols),
+            renamed_cols={},  # full rewrite materialized the logical names
             ddl_hwm=commit.ddl_hwm,
             parent=commit.version,
             summary={
@@ -1412,6 +1458,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=commit.changefeed_floor,
             dropped_cols=list(commit.dropped_cols),
+            renamed_cols=dict(commit.renamed_cols),
             ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
             summary={"operation": "add_column", "column": name, "type": ddl_type},
@@ -1450,7 +1497,16 @@ class LakeTable:
             applied_batches=dict(commit.applied_batches),
             applied_hwm=commit.applied_hwm,
             changefeed_floor=commit.changefeed_floor,
-            dropped_cols=sorted(set(commit.dropped_cols) | {name}),
+            # the dropped column's prior physical names hold its stale
+            # values in old files too — reserve them all against re-ADD
+            dropped_cols=sorted(
+                set(commit.dropped_cols)
+                | {name}
+                | set(commit.renamed_cols.get(name, []))
+            ),
+            renamed_cols={
+                k: v for k, v in commit.renamed_cols.items() if k != name
+            },
             ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
             summary={"operation": "drop_column", "column": name},
@@ -1458,12 +1514,94 @@ class LakeTable:
         self._write_commit(new_commit)
         return new_commit.version
 
+    def rename_column(
+        self,
+        old: str,
+        new: str,
+        spark: SparkSession | None = None,
+        ddl_lsn: int | None = None,
+    ) -> int:
+        """RENAME COLUMN: metadata-only commit — the Iceberg ``renameColumn``
+        analog (MySQL ``ALTER TABLE … RENAME COLUMN old TO new`` /
+        ``CHANGE old new type``). At 100 TB a name change must not rewrite a
+        byte of data: files written before the rename keep the old physical
+        column; the commit records ``new → [old, …prior names]`` and every
+        read reconstructs the logical column with a per-row
+        ``coalesce(new, old, …)`` (sound — each row lives in exactly one
+        file, and the guards below ensure no live file can physically hold
+        more than one of the names).
+
+        The old name becomes *reserved* (via ``dropped_cols``): re-ADDing it
+        without a physical purge would resurrect the renamed column's values
+        out of pre-rename files — the same name-collision hazard drop_column
+        guards, because projection here is by name, not Iceberg field id.
+        Renaming TO a reserved name (previously dropped, or a prior name of
+        another rename) likewise forces a purge first: pass ``spark=`` to
+        run it automatically. Key/bucket columns may be renamed — the stored
+        values (and therefore the bucket layout and file stats) are
+        unchanged; ``key_cols``/``bucket_cols`` follow the new name.
+
+        The reference has no rename path at all — its re-infer-on-arity-
+        mismatch loop (``Updater.java:188-217``) only notices column-COUNT
+        changes, so a pure rename silently relabels downstream output; this
+        engine applies it transactionally like every other DDL."""
+        commit = self.commit_at(resolve=False)
+        names = {n for n, _ in commit.schema}
+        if old not in names:
+            if new in names:
+                return commit.version  # idempotent DDL replay
+            raise KeyError(old)
+        if new in names:
+            raise ValueError(f"rename target {new!r} already exists")
+        if new in (SYS_LSN, SYS_DELETED, "_bucket", "_present"):
+            raise ValueError(f"rename target {new!r} is a reserved system name")
+        haunted = set(commit.dropped_cols) | {
+            p for ps in commit.renamed_cols.values() for p in ps
+        }
+        if new in haunted:
+            if spark is None:
+                raise ValueError(
+                    f"column name {new!r} may still exist physically in old "
+                    "files (previously dropped or renamed-away); pass spark= "
+                    "so rename_column can purge first, or call "
+                    "purge_dropped_columns()"
+                )
+            self.purge_dropped_columns(spark)
+            commit = self.commit_at(resolve=False)
+        renamed = dict(commit.renamed_cols)
+        priors = [old] + renamed.pop(old, [])
+        renamed[new] = priors
+        version = commit.version + 1
+        new_commit = Commit(
+            version=version,
+            schema=[(new if n == old else n, dt) for n, dt in commit.schema],
+            key_cols=[new if c == old else c for c in commit.key_cols],
+            bucket_cols=[new if c == old else c for c in commit.bucket_cols],
+            n_buckets=commit.n_buckets,
+            bucket_function=commit.bucket_function,
+            files={},
+            manifests=self._extend_manifests(commit, version, {}),
+            applied_batches=dict(commit.applied_batches),
+            applied_hwm=commit.applied_hwm,
+            changefeed_floor=commit.changefeed_floor,
+            # reserve the old physical name against re-ADD resurrection
+            dropped_cols=sorted(set(commit.dropped_cols) | {old}),
+            renamed_cols=renamed,
+            ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
+            parent=commit.version,
+            summary={"operation": "rename_column", "from": old, "to": new},
+        )
+        self._write_commit(new_commit)
+        return new_commit.version
+
     def purge_dropped_columns(self, spark: SparkSession) -> int:
         """Physically rewrite every live file projected through the current
-        schema, clearing ``dropped_cols``. The rare amortized path (same cost
-        class as compaction); reads already behave as if purged."""
+        schema, clearing ``dropped_cols`` AND materializing renamed columns
+        under their logical names (clearing ``renamed_cols``). The rare
+        amortized path (same cost class as compaction); reads already behave
+        as if purged."""
         commit = self.commit_at()
-        if not commit.dropped_cols:
+        if not commit.dropped_cols and not commit.renamed_cols:
             return commit.version
         raw = self._read_files(spark, commit)
         version = commit.version + 1
@@ -1489,6 +1627,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=commit.changefeed_floor,
             dropped_cols=[],
+            renamed_cols={},  # full rewrite materialized the logical names
             ddl_hwm=commit.ddl_hwm,
             parent=commit.version,
             summary={"operation": "purge_dropped", "columns": commit.dropped_cols},
@@ -1539,6 +1678,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=commit.changefeed_floor,
             dropped_cols=list(commit.dropped_cols),
+            renamed_cols={},  # full rewrite materialized the logical names
             ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
             summary={"operation": "modify_column", "column": name, "type": ddl_type},
@@ -1637,6 +1777,7 @@ class LakeTable:
             applied_hwm=target.applied_hwm,
             changefeed_floor=target.changefeed_floor,
             dropped_cols=list(target.dropped_cols),
+            renamed_cols=dict(target.renamed_cols),
             ddl_hwm=target.ddl_hwm,
             parent=current.version,
             summary={"operation": "rollback", "to_version": version},

@@ -14,6 +14,11 @@ at a time, keyed by the primary key (conv_id, turn_idx):
     are purged (so a later re-ADD reads NULL, never resurrected data —
     matching ``LakeTable.drop_column``'s dropped_cols purge guard). Columns
     not active at end of log are absent from the output frame.
+  * DDL RENAME_COLUMN at lsn L → the column keeps its values under the new
+    name; later row events still deliver the value under the old *physical*
+    feed column (a binlog row image carries positions, not names — the
+    static-schema feed is the decoder's pre-rename tableDefinition),
+    matching ``LakeTable.merge``'s rename-lag relabeling.
 
 Pure pandas, ~O(n) dict replay. Ground truth for every snapshot-diff test.
 """
@@ -40,6 +45,9 @@ def replay(
     # columns present from the start (before any ADD_COLUMN events)
     added = {d["column_name"] for d in ddl_sorted if d["action"] == "ADD_COLUMN"}
     active = [c for c in cols if c not in added]
+    # logical column -> physical feed column (diverges on RENAME: the feed
+    # keeps delivering the value under the old name)
+    src = {c: c for c in cols}
 
     log = changelog.sort_values("source_lsn")
     state: dict[tuple, dict] = {}
@@ -52,6 +60,15 @@ def replay(
             active.remove(name)
             for row in state.values():  # purge: a re-ADD must read NULL
                 row[name] = None
+        elif d["action"] == "RENAME_COLUMN" and name in active:
+            new = d.get("new_name")
+            if not isinstance(new, str) or new in active:
+                return
+            active[active.index(name)] = new
+            cols[cols.index(name)] = new
+            src[new] = src.pop(name, name)
+            for row in state.values():
+                row[new] = row.pop(name, None)
 
     ddl_i = 0
     for rec in log.to_dict("records"):
@@ -63,7 +80,9 @@ def replay(
         if rec["op"] == "D":
             state.pop(key, None)
         else:
-            state[key] = {c: rec.get(c) if c in active else None for c in cols}
+            state[key] = {
+                c: rec.get(src.get(c, c)) if c in active else None for c in cols
+            }
     while ddl_i < len(ddl_sorted):  # DDL after the last row event
         apply_ddl(ddl_sorted[ddl_i])
         ddl_i += 1

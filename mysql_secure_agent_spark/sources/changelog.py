@@ -42,6 +42,13 @@ class FeedSpec:
     # e.g. 0.6 → MODIFY COLUMN turn_idx int→bigint at 60% (type widening;
     # values unchanged, the engine rewrites existing data with a cast)
     ddl_modify_turn_to_long_at_frac: float | None = None
+    # e.g. 0.5 → RENAME COLUMN tool→tool_name at 50%. The FEED keeps
+    # delivering the value under the old ``tool`` column after the rename —
+    # a binlog row image carries positions, not names, so a decoder holding
+    # the pre-rename tableDefinition keeps the old label (the engine's
+    # rename-lag relabeling maps it; the reference would silently mislabel,
+    # Updater.java:188-217 only notices column-COUNT changes).
+    ddl_rename_tool_at_frac: float | None = None
     base_ts: str = "2026-01-01"
     # conv_id namespace prefix — sharded (multi-source) fixtures give each
     # shard its own prefix so key spaces are disjoint, like a sharded fleet
@@ -163,9 +170,22 @@ def generate_changelog(spec: FeedSpec) -> tuple[pd.DataFrame, pd.DataFrame]:
                 "column_type": "bigint",
             }
         )
-    ddl = pd.DataFrame(
-        ddl_rows, columns=["source_lsn", "action", "column_name", "column_type"]
-    )
+    if spec.ddl_rename_tool_at_frac is not None:
+        ddl_rows.append(
+            {
+                "source_lsn": int(n * spec.ddl_rename_tool_at_frac),
+                "action": "RENAME_COLUMN",
+                "column_name": "tool",
+                "column_type": "string",
+                "new_name": "tool_name",
+            }
+        )
+        # NOTE: the feed frame keeps the value under ``tool`` for the whole
+        # log — rename-lag by design (see ddl_rename_tool_at_frac).
+    cols = ["source_lsn", "action", "column_name", "column_type"]
+    if any("new_name" in r for r in ddl_rows):
+        cols.append("new_name")
+    ddl = pd.DataFrame(ddl_rows, columns=cols)
     return df, ddl
 
 

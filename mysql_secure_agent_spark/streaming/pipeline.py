@@ -146,6 +146,12 @@ class CdcPipeline:
                 out.append(d)
             elif d["action"] == "DROP_COLUMN" and d["column_name"] in current:
                 out.append(d)
+            elif (
+                d["action"] == "RENAME_COLUMN"
+                and d["column_name"] in current
+                and d.get("new_name") not in current
+            ):
+                out.append(d)
         return out
 
     def _apply_ddl(self, spark: SparkSession, d: dict[str, Any]) -> None:
@@ -160,6 +166,10 @@ class CdcPipeline:
             )
         elif d["action"] == "DROP_COLUMN":
             self.table.drop_column(d["column_name"], ddl_lsn=lsn)
+        elif d["action"] == "RENAME_COLUMN":
+            self.table.rename_column(
+                d["column_name"], d["new_name"], spark=spark, ddl_lsn=lsn
+            )
         else:
             raise ValueError(f"unknown DDL action {d['action']!r}")
         if self.history_table is not None:
@@ -173,6 +183,8 @@ class CdcPipeline:
                 h.modify_column_type(spark, d["column_name"], d["column_type"], ddl_lsn=lsn)
             elif d["action"] == "DROP_COLUMN":
                 h.drop_column(d["column_name"], ddl_lsn=lsn)
+            elif d["action"] == "RENAME_COLUMN":
+                h.rename_column(d["column_name"], d["new_name"], spark=spark, ddl_lsn=lsn)
 
     # ------------------------------------------------------------ transform
     def _prepare(self, batch_df: DataFrame, spark: SparkSession) -> DataFrame:

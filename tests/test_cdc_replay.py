@@ -451,6 +451,176 @@ def test_add_then_drop_same_column_mid_stream(spark, tmp_path):
     )
 
 
+def test_rename_column_direct(spark, tmp_path):
+    """RENAME COLUMN is metadata-only (Iceberg renameColumn analog): no data
+    files are rewritten, old files' values surface under the new logical
+    name via coalesce-on-read, and post-rename merges that still deliver the
+    value under the OLD feed label (binlog images carry positions, not
+    names) land in the renamed column."""
+    import pyspark.sql.functions as F
+
+    spec = FeedSpec(n_events=3000, n_convs=150, seed=91)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=3)
+    table = _make_table(str(tmp_path / "tbl"))
+    CdcPipeline(table, feed).run_backfill(spark)
+    before = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", F.col("tool").alias("tool_name"))
+        .toPandas()
+    )
+    v_pre = table.current_version()
+
+    table.rename_column("tool", "tool_name")
+    commit = table.commit_at(resolve=False)
+    assert commit.summary["operation"] == "rename_column"
+    assert commit.files == {}  # metadata-only: not one data file written
+    assert dict(commit.schema)["tool_name"] == "string"
+    assert "tool" not in dict(commit.schema)
+    assert commit.renamed_cols == {"tool_name": ["tool"]}
+    assert "tool" in commit.dropped_cols  # old name reserved vs re-ADD
+
+    after = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "tool_name")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+
+    # re-ADD of the old name must NOT resurrect pre-rename physical values
+    with pytest.raises(ValueError, match="dropped"):
+        table.add_column("tool", "string")
+    table.add_column("tool", "string", spark=spark)
+    assert table.read(spark).filter(F.col("tool").isNotNull()).count() == 0
+    # purge materialized tool_name physically; coalesce map is gone
+    assert table.commit_at(resolve=False).renamed_cols == {}
+    after2 = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "tool_name")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(before, after2, check_dtype=False)
+    assert table.current_version() > v_pre
+
+
+def test_rename_column_feed_lag_merge(spark, tmp_path):
+    """After a rename, later merges whose batch still labels the value with
+    the OLD column name must land it in the renamed column (rename-lag
+    relabeling — the decoder's tableDefinition predates the rename)."""
+    import pyspark.sql.functions as F
+
+    spec = FeedSpec(n_events=4000, n_convs=150, seed=93)
+    cl, _ = generate_changelog(spec)
+    mid = int(cl["source_lsn"].max()) // 2
+    table = _make_table(str(tmp_path / "tbl"))
+    sdf = spark.createDataFrame(cl)
+    table.merge(spark, sdf.filter(F.col("source_lsn") <= mid), "pre")
+    table.rename_column("tool", "tool_name")
+    # batch still carries the old 'tool' label
+    table.merge(spark, sdf.filter(F.col("source_lsn") > mid), "post")
+
+    expected = oracle.replay(
+        cl,
+        pd.DataFrame(
+            [{"source_lsn": mid, "action": "RENAME_COLUMN",
+              "column_name": "tool", "column_type": "string",
+              "new_name": "tool_name"}]
+        ),
+    )
+    result = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        result, expected[result.columns.tolist()].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_mid_stream_rename_column(spark, tmp_path):
+    """RENAME_COLUMN arrives mid-stream via the DDL sidecar: the micro-batch
+    splits at the DDL lsn, the rename applies transactionally between
+    sub-batches, and the feed's unchanged old-name labeling keeps landing
+    correctly. Final state matches the sequential oracle."""
+    spec = FeedSpec(n_events=6000, n_convs=200, seed=97, ddl_rename_tool_at_frac=0.5)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=4)
+    table = _make_table(str(tmp_path / "tbl"))
+    CdcPipeline(table, feed).run_stream(spark, str(tmp_path / "ckpt"))
+    schema = dict(table.commit_at().schema)
+    assert "tool_name" in schema and "tool" not in schema
+    ops = [
+        table.commit_at(v).summary.get("operation")
+        for v in range(1, table.current_version() + 1)
+    ]
+    assert ops.count("rename_column") == 1
+    assert table.commit_at(resolve=False).ddl_hwm == int(spec.n_events * 0.5)
+    _assert_matches_oracle(spark, table, spec)
+
+    # replaying the same feed from scratch into a fresh checkpoint dir is
+    # idempotent — the persisted ddl_hwm stops a second rename attempt
+    CdcPipeline(table, feed).run_stream(spark, str(tmp_path / "ckpt2"))
+    ops = [
+        table.commit_at(v).summary.get("operation")
+        for v in range(1, table.current_version() + 1)
+    ]
+    assert ops.count("rename_column") == 1
+
+
+def test_rename_key_column(spark, tmp_path):
+    """Renaming a KEY column is legal (values/buckets unchanged — bucket
+    layout is by position, not name): key_cols/bucket_cols follow the new
+    name and subsequent old-label merges still key correctly."""
+    import pyspark.sql.functions as F
+
+    spec = FeedSpec(n_events=3000, n_convs=120, seed=99)
+    cl, _ = generate_changelog(spec)
+    mid = int(cl["source_lsn"].max()) // 2
+    table = _make_table(str(tmp_path / "tbl"))
+    sdf = spark.createDataFrame(cl)
+    table.merge(spark, sdf.filter(F.col("source_lsn") <= mid), "pre")
+    table.rename_column("conv_id", "conversation_id")
+    commit = table.commit_at(resolve=False)
+    assert commit.key_cols == ["conversation_id", "turn_idx"]
+    assert commit.bucket_cols[0] == "conversation_id"
+    table.merge(spark, sdf.filter(F.col("source_lsn") > mid), "post")
+
+    expected = oracle.replay(cl).rename(columns={"conv_id": "conversation_id"})
+    result = (
+        table.read(spark)
+        .orderBy("conversation_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        result, expected[result.columns.tolist()].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_rename_to_haunted_name_purges(spark, tmp_path):
+    """Renaming TO a previously-dropped name would resurrect that name's
+    stale values out of old files — refused without spark=, auto-purged
+    with it (same contract as add_column onto dropped_cols)."""
+    import pyspark.sql.functions as F
+
+    spec = FeedSpec(n_events=2000, n_convs=100, seed=101)
+    feed = str(tmp_path / "feed")
+    write_feed(spec, feed, n_files=2)
+    table = _make_table(str(tmp_path / "tbl"))
+    CdcPipeline(table, feed).run_backfill(spark)
+    table.drop_column("tool")
+    table.add_column("aux", "string", spark=spark)
+    with pytest.raises(ValueError, match="physically"):
+        table.rename_column("aux", "tool")
+    table.rename_column("aux", "tool", spark=spark)
+    assert "tool" in dict(table.commit_at().schema)
+    # never resurrected: every value is aux's (all-NULL), not old tool's
+    assert table.read(spark).filter(F.col("tool").isNotNull()).count() == 0
+
+
 def test_rollback_bad_batch(spark, tmp_path):
     """Poison-batch recovery: roll back to the last good version; the bad
     batch leaves the applied ledger so a corrected re-merge is NOT skipped;

@@ -575,6 +575,69 @@ def q_cdc_rename_column(spark, sf_dir):
     )
 
 
+def q_cdc_quarantine(spark, sf_dir):
+    """Dead-letter quarantine end-to-end: events are ENCODED into transcript
+    wire row images, a deterministic subset corrupted (truncation /
+    reserved bitmap bits / trailing garbage — precedence short_header >
+    reserved_bits > frame_size_mismatch), and the batch flows through the
+    validate-then-decode path (decode_raw_feed(quarantine=True)). Valid rows
+    must decode to their exact field values, poisoned rows to NULL fields +
+    the right reason code. The reference would THROW on the first poisoned
+    event and halt (RowParser.java:165-166); here the oracle states both the
+    classification and the surviving values in closed form."""
+    import pandas as pd
+
+    from mysql_secure_agent_spark.functions.decode import (
+        decode_raw_feed, encode_row,
+    )
+    from mysql_secure_agent_spark.schemas import RAW_CHANGELOG_SCHEMA
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                eid = int(r["event_id"])
+                payload = encode_row(
+                    f"c{r['user_id']}",
+                    eid % 64,
+                    r["event_type"],
+                    f"msg-{eid}",
+                    None if eid % 5 == 0 else f"t{eid % 7}",
+                    int(pd.Timestamp(r["ts"]).value // 1000),
+                )
+                if eid % 97 == 0:
+                    payload = payload[:5]
+                elif eid % 101 == 0:
+                    payload = bytes([payload[0] | 0x40]) + payload[1:]
+                elif eid % 103 == 0:
+                    payload = payload + b"\xde\xad"
+                out.append(
+                    {
+                        "op": "I",
+                        "payload": payload,
+                        "source_lsn": eid,
+                        "binlog_file": "bin.000001",
+                        "binlog_pos": eid,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RAW_CHANGELOG_SCHEMA.fields])
+
+    raw = ev.mapInPandas(encode, schema=RAW_CHANGELOG_SCHEMA)
+    dec = decode_raw_feed(raw, quarantine=True)
+    return dec.select(
+        "source_lsn",
+        F.col("_error").alias("reason"),
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role").alias("role"),
+        "text",
+        "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
 def q_cdc_last_image_wins(spark, sf_dir):
     """A3 in isolation: max-lsn image per (user_id, event_type)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
@@ -1631,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_modify_column": q_cdc_modify_column,
         "cdc_drop_column": q_cdc_drop_column,
         "cdc_rename_column": q_cdc_rename_column,
+        "cdc_quarantine": q_cdc_quarantine,
         "cdc_last_image_wins": q_cdc_last_image_wins,
         "cdc_update_decompose": q_cdc_update_decompose,
         "cdc_scd2_history": q_cdc_scd2_history,
@@ -2156,6 +2220,24 @@ SELECT user_id, slot, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
+""",
+        # classification and surviving values stated in closed form: the
+        # corruption rules are modular in event_id with fixed precedence, and
+        # a valid row's decoded fields equal the expressions that built them
+        "cdc_quarantine": """
+SELECT event_id AS source_lsn,
+       CASE WHEN event_id % 97 = 0 THEN 'short_header'
+            WHEN event_id % 101 = 0 THEN 'reserved_bits'
+            WHEN event_id % 103 = 0 THEN 'frame_size_mismatch' END AS reason,
+       CASE WHEN ok THEN 'c' || CAST(user_id AS VARCHAR) END AS conv_id,
+       CASE WHEN ok THEN CAST(event_id % 64 AS INTEGER) END AS turn_idx,
+       CASE WHEN ok THEN event_type END AS role,
+       CASE WHEN ok THEN 'msg-' || CAST(event_id AS VARCHAR) END AS text,
+       CASE WHEN ok AND event_id % 5 <> 0
+            THEN 't' || CAST(event_id % 7 AS VARCHAR) END AS tool,
+       CASE WHEN ok THEN CAST(epoch_us(ts) AS BIGINT) END AS ts_us
+FROM (SELECT *, event_id % 97 <> 0 AND event_id % 101 <> 0
+                AND event_id % 103 <> 0 AS ok FROM events)
 """,
         # rename is value-preserving: same final state as the plain replay,
         # with the column surfaced under its new logical name

@@ -121,15 +121,33 @@ def _string_field(
     return s
 
 
-def decode_payload_block(payload: pd.Series) -> pd.DataFrame:
+def decode_payload_block(
+    payload: pd.Series, quarantine: bool = False
+) -> pd.DataFrame:
     """Vectorized decode of a batch of row-image payloads.
 
     Returns a frame with columns conv_id, turn_idx, role, text, tool, ts.
+
+    ``quarantine=True`` adds dead-letter columns instead of trusting the
+    wire bytes: every row is structurally VALIDATED first (header present,
+    reserved bitmap bits clear, null-flag/length agreement, and the frame-
+    size identity ``23 + Σ field lengths == row length`` — which catches
+    both truncation and trailing garbage), all with the same fancy-indexed
+    header math the decode itself uses (no second pass over the payload
+    bytes). Valid rows decode normally; invalid rows decode to all-NULL
+    fields plus ``_error`` (reason code, checked in precedence order:
+    null_payload → short_header → reserved_bits → null_length_conflict →
+    frame_size_mismatch) and ``_raw`` (the original payload bytes, kept for
+    forensics — NULL on valid rows so the extra column is ~free). The
+    reference's RowParser simply throws mid-stream on bytes it cannot frame
+    (``RowParser.java:165-166`` IOException) — killing the whole agent on
+    one poisoned event; validate-then-decode keeps the stream alive and the
+    poison auditable.
     """
     binarr = pa.array(payload, type=pa.binary())
     n = len(binarr)
     if n == 0:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "conv_id": pd.Series([], dtype=object),
                 "turn_idx": pd.Series([], dtype="Int32"),
@@ -139,11 +157,36 @@ def decode_payload_block(payload: pd.Series) -> pd.DataFrame:
                 "ts": pd.Series([], dtype="datetime64[us]"),
             }
         )
+        if quarantine:
+            out["_error"] = pd.Series([], dtype=object)
+            out["_raw"] = pd.Series([], dtype=object)
+        return out
     # One contiguous buffer + per-row offsets (Arrow's native layout).
     flat = binarr.combine_chunks() if isinstance(binarr, pa.ChunkedArray) else binarr
     voff = np.frombuffer(flat.buffers()[1], dtype=np.int32, count=n + 1)
     buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
     row_start = voff[:-1].astype(np.int64)
+    row_len = (voff[1:] - voff[:-1]).astype(np.int64)
+    null_payload = np.zeros(n, dtype=bool)
+    if flat.null_count:
+        null_payload = np.asarray(flat.is_null())
+
+    reason = None
+    if quarantine:
+        # ---- structural validation (header math only; zero extra passes
+        # over the payload bytes) ------------------------------------------
+        reason = np.full(n, None, dtype=object)
+        short = (row_len < HEADER.size) | null_payload
+        reason[null_payload] = "null_payload"
+        reason[short & ~null_payload] = "short_header"
+        # clamp the gather base for short rows so header reads stay in
+        # bounds; their decoded garbage is discarded below
+        if len(buf) < HEADER.size:  # every row malformed-short
+            buf = np.concatenate(
+                [buf, np.zeros(HEADER.size - len(buf), dtype=np.uint8)]
+            )
+        clamped = np.minimum(row_start, max(len(buf) - HEADER.size, 0))
+        row_start = np.where(short, clamped, row_start)
 
     # ---- header gather (fancy-indexed, no loop) ---------------------------
     def u8(off):
@@ -174,6 +217,42 @@ def decode_payload_block(payload: pd.Series) -> pd.DataFrame:
     null_tool = (bitmap & _B_TOOL) != 0
     null_ts = (bitmap & _B_TS) != 0
 
+    if quarantine:
+        open_ = reason == None  # noqa: E711 — elementwise against object array
+        # reserved bitmap bits (6-7) must be clear
+        bad = open_ & ((bitmap & ~np.int64(0x3F)) != 0)
+        reason[bad] = "reserved_bits"
+        open_ &= ~bad
+        # a null field must declare length 0 (the encoder writes none)
+        bad = open_ & (
+            (null_conv & (len_conv != 0))
+            | (null_role & (len_role != 0))
+            | (null_text & (len_text != 0))
+            | (null_tool & (len_tool != 0))
+        )
+        reason[bad] = "null_length_conflict"
+        open_ &= ~bad
+        # exact frame-size identity: catches truncation AND trailing bytes
+        bad = open_ & (
+            HEADER.size + len_conv + len_role + len_text + len_tool != row_len
+        )
+        reason[bad] = "frame_size_mismatch"
+        valid = reason == None  # noqa: E711
+        # neutralize invalid rows' spans so the masked string gather can't
+        # walk out of bounds (start=0 / len=0 contributes nothing)
+        len_conv = np.where(valid, len_conv, 0)
+        len_role = np.where(valid, len_role, 0)
+        len_text = np.where(valid, len_text, 0)
+        len_tool = np.where(valid, len_tool, 0)
+        row_start = np.where(valid, row_start, 0)
+        # decoded scalars of invalid rows are garbage — null them
+        null_conv |= ~valid
+        null_role |= ~valid
+        null_text |= ~valid
+        null_tool |= ~valid
+        null_turn |= ~valid
+        null_ts |= ~valid
+
     # ---- body: running offsets per field ----------------------------------
     s_conv = row_start + HEADER.size
     s_role = s_conv + len_conv
@@ -189,7 +268,7 @@ def decode_payload_block(payload: pd.Series) -> pd.DataFrame:
     turn_s[null_turn] = pd.NA
     ts = pd.Series(ts_us.astype("datetime64[us]"))
     ts[null_ts] = pd.NaT
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "conv_id": conv,
             "turn_idx": turn_s,
@@ -199,25 +278,51 @@ def decode_payload_block(payload: pd.Series) -> pd.DataFrame:
             "ts": ts,
         }
     )
+    if quarantine:
+        out["_error"] = pd.Series(reason, dtype=object)
+        raw = np.full(n, None, dtype=object)
+        if (~valid).any():
+            vals = payload.reset_index(drop=True)
+            raw[~valid] = vals[~valid].values
+        out["_raw"] = pd.Series(raw, dtype=object)
+    return out
 
 
-def decode_raw_feed(raw_df):
+def decode_raw_feed(raw_df, quarantine: bool = False):
     """Raw feed (RAW_CHANGELOG_SCHEMA) → typed changelog DataFrame via
     ``mapInPandas`` (Arrow batches in and out; the engine's replacement for
-    the reference's event loop around RowParser)."""
+    the reference's event loop around RowParser).
+
+    ``quarantine=True`` validates before decoding (see
+    ``decode_payload_block``) and appends ``_error`` / ``_raw`` dead-letter
+    columns instead of crashing or silently mis-decoding on malformed
+    images; the pipeline routes flagged rows to the dead-letter sink."""
+    from pyspark.sql import types as T
+
     from ..schemas import CHANGELOG_SCHEMA
 
     pass_cols = ["op", "source_lsn", "binlog_file", "binlog_pos"]
-    out_cols = [f.name for f in CHANGELOG_SCHEMA.fields]
+    schema = CHANGELOG_SCHEMA
+    if quarantine:
+        # every field nullable: a quarantined row decodes to all-NULL fields,
+        # including columns (op, keys, lsn) the clean contract marks NOT NULL
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in CHANGELOG_SCHEMA.fields]
+            + [
+                T.StructField("_error", T.StringType(), True),
+                T.StructField("_raw", T.BinaryType(), True),
+            ]
+        )
+    out_cols = [f.name for f in schema.fields]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = decode_payload_block(pdf["payload"])
+            decoded = decode_payload_block(pdf["payload"], quarantine=quarantine)
             for c in pass_cols:
                 decoded[c] = pdf[c].values
             yield decoded[out_cols]
 
-    return raw_df.mapInPandas(fn, schema=CHANGELOG_SCHEMA)
+    return raw_df.mapInPandas(fn, schema=schema)
 
 
 # ------------------------------------------------ generic MySQL-typed decode

@@ -72,6 +72,11 @@ class CdcPipeline:
         # reference's JSONL output preserves every shipped image
         # (Updater.java:148-186, BucketOutput.java:86-125).
         history_table: LakeTable | None = None,
+        # dead-letter quarantine dir (raw feeds only): malformed row images
+        # are validated out before decode and quarantined as parquet instead
+        # of killing the stream — the reference throws mid-stream on bytes it
+        # cannot frame (RowParser.java:165-166). See sinks/dead_letter.py.
+        dlq_dir: str | None = None,
     ):
         if row_image not in ("full", "minimal", "noblob"):
             raise ValueError(
@@ -91,6 +96,13 @@ class CdcPipeline:
                 "_present mask; decode raw binary images first "
                 "(packets_to_changelog(emit_presence=True))"
             )
+        if dlq_dir is not None and (not raw or raw_schema is not None):
+            raise ValueError(
+                "dlq_dir requires raw=True with the transcript wire format: "
+                "quarantine validation lives inside the decode stage "
+                "(decode_raw_feed); an already-decoded feed has no bytes to "
+                "validate, and the typed-codec path is fail-fast by design"
+            )
         self.row_image = row_image
         self.history_table = history_table
         self.table = table
@@ -106,6 +118,11 @@ class CdcPipeline:
         self._table_cfg = (
             config.table_config(schema_name, table_name) if config else None
         )
+        self._dlq = None
+        if dlq_dir is not None:
+            from ..sinks.dead_letter import DeadLetterSink
+
+            self._dlq = DeadLetterSink(dlq_dir)
         self._ddl: list[dict[str, Any]] | None = None
         self._merges = 0
 
@@ -207,7 +224,9 @@ class CdcPipeline:
         )
         if self.raw_schema is not None:
             return self._apply_selection(decode_raw_feed_typed(salted, self.raw_schema))
-        return self._apply_selection(decode_raw_feed(salted))
+        return self._apply_selection(
+            decode_raw_feed(salted, quarantine=self._dlq is not None)
+        )
 
     def _apply_selection(self, df: DataFrame) -> DataFrame:
         """P1 config-driven column selection (Config.columnsToSync analog,
@@ -218,6 +237,7 @@ class CdcPipeline:
             return df
         keep = set(self.table.commit_at(resolve=False).key_cols) | {
             "op", "source_lsn", "binlog_file", "binlog_pos", "_present",
+            "_error", "_raw",
         }
         payload = [c for c in df.columns if c not in keep]
         selected = set(self._table_cfg.selected_columns(payload))
@@ -270,6 +290,26 @@ class CdcPipeline:
         micro-batch skips exactly the sub-merges that already committed.
         """
         prepared = self._prepare(batch_df, spark)
+        obs_err = None
+        if self._dlq is not None:
+            # Piggyback the poison count on whatever job runs first over the
+            # decoded batch (the merge itself, or the DDL max-lsn probe): a
+            # CLEAN batch learns it is clean for free and never pays a DLQ
+            # job. The observe node sits above the validity filter, so the
+            # count covers every decoded row no matter how the batch is
+            # later split at DDL positions.
+            from pyspark.sql import Observation
+
+            obs_err = Observation()
+            flagged = prepared.observe(
+                obs_err,
+                F.coalesce(
+                    F.sum(F.col("_error").isNotNull().cast("long")), F.lit(0)
+                ).alias("n_err"),
+            )
+            prepared = flagged.filter(F.col("_error").isNull()).drop(
+                "_error", "_raw"
+            )
         post = self._post_dedup()
         pending = self._pending_ddls()
         results: list[dict[str, Any]] = []
@@ -319,6 +359,22 @@ class CdcPipeline:
                 lo = d["source_lsn"]
             tail = prepared.filter(F.col("source_lsn") > F.lit(lo))
             results.append(do_merge(tail, f"{batch_id}.tail"))
+        if self._dlq is not None:
+            # DLQ write AFTER the merges (a crash in between replays the
+            # whole batch; the per-batch overwrite path makes the rewrite
+            # idempotent). Three cases: an action ran → trust the observed
+            # count and only pay the errors-only job when poison exists; no
+            # action ran (every sub-merge skipped as already-applied — a
+            # checkpoint replay) or AQE pruned the CollectMetrics node →
+            # write unconditionally, both rare.
+            n_err = None
+            if not all(r.get("skipped") for r in results):
+                try:
+                    n_err = obs_err.get["n_err"]
+                except Exception:
+                    n_err = None
+            if n_err is None or (n_err or 0) > 0:
+                self._dlq.write(flagged, str(batch_id))
         self._merges += 1
         if self.compact_every and self._merges % self.compact_every == 0:
             self.table.compact(spark, min_deltas=4)

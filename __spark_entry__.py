@@ -150,6 +150,62 @@ def q_cdc_merge_into_lake(spark, sf_dir):
     )
 
 
+def q_cdc_wap_publish(spark, sf_dir):
+    """Write-audit-publish gate (Iceberg wap.id workflow over LakeTable):
+    the first half of the feed is STAGED, audited (passes), and published;
+    a poisoned batch (NULL event_type images at winning lsns) is staged,
+    FAILS the audit, and is aborted — invisible forever; the second half
+    merges directly. Final state must equal a plain full replay: the audit
+    gate admits clean data unchanged and the aborted poison leaves no trace.
+    Beyond-reference surface: the reference applies every decoded event
+    directly (Updater.java:148-186) with no audit stage."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    hi = cl.agg(F.max("source_lsn")).collect()[0][0] or 0
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_wap_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= hi // 2), "w0", wap_id="a0")
+    audit = tbl.audit_staged(
+        spark, "a0", {"upsert_has_type": "event_type IS NOT NULL"}
+    )
+    if not audit["passed"]:
+        raise AssertionError(f"clean batch failed audit: {audit}")
+    tbl.publish_staged("a0")
+
+    # poison: would-be-winning images (lsn > hi) with NULL event_type
+    poison = (
+        cl.filter((F.col("op") != "D") & (F.col("source_lsn") % 97 == 0))
+        .withColumn("event_type", F.lit(None).cast("string"))
+        .withColumn("source_lsn", F.col("source_lsn") + F.lit(hi + 1))
+    )
+    tbl.merge(spark, poison, "w-poison", wap_id="a1")
+    audit = tbl.audit_staged(
+        spark, "a1", {"upsert_has_type": "event_type IS NOT NULL"}
+    )
+    if audit["passed"] or audit["violations"]["upsert_has_type"] == 0:
+        raise AssertionError(f"poison batch passed audit: {audit}")
+    if tbl.abort_staged("a1") == 0:
+        raise AssertionError("abort reclaimed no files")
+
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > hi // 2), "w1")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_expire_versions(spark, sf_dir):
     """Snapshot expiry mid-ingest: the feed lands in two micro-batches with
     a compaction between them, then expire_versions(keep_last=1) prunes the
@@ -1684,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_expire_versions": q_cdc_expire_versions,
+        "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_minimal_image": q_cdc_minimal_image,
         "cdc_rebucket_midstream": q_cdc_rebucket_midstream,
         "cdc_key_range_scan": q_cdc_key_range_scan,
@@ -2096,6 +2153,15 @@ WHERE rn <= 10
     return {
         "cdc_apply_changelog": final_state_sql,
         "cdc_merge_into_lake": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # the audit gate admits clean data unchanged and the aborted poison
+        # batch leaves no trace: WAP read == plain full replay
+        "cdc_wap_publish": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot

@@ -321,6 +321,14 @@ class LakeTable:
     def _current_path(self) -> str:
         return os.path.join(self._commits_dir, "CURRENT")
 
+    @staticmethod
+    def _wap_tag(wap_id: str) -> str:
+        # filename-safe fixed-width tag for arbitrary wap ids
+        return hashlib.sha1(wap_id.encode()).hexdigest()[:16]
+
+    def _staged_path(self, tag: str) -> str:
+        return os.path.join(self._commits_dir, f"staged-{tag}.json")
+
     # ---------------------------------------------------------------- create
     @classmethod
     def create(
@@ -654,6 +662,19 @@ class LakeTable:
         resurrect.
         """
         commit = self.commit_at(version)
+        return self._reconciled_state(spark, commit, buckets, strategy, key_range)
+
+    def _reconciled_state(
+        self,
+        spark: SparkSession,
+        commit: Commit,
+        buckets: list[int] | None = None,
+        strategy: str = "max_by",
+        key_range: dict[str, tuple[Any, Any]] | None = None,
+    ) -> DataFrame:
+        """read()'s body over an already-loaded (resolved) commit — shared
+        with read_staged(), which reconciles a commit that CURRENT never
+        points at."""
         if key_range:
             bad = sorted(set(key_range) - set(commit.key_cols))
             if bad:
@@ -665,7 +686,15 @@ class LakeTable:
         raw = self._read_files(spark, commit, buckets, key_range=key_range)
         cols = [n for n, _ in commit.schema]
         if raw is None:
-            return spark.createDataFrame([], self.schema(version))
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(n, _type_from_ddl(dt), True)
+                        for n, dt in commit.schema
+                    ]
+                ),
+            )
         if key_range:
             # the same predicate, executor-side: prunes row groups inside
             # surviving files and drops out-of-range keys BEFORE the
@@ -852,6 +881,7 @@ class LakeTable:
         dedup_strategy: str = "window",
         op_col: str = "op",
         post_dedup_transform=None,
+        wap_id: str | None = None,
     ) -> dict[str, Any]:
         """Apply one micro-batch of changelog rows (MERGE INTO equivalent).
 
@@ -869,6 +899,17 @@ class LakeTable:
         *deduped* rows — the right place for normalization UDFs: it touches
         one row per key instead of every change image, and rides the dedup
         shuffle's output partitions (no extra exchange).
+
+        ``wap_id`` switches the merge into WRITE-AUDIT-PUBLISH mode (the
+        Iceberg ``wap.id`` staged-commit workflow): all cluster work runs
+        exactly as a normal merge, but instead of swinging CURRENT the
+        result is recorded as a STAGED commit invisible to readers.
+        ``read_staged``/``audit_staged`` then inspect the would-be table
+        state, and ``publish_staged`` (atomic pointer swing, rebased onto
+        whatever head exists by then) or ``abort_staged`` (file reclaim)
+        settles it. Exactly-once still holds: the batch_id is registered
+        only at publish, and a publish that finds the batch already applied
+        degrades to a skip.
         """
         t0 = time.time()
         batch_id = str(batch_id)
@@ -1019,6 +1060,67 @@ class LakeTable:
                 for e in entries:
                     e["lsn_min"], e["lsn_max"] = int(lsn_min), int(lsn_max)
 
+        if wap_id is not None:
+            # WRITE-AUDIT-PUBLISH: record the delta as a staged commit that
+            # no reader resolves. The staged JSON pins the parent head and
+            # its own delta manifest; CURRENT is untouched, so the swing
+            # (and the batch_id registration that makes replays skip)
+            # happens only in publish_staged().
+            with self._commit_lock:
+                head = self.commit_at(resolve=False)
+                if head.is_applied(batch_id):
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    return {"skipped": True, "batch_id": batch_id}
+                tag = self._wap_tag(wap_id)
+                staged_path = self._staged_path(tag)
+                if os.path.exists(staged_path):
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise FileExistsError(
+                        f"staged commit with wap_id {wap_id!r} already "
+                        "exists: publish or abort it first"
+                    )
+                delta_manifest = (
+                    self._write_manifest(f"m-staged-{tag}.json", delta)
+                    if delta
+                    else None
+                )
+                staged = Commit(
+                    version=-1,  # unassigned until publish
+                    schema=head.schema,
+                    key_cols=head.key_cols,
+                    bucket_cols=head.bucket_cols,
+                    n_buckets=head.n_buckets,
+                    bucket_function=head.bucket_function,
+                    files={},
+                    manifests=list(head.manifests)
+                    + ([delta_manifest] if delta_manifest else []),
+                    applied_batches=dict(head.applied_batches),
+                    applied_hwm=head.applied_hwm,
+                    changefeed_floor=head.changefeed_floor,
+                    dropped_cols=list(head.dropped_cols),
+                    renamed_cols=dict(head.renamed_cols),
+                    ddl_hwm=head.ddl_hwm,
+                    parent=head.version,
+                    summary={
+                        "operation": "wap_stage",
+                        "wap_id": wap_id,
+                        "batch_id": batch_id,
+                        "delta_manifest": delta_manifest,
+                        "rows_in": metrics["rows_in"],
+                        "deletes": metrics["deletes"],
+                        "upserts": metrics["upserts"],
+                    },
+                )
+                tmp = staged_path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(staged.to_json())
+                os.replace(tmp, staged_path)
+            metrics["staged"] = True
+            metrics["wap_id"] = wap_id
+            metrics["wall_ms"] = int((time.time() - t0) * 1000)
+            self._append_metrics(metrics)
+            return metrics
+
         # Optimistic commit: all cluster work is done; re-read the head and
         # swing the pointer under the lock. A concurrent shard's merge that
         # landed since our snapshot just means our parent is ITS commit —
@@ -1142,6 +1244,178 @@ class LakeTable:
         return metrics
 
     # ------------------------------------------------------------ compaction
+    # ---------------------------------------------------- write-audit-publish
+    def staged_ids(self) -> list[str]:
+        """wap_ids of every staged (unpublished, unaborted) commit."""
+        out = []
+        for name in sorted(os.listdir(self._commits_dir)):
+            if name.startswith("staged-") and name.endswith(".json"):
+                with open(os.path.join(self._commits_dir, name)) as f:
+                    out.append(json.loads(f.read())["summary"]["wap_id"])
+        return out
+
+    def staged_commit(self, wap_id: str, resolve: bool = True) -> Commit:
+        """Load a staged commit by wap_id (resolve=True materializes its
+        file listing — the parent chain plus the staged delta manifest)."""
+        path = self._staged_path(self._wap_tag(wap_id))
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no staged commit with wap_id {wap_id!r}")
+        with open(path) as f:
+            commit = Commit.from_json(f.read())
+        if resolve and commit.manifests:
+            files: dict[str, list[dict[str, Any]]] = {}
+            for name in commit.manifests:
+                for b, entries in self._load_manifest(name).items():
+                    files.setdefault(b, []).extend(entries)
+            commit.files = files
+        return commit
+
+    def read_staged(
+        self, spark: SparkSession, wap_id: str, strategy: str = "max_by"
+    ) -> DataFrame:
+        """The table state the staged commit WOULD publish: parent state +
+        staged delta, reconciled last-image-wins — what the audit inspects.
+        Current readers are unaffected (CURRENT still points at the parent
+        chain's head)."""
+        return self._reconciled_state(
+            spark, self.staged_commit(wap_id), strategy=strategy
+        )
+
+    def audit_staged(
+        self, spark: SparkSession, wap_id: str, expectations: dict[str, str]
+    ) -> dict[str, Any]:
+        """Run row-level expectations over the staged state in ONE agg pass.
+
+        ``expectations`` maps name -> boolean SQL expression over the table
+        columns; a row where the expression is false OR NULL counts as a
+        violation (stricter than SQL CHECK's null-passes rule — an audit
+        that can't evaluate a constraint should not wave the row through).
+        Returns {"rows", "violations": {name: count}, "passed"}. The audit
+        is a single distributed aggregate — no collect of data rows, so it
+        holds at any table size.
+        """
+        df = self.read_staged(spark, wap_id)
+        aggs = [F.count(F.lit(1)).alias("__rows")] + [
+            F.sum(
+                F.when(F.expr(sql), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"__x{i}")
+            for i, sql in enumerate(expectations.values())
+        ]
+        row = df.agg(*aggs).collect()[0]
+        violations = {
+            name: int(row[f"__x{i}"] or 0)
+            for i, name in enumerate(expectations.keys())
+        }
+        return {
+            "rows": int(row["__rows"]),
+            "violations": violations,
+            "passed": all(v == 0 for v in violations.values()),
+        }
+
+    def publish_staged(self, wap_id: str) -> dict[str, Any]:
+        """Atomically make a staged commit the table head (Iceberg
+        cherry-pick). Rebases onto whatever head exists NOW: merge deltas
+        are append-only and listing-independent, so a staged delta manifest
+        applies to any later head unchanged — the same argument that lets
+        merge() itself commit optimistically. Refused (ValueError) if the
+        table's physical layout or schema changed since staging (rebucket /
+        schema DDL): the staged files were written under the old layout.
+        Exactly-once: if the staged batch_id was applied meanwhile, the
+        publish degrades to a skip and the staged files are reclaimed."""
+        with self._commit_lock:
+            staged = self.staged_commit(wap_id, resolve=False)
+            s = staged.summary
+            batch_id = s["batch_id"]
+            head = self.commit_at(resolve=False)
+            if head.is_applied(batch_id):
+                self.abort_staged(wap_id)
+                return {"skipped": True, "batch_id": batch_id, "wap_id": wap_id}
+            if (
+                head.n_buckets != staged.n_buckets
+                or head.bucket_cols != staged.bucket_cols
+                or head.bucket_function != staged.bucket_function
+                or head.schema != staged.schema
+            ):
+                raise ValueError(
+                    f"table layout/schema changed since wap_id {wap_id!r} "
+                    "was staged (rebucket or DDL): abort and re-stage"
+                )
+            version = head.version + 1
+            delta = (
+                dict(self._load_manifest(s["delta_manifest"]))
+                if s.get("delta_manifest")
+                else {}
+            )
+            applied = dict(head.applied_batches)
+            applied[batch_id] = version
+            applied, hwm = self._prune_applied(applied, head.applied_hwm)
+            new_commit = Commit(
+                version=version,
+                schema=head.schema,
+                key_cols=head.key_cols,
+                bucket_cols=head.bucket_cols,
+                n_buckets=head.n_buckets,
+                bucket_function=head.bucket_function,
+                files={},
+                manifests=self._extend_manifests(head, version, delta),
+                applied_batches=applied,
+                applied_hwm=hwm,
+                changefeed_floor=head.changefeed_floor,
+                dropped_cols=list(head.dropped_cols),
+                renamed_cols=dict(head.renamed_cols),
+                ddl_hwm=head.ddl_hwm,
+                parent=head.version,
+                summary={
+                    "operation": "wap_publish",
+                    "wap_id": wap_id,
+                    "batch_id": batch_id,
+                    "rows_in": s.get("rows_in"),
+                    "deletes": s.get("deletes"),
+                    "upserts": s.get("upserts"),
+                },
+            )
+            self._write_commit(new_commit)
+            # the delta now lives in the published chain (m{version}.json);
+            # drop the staged metadata (data files are shared, not copied)
+            if s.get("delta_manifest"):
+                self._drop_manifest(s["delta_manifest"])
+            os.remove(self._staged_path(self._wap_tag(wap_id)))
+            return {
+                "skipped": False,
+                "version": version,
+                "batch_id": batch_id,
+                "wap_id": wap_id,
+            }
+
+    def abort_staged(self, wap_id: str) -> int:
+        """Discard a staged commit: its metadata and the data files ONLY it
+        references (the parent chain is untouched). Returns files removed."""
+        with self._commit_lock:
+            staged = self.staged_commit(wap_id, resolve=False)
+            s = staged.summary
+            removed = 0
+            if s.get("delta_manifest"):
+                for entries in self._load_manifest(s["delta_manifest"]).values():
+                    for e in entries:
+                        p = os.path.join(self.root, e["path"])
+                        if os.path.exists(p):
+                            os.remove(p)
+                            removed += 1
+                        d = os.path.dirname(p)
+                        if os.path.isdir(d) and not os.listdir(d):
+                            os.rmdir(d)
+                self._drop_manifest(s["delta_manifest"])
+            os.remove(self._staged_path(self._wap_tag(wap_id)))
+            return removed
+
+    def _drop_manifest(self, name: str) -> None:
+        p = self._manifest_path(name)
+        if os.path.exists(p):
+            os.remove(p)
+        cache = getattr(self, "_manifest_cache", None)
+        if cache is not None:
+            cache.pop(name, None)
+
     def delta_file_counts(self) -> dict[int, int]:
         c = self.commit_at()
         return {
@@ -1712,10 +1986,17 @@ class LakeTable:
         }
         row["buckets_touched"] = [json.dumps(metrics.get("buckets_touched"))]
         table = pa.table(row)
+        # staged (write-audit-publish) merges have no version yet — tag
+        # their lineage row by wap id instead
+        stem = (
+            f"m{metrics['version']:08d}"
+            if metrics.get("version") is not None
+            else f"mstaged-{self._wap_tag(str(metrics.get('wap_id')))}"
+        )
         pq.write_table(
             table,
             os.path.join(
-                self._metrics_dir, f"m{metrics['version']:08d}-{uuid.uuid4().hex[:8]}.parquet"
+                self._metrics_dir, f"{stem}-{uuid.uuid4().hex[:8]}.parquet"
             ),
         )
 
@@ -1880,6 +2161,22 @@ class LakeTable:
                         os.path.normpath(os.path.join(self.root, e["path"]))
                     )
             live_manifests.update(c.manifests)
+        # Staged (write-audit-publish) commits are live too: their delta
+        # files are referenced by no version until publish, and sweeping
+        # them would destroy a pending audit's data.
+        for name in os.listdir(self._commits_dir):
+            if name.startswith("staged-") and name.endswith(".json"):
+                with open(os.path.join(self._commits_dir, name)) as f:
+                    c = Commit.from_json(f.read())
+                for mname in c.manifests:
+                    for entries in self._load_manifest(mname).values():
+                        for e in entries:
+                            live_files.add(
+                                os.path.normpath(
+                                    os.path.join(self.root, e["path"])
+                                )
+                            )
+                live_manifests.update(c.manifests)
         return live_files, live_manifests
 
     def _sweep_data_files(self, live_files: set[str]) -> int:

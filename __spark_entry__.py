@@ -844,6 +844,86 @@ def q_cdc_lsn_encode(spark, sf_dir):
     )
 
 
+def q_cdc_gtid_decode(spark, sf_dir):
+    """S8 GTID family: per event a GTID_LOG_EVENT body (flags + 16-byte sid +
+    gno, 5.7 logical-clock block on 2 of 3 rows, CRC32 tail verified+stripped)
+    and a HEARTBEAT body are synthesized and DECODED back through
+    parse_event_body (sources/binlog_packets.py, layouts per the public MySQL
+    libbinlogevents control_events). The reference discards these types
+    (BinlogClient.java:191-195); the engine decodes them because GtidSet is
+    its native multi-source resume coordinate. Oracle computes the same
+    uuid/gno/clock fields directly."""
+    import zlib
+
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def rt(batches):
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            GTID_EVENT, HEARTBEAT_EVENT, parse_event_body,
+        )
+
+        hdr = b"\x00" * 19
+        for pdf in batches:
+            sid_l, gno_l, fl_l, lc_l, sn_l, hb_l = [], [], [], [], [], []
+            for uid, eid in zip(pdf["user_id"], pdf["event_id"]):
+                uid, eid = int(uid), int(eid)
+                h2 = f"0{uid % 10}"
+                body = (
+                    bytes([eid % 2])
+                    + bytes.fromhex(h2 * 16)
+                    + (eid + 1).to_bytes(8, "little")
+                )
+                if eid % 3 != 0:
+                    body += (
+                        b"\x02"
+                        + (eid % 1000).to_bytes(8, "little")
+                        + (eid % 1000 + 1).to_bytes(8, "little")
+                    )
+                pkt = body + zlib.crc32(hdr + body).to_bytes(4, "little")
+                g = parse_event_body(
+                    pkt,
+                    GTID_EVENT,
+                    {},
+                    checksum_length=4,
+                    verify_checksum=True,
+                    header_bytes=hdr,
+                )
+                hb = parse_event_body(
+                    f"mysql-bin.{eid // 2500 + 1:06d}".encode(),
+                    HEARTBEAT_EVENT,
+                    {},
+                )
+                sid_l.append(g.sid)
+                gno_l.append(g.gno)
+                fl_l.append(g.flags)
+                lc_l.append(g.last_committed)
+                sn_l.append(g.sequence_number)
+                hb_l.append(hb.log_name)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].values,
+                    "sid": sid_l,
+                    "gno": gno_l,
+                    "flags": fl_l,
+                    "last_committed": pd.Series(lc_l, dtype="Int64"),
+                    "sequence_number": pd.Series(sn_l, dtype="Int64"),
+                    "hb_log": hb_l,
+                }
+            )
+
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    return _with_min_parallelism(ev).mapInPandas(
+        rt,
+        schema=(
+            "event_id long, sid string, gno long, flags int, "
+            "last_committed long, sequence_number long, hb_log string"
+        ),
+    )
+
+
 def q_cdc_decode_types(spark, sf_dir):
     """S9 type-codec surface end-to-end: typed values derived from events are
     ENCODED into MySQL-binlog-layout row images (packed-BCD decimal, bit-packed
@@ -1761,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_keyset_page": q_cdc_keyset_page,
         "cdc_lsn_encode": q_cdc_lsn_encode,
         "cdc_decode_types": q_cdc_decode_types,
+        "cdc_gtid_decode": q_cdc_gtid_decode,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
         "cdc_batch_metrics": q_cdc_batch_metrics,
@@ -2391,6 +2472,21 @@ SELECT event_id,
             + (((event_id // 2500 + 1) * 1000000 + (event_id % 2500 + 4)) % 1000000 - 4)
             AS BIGINT) AS decoded_event_id
 FROM events
+""",
+        # GTID/heartbeat wire decode: the oracle computes the same
+        # uuid/gno/logical-clock fields the engine parses from event bytes
+        "cdc_gtid_decode": """
+SELECT event_id,
+       repeat(h2, 4) || '-' || repeat(h2, 2) || '-' || repeat(h2, 2)
+         || '-' || repeat(h2, 2) || '-' || repeat(h2, 6) AS sid,
+       event_id + 1 AS gno,
+       CAST(event_id % 2 AS INTEGER) AS flags,
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_id % 1000 END
+         AS last_committed,
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_id % 1000 + 1 END
+         AS sequence_number,
+       printf('mysql-bin.%06d', event_id // 2500 + 1) AS hb_log
+FROM (SELECT event_id, '0' || CAST(user_id % 10 AS VARCHAR) AS h2 FROM events)
 """,
         "cdc_decode_types": """
 SELECT event_id,

@@ -48,9 +48,19 @@ ROTATE_EVENT = 0x04
 FORMAT_DESCRIPTION_EVENT = 0x0F
 XID_EVENT = 0x10
 TABLE_MAP_EVENT = 0x13
+HEARTBEAT_EVENT = 0x1B
 EXT_WRITE_ROWS = 0x1E
 EXT_UPDATE_ROWS = 0x1F
 EXT_DELETE_ROWS = 0x20
+# GTID family (MySQL 5.6+ replication positioning; layouts per the public
+# MySQL source, libbinlogevents control_events — Gtid_event /
+# Previous_gtids_event). The reference positions by (file, pos) only and
+# routes these types to the discard branch (BinlogClient.java:191-195); we
+# decode them because the multi-source watermark (state.GtidSet) is the
+# engine's native resume coordinate.
+GTID_EVENT = 0x21
+ANONYMOUS_GTID_EVENT = 0x22
+PREVIOUS_GTIDS_EVENT = 0x23
 
 # binlog_checksum algorithm codes (carried by FORMAT_DESCRIPTION since
 # MySQL 5.6.1; the reference instead queries the server variable,
@@ -98,6 +108,48 @@ class RowsEvent:
 class Rotate:
     position: int
     filename: str
+
+
+@dataclass
+class Gtid:
+    """GTID_LOG_EVENT / ANONYMOUS_GTID_LOG_EVENT body: the transaction's
+    global id (sid = server UUID, gno = per-server sequence) plus the 5.7+
+    logical-clock pair the multi-threaded applier schedules by."""
+
+    sid: str  # canonical 8-4-4-4-12 lowercase UUID
+    gno: int
+    flags: int  # bit 0 = rbr_only / commit-flag byte
+    last_committed: int | None = None
+    sequence_number: int | None = None
+
+
+@dataclass
+class PreviousGtids:
+    """PREVIOUS_GTIDS_LOG_EVENT body: the gtid_executed set at log open —
+    what a resuming replica subtracts to know where this file starts.
+    ``intervals`` maps sid -> [(start, end)] INCLUSIVE (the wire carries
+    end-exclusive; the decode normalizes to MySQL's printed form)."""
+
+    intervals: dict[str, list[tuple[int, int]]]
+
+    def to_string(self) -> str:
+        parts = []
+        for sid in sorted(self.intervals):
+            spans = ":".join(
+                str(a) if a == b else f"{a}-{b}"
+                for a, b in self.intervals[sid]
+            )
+            parts.append(f"{sid}:{spans}")
+        return ",".join(parts)
+
+
+@dataclass
+class Heartbeat:
+    """HEARTBEAT_LOG_EVENT: keep-alive carrying the current log name —
+    the wire form of the reference's TIMEOUT → NOP liveness signal
+    (EventReader.java:8-14)."""
+
+    log_name: str
 
 
 class BinlogReader:
@@ -399,6 +451,47 @@ def parse_format_description(buf: bytes) -> tuple[str, int]:
     raise ValueError(f"unknown binlog checksum algorithm {alg:#04x}")
 
 
+def _uuid_str(b: bytes) -> str:
+    h = b.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+def parse_gtid(buf: bytes) -> Gtid:
+    """GTID/ANONYMOUS_GTID body: flags(1) + sid(16) + gno(8 LE), then — from
+    MySQL 5.7 — the logical-timestamp block tagged by typecode 0x02:
+    last_committed(8 LE) + sequence_number(8 LE). Later servers append more
+    optional fields (immediate_commit_timestamp, ...); they are ignored, as
+    a replica that predates them would."""
+    r = BinlogReader(buf)
+    flags = r.u_le(1)
+    sid = _uuid_str(r.read(16))
+    gno = r.u_le(8)
+    last_committed = sequence_number = None
+    if r.available() >= 17 and r.buf[r.pos] == 0x02:
+        r.skip(1)
+        last_committed = r.u_le(8)
+        sequence_number = r.u_le(8)
+    return Gtid(sid, gno, flags, last_committed, sequence_number)
+
+
+def parse_previous_gtids(buf: bytes) -> PreviousGtids:
+    """PREVIOUS_GTIDS body: n_sids(8 LE) then per sid: uuid(16) +
+    n_intervals(8 LE) + per interval start(8 LE), end(8 LE, EXCLUSIVE).
+    Normalized to inclusive ends — the form ``SHOW MASTER STATUS`` prints
+    and ``state.GtidSet.from_string`` consumes."""
+    r = BinlogReader(buf)
+    out: dict[str, list[tuple[int, int]]] = {}
+    for _ in range(r.u_le(8)):
+        sid = _uuid_str(r.read(16))
+        spans = []
+        for _ in range(r.u_le(8)):
+            start = r.u_le(8)
+            end_excl = r.u_le(8)
+            spans.append((start, end_excl - 1))
+        out[sid] = spans
+    return PreviousGtids(out)
+
+
 def parse_event_body(
     buf: bytes,
     type_code: int,
@@ -406,7 +499,7 @@ def parse_event_body(
     checksum_length: int = 0,
     verify_checksum: bool = False,
     header_bytes: bytes | None = None,
-) -> RowsEvent | Rotate | None:
+) -> RowsEvent | Rotate | Gtid | PreviousGtids | Heartbeat | None:
     """Route one event body (EventBodyParser.parse, EventBodyParser.java:19-40).
     TABLE_MAP updates the cache and returns None; XID clears it; irrelevant
     types return None (BinlogClient.java:191-195 keeps only EXT_*_ROWS).
@@ -454,6 +547,12 @@ def parse_event_body(
         r = BinlogReader(buf)
         pos = r.u_le(8)
         return Rotate(pos, r.read(r.available()).decode())
+    if type_code in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
+        return parse_gtid(buf)
+    if type_code == PREVIOUS_GTIDS_EVENT:
+        return parse_previous_gtids(buf)
+    if type_code == HEARTBEAT_EVENT:
+        return Heartbeat(buf.decode())
     if type_code not in (EXT_WRITE_ROWS, EXT_UPDATE_ROWS, EXT_DELETE_ROWS):
         return None
 

@@ -355,3 +355,99 @@ def test_packets_to_changelog_self_configures_checksum():
     ]
     df = packets_to_changelog(packets, "s", "t", ["id", "name", "amount", "d"])
     assert len(df) == 1 and df.iloc[0]["op"] == "I" and df.iloc[0]["id"] == 1
+
+
+# ------------------------------------------------------------- GTID family
+# Layouts per the public MySQL source (libbinlogevents control_events:
+# Gtid_event, Previous_gtids_event, Heartbeat_event). The reference routes
+# these types to its discard branch (BinlogClient.java:191-195); the engine
+# decodes them because GtidSet is its native multi-source resume coordinate.
+
+SID = bytes.fromhex("3E11FA4771CA11E19E33C80AA9429562")  # uuid from the
+# MySQL replication docs' canonical GTID example 3E11FA47-71CA-11E1-...
+
+
+def _gtid_body(gno, flags=1, lc=None, sn=None):
+    b = bytes([flags]) + SID + gno.to_bytes(8, "little")
+    if lc is not None:
+        b += b"\x02" + lc.to_bytes(8, "little") + sn.to_bytes(8, "little")
+    return b
+
+
+def test_gtid_event_decodes_sid_gno_and_logical_clock():
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        GTID_EVENT, Gtid,
+    )
+
+    ev = parse_event_body(_gtid_body(23, lc=11, sn=12), GTID_EVENT, {})
+    assert isinstance(ev, Gtid)
+    assert ev.sid == "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    assert ev.gno == 23 and ev.flags == 1
+    assert ev.last_committed == 11 and ev.sequence_number == 12
+    # 5.6-era body: no logical-clock block
+    ev = parse_event_body(_gtid_body(7), GTID_EVENT, {})
+    assert ev.gno == 7 and ev.last_committed is None
+
+
+def test_gtid_trailing_fields_ignored_and_checksum_stripped():
+    import zlib
+
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        ANONYMOUS_GTID_EVENT, Gtid,
+    )
+
+    # 5.8+ servers append immediate_commit_timestamp etc. after the clock
+    # pair — an older-replica decode ignores the tail; CRC32 strip composes
+    body = _gtid_body(99, lc=1, sn=2) + b"\x00" * 11
+    hdr = b"\x00" * 19
+    pkt = body + zlib.crc32(hdr + body).to_bytes(4, "little")
+    ev = parse_event_body(
+        pkt, ANONYMOUS_GTID_EVENT, {}, checksum_length=4,
+        verify_checksum=True, header_bytes=hdr,
+    )
+    assert isinstance(ev, Gtid) and ev.gno == 99 and ev.sequence_number == 2
+
+
+def test_previous_gtids_intervals_inclusive_normalization():
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        PREVIOUS_GTIDS_EVENT, PreviousGtids,
+    )
+
+    sid2 = bytes(range(16))
+    body = (2).to_bytes(8, "little")
+    # sid 1: [1,6) and [8,9) — prints 1-5:8
+    body += SID + (2).to_bytes(8, "little")
+    body += (1).to_bytes(8, "little") + (6).to_bytes(8, "little")
+    body += (8).to_bytes(8, "little") + (9).to_bytes(8, "little")
+    # sid 2: [3,11) — prints 3-10
+    body += sid2 + (1).to_bytes(8, "little")
+    body += (3).to_bytes(8, "little") + (11).to_bytes(8, "little")
+    ev = parse_event_body(body, PREVIOUS_GTIDS_EVENT, {})
+    assert isinstance(ev, PreviousGtids)
+    assert ev.intervals["3e11fa47-71ca-11e1-9e33-c80aa9429562"] == [
+        (1, 5),
+        (8, 8),
+    ]
+    assert ev.intervals["00010203-0405-0607-0809-0a0b0c0d0e0f"] == [(3, 10)]
+    assert ev.to_string() == (
+        "00010203-0405-0607-0809-0a0b0c0d0e0f:3-10,"
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5:8"
+    )
+
+
+def test_previous_gtids_to_string_canonical():
+    from mysql_secure_agent_spark.sources.binlog_packets import PreviousGtids
+
+    pg = PreviousGtids(
+        {"bbb": [(3, 10)], "aaa": [(1, 5), (8, 8)]}
+    )
+    assert pg.to_string() == "aaa:1-5:8,bbb:3-10"
+
+
+def test_heartbeat_carries_log_name():
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        HEARTBEAT_EVENT, Heartbeat,
+    )
+
+    ev = parse_event_body(b"mysql-bin.000042", HEARTBEAT_EVENT, {})
+    assert isinstance(ev, Heartbeat) and ev.log_name == "mysql-bin.000042"

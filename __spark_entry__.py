@@ -1808,6 +1808,33 @@ def q_events_asof_enrich(spark, sf_dir):
     )
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/interval_join.py): every click
+    paired with the same user's purchases in the following 6 hours — the
+    event-correlation primitive (turn ↔ tool-result matching). Batch and
+    streaming share one definition; the streaming twin's state is evictable
+    only because the upper bound is mandatory (equivalence-tested in
+    tests/test_interval_join.py). One exchange per side on the equality key."""
+    from mysql_secure_agent_spark.streaming.interval_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    out = interval_join(clicks, purchases, ["user_id"], upper="6 hours")
+    return out.select(
+        "user_id",
+        F.col("l_click_id").alias("click_id"),
+        F.col("l_ts").alias("click_ts"),
+        F.col("r_purchase_id").alias("purchase_id"),
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+    )
+
+
 # ==================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full change-feed replay to
@@ -1859,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_time_rollup": q_events_time_rollup,
         "events_asof_enrich": q_events_asof_enrich,
+        "events_interval_join": q_events_interval_join,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
         "join_enrich": q_join_enrich,
@@ -2681,6 +2709,15 @@ SELECT l.event_id, l.user_id, l.event_type, l.value,
 FROM events l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.event_id > r.event_id
+""",
+        "events_interval_join": """
+SELECT l.user_id, l.event_id AS click_id, l.ts AS click_ts,
+       r.event_id AS purchase_id, r.ts AS purchase_ts,
+       r.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
 """,
         "agg_rollup": """
 SELECT event_type, count(*) AS cnt,

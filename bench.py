@@ -97,6 +97,7 @@ HEADLINE = [
     "train_sample_stratified",
     "train_pack_sequences",
     "events_asof_enrich",
+    "events_interval_join",
     "text_redact_pii",
     "cdc_drop_column",
     "events_sessionize",

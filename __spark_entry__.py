@@ -21,6 +21,7 @@ final-state SQL oracle as the relational formulation.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -1835,6 +1836,107 @@ def q_events_interval_join(spark, sf_dir):
     )
 
 
+def q_cdc_snapshot_interleaved(spark, sf_dir):
+    """DBLog-style interleaved backfill (snapshot_interleave.py): the change
+    stream keeps applying WHILE the source is chunk-paged. Each chunk select
+    is bracketed by a low/high feed watermark; chunk rows whose key changed
+    inside the window are dropped (the log image is authoritative), the rest
+    merge at lsn = lw so last-image-wins lets every later stream event
+    supersede them. Fixture: the events changelog delivered as 4 lsn-quartile
+    files, one arriving DURING each chunk select; S0 = one pre-existing row
+    per user on a slot range the feed never touches. Oracle: final feed state
+    (max-lsn image, D-last keys gone) plus the untouched S0 rows."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.operators.dedup_changelog import last_image_wins
+    from mysql_secure_agent_spark.snapshot_interleave import (
+        import_snapshot_interleaved,
+    )
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "op", "user_id", "slot", "event_type", "value", "source_lsn"
+    )
+    s0_cl = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.lit("I").alias("op"),
+            "user_id",
+            (F.lit(50) + F.col("user_id") % 4).cast("int").alias("slot"),
+            F.lit("seed").alias("event_type"),
+            (F.col("user_id") % 1000).cast("double").alias("value"),
+            F.lit(0).cast("long").alias("source_lsn"),
+        )
+    )
+
+    tmp = tempfile.mkdtemp(prefix="interleave_entry_")
+    feed, staging = os.path.join(tmp, "feed"), os.path.join(tmp, "staging")
+    data = os.path.join(feed, "data")
+    os.makedirs(data)
+    mx = cl.agg(F.max("source_lsn")).first()[0]
+    cuts = [0, mx // 4, mx // 2, 3 * mx // 4, mx]
+    for i in range(4):
+        part = os.path.join(staging, f"f{i}")
+        cl.filter(
+            (F.col("source_lsn") > cuts[i]) & (F.col("source_lsn") <= cuts[i + 1])
+        ).coalesce(1).write.parquet(part)
+
+    pending = [0, 1, 2, 3]
+
+    def deliver():
+        if not pending:
+            return
+        i = pending.pop(0)
+        part = os.path.join(staging, f"f{i}")
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(part, src), os.path.join(data, f"f{i}.parquet"))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(
+        os.path.join(tmp, "tbl"), schema, ["user_id", "slot"], n_buckets=8
+    )
+
+    def source_read(sp):
+        deliver()  # the select races ahead of the last drain: hw > lw
+        delivered = sp.read.parquet(data)
+        live = last_image_wins(
+            s0_cl.unionByName(delivered), ["user_id", "slot"], strategy="max_by"
+        )
+        return live.filter(F.col("op") != "D").drop("op", "source_lsn")
+
+    drained = {"n": 0}
+
+    def drain(sp):
+        files = [f for f in os.listdir(data) if f.endswith(".parquet")]
+        if len(files) == drained["n"]:
+            return
+        tbl.merge(sp, sp.read.parquet(data), f"drain.{len(files)}")
+        drained["n"] = len(files)
+
+    deliver()  # the stream is already flowing when the backfill starts
+    n_keys = s0_cl.count() + cl.select("user_id", "slot").distinct().count()
+    import_snapshot_interleaved(
+        spark, source_read, tbl, feed, drain,
+        os.path.join(tmp, "state.json"), page_size=max(500, n_keys // 4 + 1),
+    )
+    while pending:  # tail of the log arrives after the backfill finishes
+        deliver()
+    drain(spark)
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 # ==================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full change-feed replay to
@@ -1876,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_first_seen": q_cdc_schema_first_seen,
         "cdc_table_definitions": q_cdc_table_definitions,
         "cdc_snapshot_order": q_cdc_snapshot_order,
+        "cdc_snapshot_interleaved": q_cdc_snapshot_interleaved,
         "cdc_multi_source": q_cdc_multi_source,
         "cdc_point_lookup": q_cdc_point_lookup,
         "transcript_assemble": q_transcript_assemble,
@@ -2609,6 +2712,20 @@ FROM events GROUP BY 1
         "cdc_snapshot_order": """
 SELECT user_id, event_id, event_type, value FROM events
 ORDER BY user_id, event_id LIMIT 500
+""",
+        # final state = feed last-image (D-last keys gone) + the S0 rows,
+        # whose slot range (>= 50) the feed (slot = event_id % 23) never hits
+        "cdc_snapshot_interleaved": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+UNION ALL
+SELECT DISTINCT user_id, CAST(50 + user_id % 4 AS INTEGER) AS slot,
+       'seed' AS last_event_type,
+       CAST(user_id % 1000 AS DOUBLE) AS last_value
+FROM events
 """,
         # shards = user_id mod 3 (disjoint key spaces); global lsn =
         # source<<44 | per-source lsn; watermark = max lsn SEEN per source

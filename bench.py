@@ -98,6 +98,7 @@ HEADLINE = [
     "train_pack_sequences",
     "events_asof_enrich",
     "events_interval_join",
+    "cdc_snapshot_interleaved",
     "text_redact_pii",
     "cdc_drop_column",
     "events_sessionize",

@@ -925,6 +925,88 @@ def q_cdc_gtid_decode(spark, sf_dir):
     )
 
 
+def q_cdc_table_map_meta(spark, sf_dir):
+    """S8 TABLE_MAP optional metadata (binlog_row_metadata=FULL, WL#4618):
+    per event a TABLE_MAP body with a TLV tail — SIGNEDNESS, DEFAULT_CHARSET,
+    COLUMN_NAME, SIMPLE_PRIMARY_KEY, COLUMN_VISIBILITY — is synthesized and
+    decoded back through parse_table_map (sources/binlog_packets.py), then a
+    rows event for that table proves signedness DRIVES the integer decode
+    (0xFF as 255 vs -1). The reference never reads these fields — it re-polls
+    information_schema (Updater.java:188-217); decoding them makes the engine
+    self-configuring from the wire alone. Oracle states every field in
+    closed form."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def rt(batches):
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_WRITE_ROWS, TABLE_MAP_EVENT, parse_event_body,
+        )
+
+        def p(v):  # length-encoded int (values here stay < 251)
+            return bytes([v])
+
+        def tlv(t, val):
+            return bytes([t]) + p(len(val)) + val
+
+        base = (
+            (9).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + bytes([3]) + bytes([0x01, 0x03, 0x0F])
+            + p(2) + (20).to_bytes(2, "little")
+            + bytes([0x07])
+        )
+        row = bytes([0x00]) + b"\xff" + b"\xfe\xff\xff\xff" + bytes([3]) + b"abc"
+        rows_body = (
+            (9).to_bytes(6, "little") + b"\x00\x00"
+            + (2).to_bytes(2, "little") + bytes([3]) + bytes([0x07]) + row
+        )
+        cols = {
+            "tiny_signed": [], "long_signed": [], "vname": [], "charset": [],
+            "pk_csv": [], "txt_visible": [], "tiny_val": [], "long_val": [],
+        }
+        for pdf in batches:
+            for k in cols:
+                cols[k].clear()
+            for uid, eid in zip(pdf["user_id"], pdf["event_id"]):
+                uid, eid = int(uid), int(eid)
+                sign_bits = (0x80 if eid % 2 else 0) | (0x40 if eid % 3 == 0 else 0)
+                names = b""
+                for nm in ("id", f"v{uid % 10}", "txt"):
+                    names += p(len(nm)) + nm.encode()
+                body = base
+                body += tlv(1, bytes([sign_bits]))
+                body += tlv(2, p(45 + uid % 5))
+                body += tlv(4, names)
+                body += tlv(8, p(0) if eid % 2 else p(0) + p(1))
+                body += tlv(12, bytes([0b11000000 if eid % 5 == 0 else 0b11100000]))
+                maps = {}
+                parse_event_body(body, TABLE_MAP_EVENT, maps)
+                tm = maps[9]
+                rows = parse_event_body(rows_body, EXT_WRITE_ROWS, maps)
+                cols["tiny_signed"].append(tm.signedness[0])
+                cols["long_signed"].append(tm.signedness[1])
+                cols["vname"].append(tm.column_names[1])
+                cols["charset"].append(tm.charsets[2])
+                cols["pk_csv"].append(",".join(map(str, tm.primary_key)))
+                cols["txt_visible"].append(tm.visibility[2])
+                cols["tiny_val"].append(rows.new_rows[0][0])
+                cols["long_val"].append(rows.new_rows[0][1])
+            yield pd.DataFrame({"event_id": pdf["event_id"].values, **cols})
+
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    return _with_min_parallelism(ev).mapInPandas(
+        rt,
+        schema=(
+            "event_id long, tiny_signed boolean, long_signed boolean, "
+            "vname string, charset int, pk_csv string, txt_visible boolean, "
+            "tiny_val long, long_val long"
+        ),
+    )
+
+
 def q_cdc_decode_types(spark, sf_dir):
     """S9 type-codec surface end-to-end: typed values derived from events are
     ENCODED into MySQL-binlog-layout row images (packed-BCD decimal, bit-packed
@@ -1971,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lsn_encode": q_cdc_lsn_encode,
         "cdc_decode_types": q_cdc_decode_types,
         "cdc_gtid_decode": q_cdc_gtid_decode,
+        "cdc_table_map_meta": q_cdc_table_map_meta,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
         "cdc_batch_metrics": q_cdc_batch_metrics,
@@ -2618,6 +2701,20 @@ SELECT event_id,
          AS sequence_number,
        printf('mysql-bin.%06d', event_id // 2500 + 1) AS hb_log
 FROM (SELECT event_id, '0' || CAST(user_id % 10 AS VARCHAR) AS h2 FROM events)
+""",
+        "cdc_table_map_meta": """
+SELECT event_id,
+       event_id % 2 = 0 AS tiny_signed,
+       event_id % 3 <> 0 AS long_signed,
+       'v' || CAST(user_id % 10 AS VARCHAR) AS vname,
+       CAST(45 + user_id % 5 AS INTEGER) AS charset,
+       CASE WHEN event_id % 2 = 1 THEN '0' ELSE '0,1' END AS pk_csv,
+       event_id % 5 <> 0 AS txt_visible,
+       CAST(CASE WHEN event_id % 2 = 1 THEN 255 ELSE -1 END AS BIGINT)
+         AS tiny_val,
+       CAST(CASE WHEN event_id % 3 = 0 THEN 4294967294 ELSE -2 END AS BIGINT)
+         AS long_val
+FROM events
 """,
         "cdc_decode_types": """
 SELECT event_id,

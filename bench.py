@@ -99,6 +99,7 @@ HEADLINE = [
     "events_asof_enrich",
     "events_interval_join",
     "cdc_snapshot_interleaved",
+    "cdc_table_map_meta",
     "text_redact_pii",
     "cdc_drop_column",
     "events_sessionize",

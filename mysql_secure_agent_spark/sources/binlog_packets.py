@@ -87,6 +87,20 @@ class TableMap:
     table_name: str
     column_types: bytes
     column_metadata: list[int]
+    # MySQL 8 optional metadata (binlog_row_metadata, WL#4618; public layout
+    # in libbinlogevents rows_event.cpp Table_map_event). All None when the
+    # server shipped none (binlog_row_metadata=MINIMAL pre-8.0 default
+    # behavior for most fields). The reference never reads these — it
+    # re-polls information_schema instead (Updater.java:188-217); decoding
+    # them makes the engine self-configuring from the wire alone.
+    signedness: list[bool] | None = None  # per COLUMN, True = signed
+    column_names: list[str] | None = None
+    charsets: list[int | None] | None = None  # per column; None = non-char
+    enum_str_values: dict[int, list[str]] | None = None  # col idx → labels
+    set_str_values: dict[int, list[str]] | None = None
+    geometry_types: dict[int, int] | None = None
+    primary_key: list[int] | None = None  # simple PK column indices
+    visibility: list[bool] | None = None  # 8.0.23 invisible columns
 
 
 @dataclass
@@ -217,6 +231,25 @@ def _table_id(r: BinlogReader) -> int:
     return tid
 
 
+def _real_type(t: int, meta: int) -> int:
+    """STRING (0xFE) metadata smuggles the real ENUM/SET/CHAR type in its
+    high byte (same disambiguation as ``_parse_row``)."""
+    if t == 0xFE and meta >= 256:
+        high = meta >> 8
+        if (high & 0x30) != 0x30:
+            return high | 0x30
+        if high in (0xF7, 0xF8):
+            return high
+    return t
+
+
+# numeric / character type sets per libbinlogevents is_numeric_type /
+# is_character_type — they define which columns the SIGNEDNESS bitmap and
+# the charset fields enumerate (positional, not per-column-index)
+_NUMERIC_TYPES = frozenset({0x01, 0x02, 0x03, 0x04, 0x05, 0x08, 0x09, 0xF6})
+_CHAR_TYPES = frozenset({0x0F, 0xFC, 0xFD, 0xFE})
+
+
 def parse_table_map(buf: bytes) -> TableMap:
     r = BinlogReader(buf)
     tid = _table_id(r)
@@ -240,7 +273,88 @@ def parse_table_map(buf: bytes) -> TableMap:
         else:
             meta.append(0)
     r.bitset(n_cols)  # nullability (unused, as in the reference)
-    return TableMap(tid, schema, table, types, meta)
+    tm = TableMap(tid, schema, table, types, meta)
+    _parse_optional_metadata(r, tm)
+    return tm
+
+
+def _parse_optional_metadata(r: BinlogReader, tm: TableMap) -> None:
+    """TLV fields after the null bitmap (binlog_row_metadata, WL#4618):
+    {type:1B, length:packed_int, value}. Positional bitmaps/lists enumerate
+    only the relevant column class (numeric for SIGNEDNESS, character for
+    charsets, ENUM/SET for label lists) and are expanded here to per-column
+    form. Bit order is MSB-first — the OPPOSITE of row null bitmaps. Unknown
+    field types are skipped by length (forward compatibility)."""
+    n_cols = len(tm.column_types)
+    real = [_real_type(tm.column_types[i], tm.column_metadata[i]) for i in range(n_cols)]
+    numeric = [i for i in range(n_cols) if real[i] in _NUMERIC_TYPES]
+    charcols = [i for i in range(n_cols) if real[i] in _CHAR_TYPES]
+    enum_cols = [i for i in range(n_cols) if real[i] == 0xF7]
+    set_cols = [i for i in range(n_cols) if real[i] == 0xF8]
+    geom_cols = [i for i in range(n_cols) if real[i] == 0xFF]
+
+    def _msb_bits(raw: bytes, n: int) -> list[bool]:
+        return [bool(raw[i >> 3] & (0x80 >> (i % 8))) for i in range(n)]
+
+    while r.available() > 0:
+        ftype = r.u_le(1)
+        flen = r.packed_int()
+        fr = BinlogReader(r.read(flen))
+        if ftype == 1:  # SIGNEDNESS: one bit per NUMERIC column, set=unsigned
+            bits = _msb_bits(fr.buf, len(numeric))
+            sg = [True] * n_cols
+            for k, col in enumerate(numeric):
+                sg[col] = not bits[k]
+            tm.signedness = sg
+        elif ftype == 2:  # DEFAULT_CHARSET: default id + (col, id) overrides
+            default_cs = fr.packed_int()
+            cs: list[int | None] = [None] * n_cols
+            for c in charcols:
+                cs[c] = default_cs
+            while fr.available() > 0:
+                ci = fr.packed_int()  # column index FIRST, then charset id
+                cs[ci] = fr.packed_int()
+            tm.charsets = cs
+        elif ftype == 3:  # COLUMN_CHARSET: one id per character column
+            cs = [None] * n_cols
+            for c in charcols:
+                cs[c] = fr.packed_int()
+            tm.charsets = cs
+        elif ftype == 4:  # COLUMN_NAME: {len, utf8} per column
+            names = []
+            while fr.available() > 0:
+                names.append(fr.read(fr.packed_int()).decode("utf-8"))
+            tm.column_names = names
+        elif ftype in (5, 6):  # SET_STR_VALUE / ENUM_STR_VALUE
+            cols = set_cols if ftype == 5 else enum_cols
+            vals: dict[int, list[str]] = {}
+            for c in cols:
+                if fr.available() == 0:
+                    break
+                cnt = fr.packed_int()
+                vals[c] = [
+                    fr.read(fr.packed_int()).decode("utf-8") for _ in range(cnt)
+                ]
+            if ftype == 5:
+                tm.set_str_values = vals
+            else:
+                tm.enum_str_values = vals
+        elif ftype == 7:  # GEOMETRY_TYPE: packed_int per geometry column
+            g: dict[int, int] = {}
+            for c in geom_cols:
+                if fr.available() == 0:
+                    break
+                g[c] = fr.packed_int()
+            tm.geometry_types = g
+        elif ftype == 8:  # SIMPLE_PRIMARY_KEY: column indices
+            pk = []
+            while fr.available() > 0:
+                pk.append(fr.packed_int())
+            tm.primary_key = pk
+        elif ftype == 12:  # COLUMN_VISIBILITY: one bit per column, set=visible
+            tm.visibility = _msb_bits(fr.buf, n_cols)
+        # 9/10/11 (PK-with-prefix, enum/set charsets) and future types:
+        # skipped by length
 
 
 # ------------------------------------------------------------- value decoders
@@ -291,18 +405,25 @@ def _decimal(r: BinlogReader, meta: int) -> Decimal:
     return d if positive else -d
 
 
-def _parse_value(r: BinlogReader, type_code: int, meta: int, length: int):
+def _parse_value(
+    r: BinlogReader, type_code: int, meta: int, length: int, unsigned: bool = False
+):
     t = type_code
     if t == 0x01:
-        return _sx(r.u_le(1), 8)
+        v = r.u_le(1)
+        return v if unsigned else _sx(v, 8)
     if t == 0x02:
-        return _sx(r.u_le(2), 16)
+        v = r.u_le(2)
+        return v if unsigned else _sx(v, 16)
     if t == 0x09:
-        return _sx(r.u_le(3), 24)
+        v = r.u_le(3)
+        return v if unsigned else _sx(v, 24)
     if t == 0x03:
-        return _sx(r.u_le(4), 32)
+        v = r.u_le(4)
+        return v if unsigned else _sx(v, 32)
     if t == 0x08:
-        return _sx(r.u_le(8), 64)
+        v = r.u_le(8)
+        return v if unsigned else _sx(v, 64)
     if t == 0x04:
         return struct.unpack("<f", r.read(4))[0]
     if t == 0x05:
@@ -411,7 +532,8 @@ def _parse_row(r: BinlogReader, tmap: TableMap, included: list[int]) -> list:
                     if high in (0xF7, 0xF8):  # ENUM / SET
                         type_code = high
                     length = low
-        out.append(_parse_value(r, type_code, meta, length))
+        unsigned = tmap.signedness is not None and not tmap.signedness[col]
+        out.append(_parse_value(r, type_code, meta, length, unsigned))
     return out
 
 

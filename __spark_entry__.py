@@ -540,6 +540,58 @@ def q_cdc_changefeed_compose(spark, sf_dir):
     )
 
 
+def q_cdc_changefeed_tail(spark, sf_dir):
+    """Continuous lake→lake replication (streaming/changefeed_tail.py): a
+    ChangefeedTailer polls the SOURCE table's commit log and merges each
+    version window's net changes downstream — the binlog-tail loop with the
+    commit log as the binlog. The feed lands as 3 lsn-third merges with a
+    poll interleaved after each (windows of 1, 1, 1 versions), plus a replay
+    of the LAST window with a reset cursor (the crash-before-ack path; the
+    deterministic window batch id makes the downstream merge skip it).
+    Replica final state == direct replay (same oracle as
+    cdc_apply_changelog, minus lsn)."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.streaming.changefeed_tail import ChangefeedTailer
+
+    cl = _events_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_cft_")
+    src = LakeTable.create(
+        os.path.join(base, "src"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    dst = LakeTable.create(
+        os.path.join(base, "dst"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    tail = ChangefeedTailer(src, os.path.join(base, "cursor.json"), name="entry")
+    handler = tail.replicate_to(dst)
+    mx = cl.agg(F.max("source_lsn")).first()[0]
+    cuts = [0, mx // 3, 2 * mx // 3, mx]
+    for i in range(3):
+        src.merge(
+            spark,
+            cl.filter(
+                (F.col("source_lsn") > cuts[i]) & (F.col("source_lsn") <= cuts[i + 1])
+            ),
+            f"third-{i}",
+        )
+        tail.poll(spark, handler)
+    tail._save_cursor(2)  # lost ack: the last window replays …
+    tail.poll(spark, handler)  # … and is skipped by the downstream batch hwm
+    return dst.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_modify_column(spark, sf_dir):
     """T6 MODIFY_COLUMN mid-replay: first half of the feed merges under
     slot:int, then MODIFY COLUMN slot→bigint (existing data rewritten with a
@@ -2039,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
         "cdc_changefeed_compose": q_cdc_changefeed_compose,
+        "cdc_changefeed_tail": q_cdc_changefeed_tail,
         "cdc_modify_column": q_cdc_modify_column,
         "cdc_drop_column": q_cdc_drop_column,
         "cdc_rename_column": q_cdc_rename_column,
@@ -2540,6 +2593,15 @@ FROM fs GROUP BY user_id
         # composition is state-preserving: source-shard split + changefeed
         # export + namespaced fan-in must reproduce the direct replay
         "cdc_changefeed_compose": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # the tailed replica must land on the same final state as the
+        # direct replay
+        "cdc_changefeed_tail": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot

@@ -100,6 +100,7 @@ HEADLINE = [
     "events_interval_join",
     "cdc_snapshot_interleaved",
     "cdc_table_map_meta",
+    "cdc_changefeed_tail",
     "text_redact_pii",
     "cdc_drop_column",
     "events_sessionize",

@@ -739,7 +739,10 @@ class LakeTable:
             [types[c] for c in commit.bucket_cols],
             commit.n_buckets,
         )
-        out = self.read(spark, buckets=[b])
+        # point range per key column → files whose recorded key stats
+        # exclude the key never enter the listing (on top of bucket pruning)
+        key_range = {c: (v, v) for c, v in key.items() if c in dict(commit.schema)}
+        out = self.read(spark, buckets=[b], key_range=key_range)
         for c, v in key.items():
             out = out.filter(F.col(c) == F.lit(v))
         return out

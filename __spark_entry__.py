@@ -977,6 +977,128 @@ def q_cdc_gtid_decode(spark, sf_dir):
     )
 
 
+def q_cdc_txn_payload(spark, sf_dir):
+    """S8 TRANSACTION_PAYLOAD (binlog_transaction_compression, MySQL 8.0.20,
+    WL#3549) end-to-end: the change feed is re-ENCODED into MySQL wire bytes —
+    rows grouped into transactions, each wrapped in ONE container event
+    (TLV header per the public libbinlogevents codecs/binary.cpp layout;
+    inner TABLE_MAP + ROWS_QUERY + EXT_*_ROWS + XID events carry no
+    per-event checksum) — then DECODED back through packets_to_changelog,
+    whose container expansion replays the inner events in wire order, and
+    reduced to the final table state. Oracle = the plain relational replay
+    (same SQL as cdc_apply_changelog), so any container-framing, inner-event
+    routing, or table-map-cache bug across XID boundaries breaks the hash.
+    The reference predates this event type (it would hit the discard branch,
+    BinlogClient.java:191-195); decoding it exceeds the reference."""
+    import struct as st
+
+    import pandas as pd
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+
+    def rt(batches):
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_DELETE_ROWS, EXT_UPDATE_ROWS, EXT_WRITE_ROWS,
+            ROWS_QUERY_EVENT, TABLE_MAP_EVENT, TRANSACTION_PAYLOAD_EVENT,
+            XID_EVENT, packets_to_changelog,
+        )
+
+        def packed(n: int) -> bytes:  # test-side packed-int encoder
+            if n < 0xFB:
+                return bytes([n])
+            if n < 1 << 16:
+                return b"\xfc" + n.to_bytes(2, "little")
+            return b"\xfd" + n.to_bytes(3, "little")
+
+        # table t: (user_id LONGLONG, slot LONG, event_type VARCHAR(20),
+        # value DOUBLE, lsn LONGLONG); metadata = varchar max_len + double
+        # pack length, in column order
+        tmap_body = (
+            (7).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + packed(5) + bytes([0x08, 0x03, 0x0F, 0x05, 0x08])
+            + packed(3) + (20).to_bytes(2, "little") + bytes([8])
+            + bytes([0x1F])  # nullability (unused)
+        )
+
+        def row_img(u, s, et, v, lsn) -> bytes:
+            nulls, out = 0, b""
+            out += int(u).to_bytes(8, "little", signed=True)
+            out += int(s).to_bytes(4, "little", signed=True)
+            if et is None or (isinstance(et, float) and pd.isna(et)):
+                nulls |= 1 << 2
+            else:
+                b = str(et).encode()
+                out += bytes([len(b)]) + b
+            if v is None or pd.isna(v):
+                nulls |= 1 << 3
+            else:
+                out += st.pack("<d", float(v))
+            out += int(lsn).to_bytes(8, "little")
+            return bytes([nulls]) + out
+
+        def rows_body(imgs: list, n_images: int = 1) -> bytes:
+            return (
+                (7).to_bytes(6, "little") + b"\x00\x00"
+                + (2).to_bytes(2, "little") + packed(5)
+                + bytes([0x1F]) * n_images + b"".join(imgs)
+            )
+
+        def inner(tc: int, body: bytes) -> bytes:
+            return st.pack("<IBIIIH", 0, tc, 1, 19 + len(body), 0, 0) + body
+
+        def container(inner_bytes: bytes) -> bytes:
+            vc, vs = packed(0xFF), packed(len(inner_bytes))
+            return (
+                packed(2) + packed(len(vc)) + vc      # compression = NONE
+                + packed(1) + packed(len(vs)) + vs    # payload size
+                + packed(3) + packed(len(vs)) + vs    # uncompressed size
+                + packed(0) + inner_bytes             # END_MARK + events
+            )
+
+        cols = ["user_id", "slot", "event_type", "value", "lsn"]
+        for pdf in batches:
+            recs = pdf.to_dict("records")
+            packets = []
+            for i in range(0, len(recs), 16):  # 16-row transactions
+                ib = inner(TABLE_MAP_EVENT, tmap_body)
+                q = b"-- wrapped txn"
+                ib += inner(ROWS_QUERY_EVENT, bytes([len(q)]) + q)
+                for r in recs[i : i + 16]:
+                    img = row_img(r["user_id"], r["slot"], r["event_type"],
+                                  r["value"], r["source_lsn"])
+                    if r["op"] == "I":
+                        ib += inner(EXT_WRITE_ROWS, rows_body([img]))
+                    elif r["op"] == "D":
+                        ib += inner(EXT_DELETE_ROWS, rows_body([img]))
+                    else:
+                        ib += inner(EXT_UPDATE_ROWS,
+                                    rows_body([img, img], n_images=2))
+                ib += inner(XID_EVENT, (1).to_bytes(8, "little"))
+                packets.append((TRANSACTION_PAYLOAD_EVENT, container(ib)))
+            df = packets_to_changelog(packets, "s", "t", cols)
+            # the authoritative lsn rides IN the row image (packet order is
+            # per-batch only and meaningless across partitions)
+            df = df[["op", "user_id", "slot", "event_type", "value", "lsn"]]
+            yield df.rename(columns={"lsn": "source_lsn"})
+
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    decoded = _with_min_parallelism(cl).mapInPandas(
+        rt,
+        schema=("op string, user_id long, slot int, event_type string, "
+                "value double, source_lsn long"),
+    )
+    last = last_image_wins(decoded, ["user_id", "slot"], strategy="max_by")
+    return last.filter(F.col("op") != "D").select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("source_lsn").alias("last_lsn"),
+    )
+
+
 def q_cdc_table_map_meta(spark, sf_dir):
     """S8 TABLE_MAP optional metadata (binlog_row_metadata=FULL, WL#4618):
     per event a TABLE_MAP body with a TLV tail — SIGNEDNESS, DEFAULT_CHARSET,
@@ -1072,8 +1194,9 @@ def q_cdc_decode_types(spark, sf_dir):
     import pandas as pd
     from mysql_secure_agent_spark.functions.mysql_codecs import (
         BIT, BLOB, DATE, DATETIME, DATETIME_V2, DOUBLE, ENUM, GEOMETRY,
-        INT24, NEWDECIMAL, SET, TIME, TIME_V2, TIMESTAMP, YEAR, ColumnSpec,
-        decode_typed_block, encode_typed_rows, wkb_linestring, wkb_point,
+        INT24, NEWDECIMAL, SET, TIME, TIME_V2, TIMESTAMP, VECTOR, YEAR,
+        ColumnSpec, decode_typed_block, encode_typed_rows, wkb_linestring,
+        wkb_point,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -1122,6 +1245,10 @@ def q_cdc_decode_types(spark, sf_dir):
         # GEOMETRY: SRID+WKB → WKT — the reference THROWS here
         # (RowParser.java:165-166); decoding exceeds it
         ColumnSpec("geo", GEOMETRY, {"len_bytes": 4}),
+        # MySQL 9.0 VECTOR (embedding CDC): blob-framed packed LE float32s;
+        # values chosen exact in float32 so the ×4 integer rendering below
+        # is lossless on both sides of the oracle compare
+        ColumnSpec("vec", VECTOR),
     ]
     set_labels = ["a", "b", "c", "d"]
 
@@ -1173,6 +1300,15 @@ def q_cdc_decode_types(spark, sf_dir):
                                 ),
                             )
                         ),
+                        "vec": (
+                            None
+                            if eid % 29 == 0
+                            else [
+                                float(eid % 7),
+                                (eid % 13) * 0.25,
+                                -(eid % 5) * 0.5,
+                            ]
+                        ),
                     }
                 )
             payload = encode_typed_rows(codec_schema, rows)
@@ -1187,13 +1323,23 @@ def q_cdc_decode_types(spark, sf_dir):
                 dec[c] = pd.Series(
                     [None if pd.isna(x) else str(x) for x in dec[c]], dtype=object
                 )
+            # float32 vector → lossless integer CSV (×4) for the oracle hash
+            dec["vec"] = pd.Series(
+                [
+                    None
+                    if v is None
+                    else ",".join(str(int(round(float(x) * 4))) for x in v)
+                    for v in dec["vec"]
+                ],
+                dtype=object,
+            )
             dec["event_id"] = pdf["event_id"].values
             yield dec[["event_id"] + [c.name for c in codec_schema]]
 
     out_schema = (
         "event_id long, amt decimal(18,4), d date, dt timestamp, tm string, "
         "i24 long, en string, st string, bit20 long, yr long, dbl double, bl binary, "
-        "tneg string, ltm string, lts string, ldt string, geo string"
+        "tneg string, ltm string, lts string, ldt string, geo string, vec string"
     )
     # the test-side per-row ENCODER dominates this query's cost; the 2 MB
     # single-file scan gives mapInPandas one partition, serializing it onto
@@ -1220,6 +1366,7 @@ def q_cdc_decode_types(spark, sf_dir):
         "lts",
         "ldt",
         "geo",
+        "vec",
     )
 
 
@@ -2106,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lsn_encode": q_cdc_lsn_encode,
         "cdc_decode_types": q_cdc_decode_types,
         "cdc_gtid_decode": q_cdc_gtid_decode,
+        "cdc_txn_payload": q_cdc_txn_payload,
         "cdc_table_map_meta": q_cdc_table_map_meta,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
@@ -2500,6 +2648,7 @@ WHERE rn <= 10
 """
     return {
         "cdc_apply_changelog": final_state_sql,
+        "cdc_txn_payload": final_state_sql,
         "cdc_merge_into_lake": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
@@ -2820,7 +2969,11 @@ SELECT event_id,
                        || CAST(event_id % 50 - 25 AS VARCHAR) || ','
                        || CAST(event_id % 100 + 1 AS VARCHAR) || ' '
                        || CAST(event_id % 50 - 24 AS VARCHAR) || ')'
-  END AS geo
+  END AS geo,
+  CASE WHEN event_id % 29 = 0 THEN NULL ELSE
+    concat_ws(',', CAST((event_id % 7) * 4 AS VARCHAR),
+                   CAST(event_id % 13 AS VARCHAR),
+                   CAST(-((event_id % 5) * 2) AS VARCHAR)) END AS vec
 FROM events
 """,
         "cdc_hash_anonymize": f"""

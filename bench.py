@@ -120,6 +120,7 @@ HEADLINE = [
     "text_repetition",
     "cdc_expire_versions",
     "train_corpus_prep_sharded",
+    "cdc_txn_payload",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

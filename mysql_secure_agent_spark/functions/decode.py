@@ -334,7 +334,8 @@ def codec_spark_schema(codec_schema) -> "T.StructType":
     from .mysql_codecs import (
         BIT, BLOB, DATE, DATETIME_V2, DOUBLE, ENUM, FLOAT, INT24, JSON, LONG,
         LONG_BLOB, LONGLONG, MEDIUM_BLOB, NEWDECIMAL, SET, SHORT, STRING,
-        TIME_V2, TIMESTAMP_V2, TINY, TINY_BLOB, VAR_STRING, VARCHAR, YEAR,
+        TIME_V2, TIMESTAMP_V2, TINY, TINY_BLOB, VAR_STRING, VARCHAR, VECTOR,
+        YEAR,
     )
 
     def dtype(spec):
@@ -353,6 +354,8 @@ def codec_spark_schema(codec_schema) -> "T.StructType":
             return T.StringType()
         if t in (BLOB, TINY_BLOB, MEDIUM_BLOB, LONG_BLOB):
             return T.BinaryType()
+        if t == VECTOR:  # MySQL 9.0 embedding column
+            return T.ArrayType(T.FloatType(), True)
         raise ValueError(f"unsupported type code {t}")
 
     return T.StructType([T.StructField(s.name, dtype(s), True) for s in codec_schema])

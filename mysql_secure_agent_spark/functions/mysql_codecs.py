@@ -67,6 +67,7 @@ TINY, SHORT, LONG, FLOAT, DOUBLE = 1, 2, 3, 4, 5
 TIMESTAMP, LONGLONG, INT24, DATE = 7, 8, 9, 10
 TIME, DATETIME, YEAR, VARCHAR, BIT = 11, 12, 13, 15, 16
 TIMESTAMP_V2, DATETIME_V2, TIME_V2 = 17, 18, 19
+VECTOR = 242  # MySQL 9.0 (MYSQL_TYPE_VECTOR): blob-framed packed LE float32s
 JSON, NEWDECIMAL, ENUM, SET = 245, 246, 247, 248
 TINY_BLOB, MEDIUM_BLOB, LONG_BLOB, BLOB = 249, 250, 251, 252
 VAR_STRING, STRING, GEOMETRY = 253, 254, 255
@@ -295,6 +296,12 @@ def _enc_value(spec: ColumnSpec, v: Any) -> bytes:
     if t == BIT:
         width = (m["bits"] + 7) // 8
         return int(v).to_bytes(width, "big")
+    if t == VECTOR:
+        # MySQL 9.0 VECTOR: stored like a BLOB (4-byte LE length prefix),
+        # payload = dimension × IEEE754 float32, little-endian
+        b = struct.pack(f"<{len(v)}f", *v)
+        nb = m.get("len_bytes", 4)
+        return len(b).to_bytes(nb, "little") + b
     if t == GEOMETRY:
         # MySQL internal geometry = blob whose payload is 4B LE SRID + WKB
         # (public format, MySQL docs 11.4.3 "Supported Spatial Data
@@ -400,11 +407,13 @@ def _sign_extend(v: np.ndarray, bits: int) -> np.ndarray:
     return (v << shift) >> shift
 
 
-def _varlen_strings(
-    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, nulls: np.ndarray, binary: bool
-) -> pd.Series:
-    """Arrow String/BinaryArray built straight from gathered spans (the
-    offsets/values-buffer trick shared with decode.py:_string_field)."""
+def _gather_spans(
+    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, nulls: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Gather per-row byte spans out of the concatenated payload buffer →
+    (packed values bytes, int32 offsets). Spans are naturally ordered and
+    non-overlapping (columns advance sequentially within each row), so one
+    cumulative take-mask extracts all of them in a single pass."""
     n = len(starts)
     # NULL rows carry a dummy (clamped) start that can point past the end of
     # a short buffer — neutralize them (their spans are empty by definition)
@@ -417,6 +426,16 @@ def _varlen_strings(
     values = buf[take].tobytes()
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
+    return values, offsets
+
+
+def _varlen_strings(
+    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, nulls: np.ndarray, binary: bool
+) -> pd.Series:
+    """Arrow String/BinaryArray built straight from gathered spans (the
+    offsets/values-buffer trick shared with decode.py:_string_field)."""
+    n = len(starts)
+    values, offsets = _gather_spans(buf, starts, lengths, nulls)
     arr = pa.Array.from_buffers(
         pa.binary() if binary else pa.utf8(),
         n,
@@ -692,6 +711,25 @@ def decode_typed_block(schema: list[ColumnSpec], payload: pd.Series) -> pd.DataF
             width = (m["bits"] + 7) // 8
             v = _gather_be(buf, fixed(width), width)
             s = pd.Series(v, dtype="Int64").mask(nulls)
+        elif t == VECTOR:
+            # MySQL 9.0 embedding column: blob-framed packed LE float32s.
+            # Fully columnar — ONE reinterpret of the gathered span bytes as
+            # a float32 array, then an Arrow ListArray over byte-offsets/4
+            # (no per-value Python; this is the engine's native path for
+            # CDC over embedding columns).
+            nb = m.get("len_bytes", 4)
+            lengths = np.where(live, _gather_le(buf, pos, nb), 0)
+            if int(lengths.sum()) % 4:
+                raise ValueError("VECTOR payload length not a float32 multiple")
+            values, offsets = _gather_spans(buf, pos + nb, lengths, nulls)
+            floats = np.frombuffer(values, dtype="<f4")
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets // 4, type=pa.int32()),
+                pa.array(floats, type=pa.float32()),
+            )
+            s = arr.to_pandas().astype(object)
+            s[nulls] = None
+            off = off + np.where(live, nb + lengths, 0)
         elif t == GEOMETRY:
             # blob-framed SRID+WKB → WKT text. The WKT rendering is
             # per-value string formatting (representation boundary, like

@@ -61,6 +61,20 @@ EXT_DELETE_ROWS = 0x20
 GTID_EVENT = 0x21
 ANONYMOUS_GTID_EVENT = 0x22
 PREVIOUS_GTIDS_EVENT = 0x23
+# binlog_rows_query_log_events=ON (MySQL 5.6.2+): the original SQL text of
+# the statement that produced the following rows events — pure lineage
+# metadata, never needed for decode. The reference discards it
+# (BinlogClient.java:191-195 keeps only EXT_*_ROWS).
+ROWS_QUERY_EVENT = 0x1D
+# binlog_transaction_compression=ON (MySQL 8.0.20, WL#3549): one container
+# event wrapping a whole transaction's events, zstd-compressed. Inner
+# events carry NO per-event checksum — the container carries the stream's.
+TRANSACTION_PAYLOAD_EVENT = 0x28
+
+# transaction-payload compression algorithm codes
+# (libbinlogevents include/compression/base.h)
+PAYLOAD_COMPRESSION_ZSTD = 0x00
+PAYLOAD_COMPRESSION_NONE = 0xFF
 
 # binlog_checksum algorithm codes (carried by FORMAT_DESCRIPTION since
 # MySQL 5.6.1; the reference instead queries the server variable,
@@ -155,6 +169,30 @@ class PreviousGtids:
             )
             parts.append(f"{sid}:{spans}")
         return ",".join(parts)
+
+
+@dataclass
+class RowsQuery:
+    """ROWS_QUERY_LOG_EVENT body: the SQL statement behind the rows events
+    that follow — lineage only (MySQL truncates it server-side to
+    binlog-row-event-max-size; the 1-byte length prefix is therefore
+    unreliable and the text fills the whole body)."""
+
+    query: str
+
+
+@dataclass
+class TransactionPayload:
+    """TRANSACTION_PAYLOAD_EVENT body, decoded: the wrapped transaction as
+    concatenated inner events. ``events`` holds (header, body) pairs ready
+    for :func:`parse_event_body` with ``checksum_length=0`` — inner events
+    are never individually checksummed (the container event carries the
+    stream CRC)."""
+
+    compression_type: int
+    uncompressed_size: int
+    payload: bytes
+    events: list[tuple[EventHeader, bytes]]
 
 
 @dataclass
@@ -262,7 +300,9 @@ def parse_table_map(buf: bytes) -> TableMap:
     r.packed_int()  # metadata block length (skipped, per reference)
     meta = []
     for t in types:
-        if t in (0x04, 0x05, 0xF5, 0xFC):  # FLOAT, DOUBLE, JSON, BLOB
+        if t in (0x04, 0x05, 0xF5, 0xFC, 0xF2):  # FLOAT/DOUBLE/JSON/BLOB/VECTOR
+            # VECTOR (MySQL 9.0, MYSQL_TYPE_VECTOR=242) stores like a BLOB:
+            # the metadata byte is the width of the length prefix (4)
             meta.append(r.u_le(1))
         elif t in (0x10, 0x0F, 0xF6):  # BIT, VARCHAR, NEWDECIMAL
             meta.append(r.u_le(2))
@@ -497,6 +537,12 @@ def _parse_value(
     if t == 0xF5:  # JSON: blob of binary JSON → text
         n = r.u_le(meta)
         return parse_json_binary(r.read(n))
+    if t == 0xF2:  # VECTOR (MySQL 9.0): length-prefixed packed LE float32s
+        n = r.u_le(meta)
+        raw = r.read(n)
+        if n % 4:
+            raise ValueError(f"VECTOR payload length {n} not a float32 multiple")
+        return list(struct.unpack(f"<{n // 4}f", raw))
     if t == 0xF7:  # ENUM ordinal (pack size = length)
         return r.u_le(length)
     if t == 0xF8:  # SET bitmask
@@ -614,6 +660,75 @@ def parse_previous_gtids(buf: bytes) -> PreviousGtids:
     return PreviousGtids(out)
 
 
+def parse_transaction_payload(buf: bytes) -> TransactionPayload:
+    """TRANSACTION_PAYLOAD body (libbinlogevents codecs/binary.cpp,
+    binary::Transaction_payload::decode): a TLV header — per field a packed
+    type, packed length, then ``length`` value bytes — terminated by the
+    END_MARK type (0, no length), followed by the wrapped bytes.
+
+    Field types: 1 = payload size, 2 = compression algorithm
+    (0 = ZSTD, 255 = NONE), 3 = uncompressed size (absent when NONE).
+    Integer field values are themselves packed ints inside the value bytes.
+    Unknown field types are skipped by length (forward compatibility).
+
+    The NONE path decodes with the stdlib alone; ZSTD needs the
+    ``zstandard`` module and raises ``NotImplementedError`` when it is
+    missing rather than returning garbage."""
+    r = BinlogReader(buf)
+    compression = PAYLOAD_COMPRESSION_NONE
+    payload_size: int | None = None
+    uncompressed: int | None = None
+    while True:
+        if r.available() == 0:
+            raise ValueError("TRANSACTION_PAYLOAD header missing END_MARK")
+        ftype = r.packed_int()
+        if ftype == 0:  # OTW_PAYLOAD_HEADER_END_MARK
+            break
+        flen = r.packed_int()
+        fr = BinlogReader(r.read(flen))
+        if ftype == 1:
+            payload_size = fr.packed_int()
+        elif ftype == 2:
+            compression = fr.packed_int()
+        elif ftype == 3:
+            uncompressed = fr.packed_int()
+    payload = r.read(payload_size if payload_size is not None else r.available())
+    if payload_size is not None and len(payload) != payload_size:
+        raise ValueError(
+            f"TRANSACTION_PAYLOAD truncated: header says {payload_size} "
+            f"bytes, {len(payload)} present"
+        )
+    if compression == PAYLOAD_COMPRESSION_ZSTD:
+        try:
+            import zstandard  # not in this container; gate, don't fake
+        except ImportError as e:
+            raise NotImplementedError(
+                "zstd-compressed TRANSACTION_PAYLOAD needs the 'zstandard' "
+                "module (binlog_transaction_compression uses ZSTD only)"
+            ) from e
+        payload = zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=uncompressed or 0
+        )
+    elif compression != PAYLOAD_COMPRESSION_NONE:
+        raise ValueError(f"unknown payload compression {compression:#04x}")
+    if uncompressed is not None and len(payload) != uncompressed:
+        raise ValueError(
+            f"TRANSACTION_PAYLOAD inflate mismatch: expected {uncompressed} "
+            f"bytes, got {len(payload)}"
+        )
+    events = []
+    pos = 0
+    while pos < len(payload):
+        hdr = parse_event_header(payload[pos : pos + 19])
+        body = payload[pos + 19 : pos + hdr.event_length]
+        if len(body) != hdr.event_length - 19:
+            raise ValueError("torn inner event in TRANSACTION_PAYLOAD")
+        events.append((hdr, body))
+        pos += hdr.event_length
+    return TransactionPayload(compression, uncompressed or len(payload),
+                              payload, events)
+
+
 def parse_event_body(
     buf: bytes,
     type_code: int,
@@ -621,7 +736,10 @@ def parse_event_body(
     checksum_length: int = 0,
     verify_checksum: bool = False,
     header_bytes: bytes | None = None,
-) -> RowsEvent | Rotate | Gtid | PreviousGtids | Heartbeat | None:
+) -> (
+    RowsEvent | Rotate | Gtid | PreviousGtids | Heartbeat | RowsQuery
+    | TransactionPayload | None
+):
     """Route one event body (EventBodyParser.parse, EventBodyParser.java:19-40).
     TABLE_MAP updates the cache and returns None; XID clears it; irrelevant
     types return None (BinlogClient.java:191-195 keeps only EXT_*_ROWS).
@@ -675,6 +793,12 @@ def parse_event_body(
         return parse_previous_gtids(buf)
     if type_code == HEARTBEAT_EVENT:
         return Heartbeat(buf.decode())
+    if type_code == ROWS_QUERY_EVENT:
+        # 1-byte length prefix is capped at 255 and unreliable for long
+        # statements — MySQL fills the rest of the body with the text
+        return RowsQuery(buf[1:].decode("utf-8", errors="replace"))
+    if type_code == TRANSACTION_PAYLOAD_EVENT:
+        return parse_transaction_payload(buf)
     if type_code not in (EXT_WRITE_ROWS, EXT_UPDATE_ROWS, EXT_DELETE_ROWS):
         return None
 
@@ -717,6 +841,55 @@ def parse_event_body(
     return ev
 
 
+def _emit_rows_event(
+    ev: RowsEvent,
+    schema_name: str,
+    table_name: str,
+    column_names: list[str],
+    emit_presence: bool,
+    lsn: int,
+    out: list,
+) -> None:
+    """Emit one RowsEvent's images as changelog records (Updater.java:148-217
+    semantics — see :func:`packets_to_changelog`).
+
+    Under binlog_row_image=MINIMAL an UPDATE's after-image carries only the
+    columns the statement SET — the primary key travels in the BEFORE-image
+    (its own bitmap), unless the statement changed it. A column present in
+    the before-image but absent from the after-image was unchanged by the
+    update, so its before value is current: merge it in (under FULL the
+    after-image has every column and this is a no-op). Without the merge,
+    MINIMAL updates emit NULL key columns and the downstream keyed merge
+    collapses them onto garbage keys."""
+    if (ev.schema_name, ev.table_name) != (schema_name, table_name):
+        return
+    op = {"insert": "I", "update": "U", "delete": "D"}[ev.kind]
+    new_set = set(ev.included_columns)
+    old_only = [
+        c
+        for c in (ev.included_columns_old or [])
+        if c not in new_set and c < len(column_names)
+    ]
+    present_cols = sorted(
+        {c for c in ev.included_columns if c < len(column_names)}
+        | set(old_only)
+    )
+    present = [column_names[c] for c in present_cols]
+    old_pos = {c: j for j, c in enumerate(ev.included_columns_old or [])}
+    for idx, row in enumerate(ev.new_rows):
+        rec = {"op": op, "source_lsn": lsn}
+        for i, col in enumerate(ev.included_columns):
+            if col < len(column_names):
+                rec[column_names[col]] = row[i]
+        if op == "U" and old_only and idx < len(ev.old_rows):
+            old_row = ev.old_rows[idx]
+            for col in old_only:
+                rec[column_names[col]] = old_row[old_pos[col]]
+        if emit_presence:
+            rec["_present"] = list(present)
+        out.append(rec)
+
+
 def packets_to_changelog(
     packets,
     schema_name: str,
@@ -757,43 +930,21 @@ def packets_to_changelog(
         ev = parse_event_body(
             payload, type_code, table_maps, checksum_length=checksum_length
         )
-        if not isinstance(ev, RowsEvent):
+        if isinstance(ev, TransactionPayload):
+            # expand the wrapped transaction inline, in wire order; inner
+            # events never carry a per-event checksum
+            inner = [
+                parse_event_body(b, h.type_code, table_maps, checksum_length=0)
+                for h, b in ev.events
+            ]
+            evs = [e for e in inner if isinstance(e, RowsEvent)]
+        elif isinstance(ev, RowsEvent):
+            evs = [ev]
+        else:
             continue
-        if (ev.schema_name, ev.table_name) != (schema_name, table_name):
-            continue
-        op = {"insert": "I", "update": "U", "delete": "D"}[ev.kind]
-        # Under binlog_row_image=MINIMAL an UPDATE's after-image carries only
-        # the columns the statement SET — the primary key travels in the
-        # BEFORE-image (its own bitmap), unless the statement changed it. A
-        # column present in the before-image but absent from the after-image
-        # was unchanged by the update, so its before value is current: merge
-        # it in (under FULL the after-image has every column and this is a
-        # no-op). Without the merge, MINIMAL updates emit NULL key columns
-        # and the downstream keyed merge collapses them onto garbage keys.
-        new_set = set(ev.included_columns)
-        old_only = [
-            c
-            for c in (ev.included_columns_old or [])
-            if c not in new_set and c < len(column_names)
-        ]
-        present_cols = sorted(
-            {c for c in ev.included_columns if c < len(column_names)}
-            | set(old_only)
-        )
-        present = [column_names[c] for c in present_cols]
-        old_pos = {c: j for j, c in enumerate(ev.included_columns_old or [])}
-        for idx, row in enumerate(ev.new_rows):
-            rec = {"op": op, "source_lsn": lsn}
-            for i, col in enumerate(ev.included_columns):
-                if col < len(column_names):
-                    rec[column_names[col]] = row[i]
-            if op == "U" and old_only and idx < len(ev.old_rows):
-                old_row = ev.old_rows[idx]
-                for col in old_only:
-                    rec[column_names[col]] = old_row[old_pos[col]]
-            if emit_presence:
-                rec["_present"] = list(present)
-            out.append(rec)
+        for ev in evs:
+            _emit_rows_event(ev, schema_name, table_name, column_names,
+                             emit_presence, lsn, out)
     cols = ["op", *column_names, "source_lsn"]
     if emit_presence:
         cols.append("_present")

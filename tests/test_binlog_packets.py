@@ -451,3 +451,126 @@ def test_heartbeat_carries_log_name():
 
     ev = parse_event_body(b"mysql-bin.000042", HEARTBEAT_EVENT, {})
     assert isinstance(ev, Heartbeat) and ev.log_name == "mysql-bin.000042"
+
+
+# ---------------------------------------------------- rows-query / txn payload
+def test_rows_query_carries_statement_text():
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        ROWS_QUERY_EVENT, RowsQuery,
+    )
+
+    sql = "UPDATE s.t SET name='x' WHERE id=1"
+    body = bytes([min(len(sql), 255)]) + sql.encode()
+    ev = parse_event_body(body, ROWS_QUERY_EVENT, {})
+    assert isinstance(ev, RowsQuery) and ev.query == sql
+
+
+def _packed(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + n.to_bytes(2, "little")
+    if n < 1 << 24:
+        return b"\xfd" + n.to_bytes(3, "little")
+    return b"\xfe" + n.to_bytes(8, "little")
+
+
+def _inner_event(type_code: int, body: bytes) -> bytes:
+    import struct as _struct
+
+    hdr = _struct.pack("<IBIIIH", 0, type_code, 1, 19 + len(body), 0, 0)
+    return hdr + body
+
+
+def _payload_event(inner: bytes, compression: int = 0xFF,
+                   uncompressed: int | None = None) -> bytes:
+    # TLV header: (2=compression)(1=payload size)[3=uncompressed], END_MARK=0
+    val_c = _packed(compression)
+    val_s = _packed(len(inner))
+    out = _packed(2) + _packed(len(val_c)) + val_c
+    out += _packed(1) + _packed(len(val_s)) + val_s
+    if uncompressed is not None:
+        val_u = _packed(uncompressed)
+        out += _packed(3) + _packed(len(val_u)) + val_u
+    return out + _packed(0) + inner
+
+
+def test_transaction_payload_expands_wrapped_transaction():
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        TRANSACTION_PAYLOAD_EVENT, TransactionPayload, packets_to_changelog,
+    )
+
+    # a whole txn — TABLE_MAP + WRITE_ROWS — wrapped in one container event
+    row = _row(9, "wrapped", Decimal("5.25"), dt.date(2026, 3, 1))
+    inner = _inner_event(TABLE_MAP_EVENT, _synthetic_table_map())
+    inner += _inner_event(EXT_WRITE_ROWS, _rows_body([row]))
+    body = _payload_event(inner, uncompressed=len(inner))
+
+    tp = parse_event_body(body, TRANSACTION_PAYLOAD_EVENT, {})
+    assert isinstance(tp, TransactionPayload)
+    assert tp.compression_type == 0xFF and len(tp.events) == 2
+
+    df = packets_to_changelog(
+        [(TRANSACTION_PAYLOAD_EVENT, body)], "s", "t",
+        ["id", "name", "amt", "d"],
+    )
+    assert df.to_dict("records") == [
+        {"op": "I", "id": 9, "name": "wrapped", "amt": Decimal("5.25"),
+         "d": dt.date(2026, 3, 1), "source_lsn": 1}
+    ]
+
+
+def test_transaction_payload_guards():
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        parse_transaction_payload,
+    )
+
+    inner = _inner_event(XID_EVENT, b"\x01\x00\x00\x00\x00\x00\x00\x00")
+    # missing END_MARK
+    with pytest.raises(ValueError, match="END_MARK"):
+        parse_transaction_payload(_packed(2) + _packed(3) + _packed(0xFF))
+    # uncompressed-size mismatch
+    with pytest.raises(ValueError, match="mismatch"):
+        parse_transaction_payload(
+            _payload_event(inner, uncompressed=len(inner) + 3)
+        )
+    # zstd wanted, module absent in this container
+    with pytest.raises((NotImplementedError, Exception)):
+        parse_transaction_payload(_payload_event(b"\x28\xb5\x2f\xfd", 0x00))
+    # torn inner event
+    with pytest.raises(ValueError, match="torn inner"):
+        parse_transaction_payload(_payload_event(inner[:-3]))
+
+
+# ------------------------------------------------------------------ VECTOR 9.0
+def test_vector_column_decodes_float32_array():
+    import struct as _struct
+
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        parse_table_map,
+    )
+
+    # table 8: cols = LONG, VECTOR (meta byte = 4-byte length prefix)
+    tm = (8).to_bytes(6, "little") + b"\x00\x00"
+    tm += bytes([1]) + b"s\x00" + bytes([1]) + b"v\x00"
+    tm += bytes([2]) + bytes([0x03, 0xF2])
+    tm += bytes([1, 4])  # metadata block: len=1, VECTOR length-prefix width 4
+    tm += bytes([0x03])  # nullability
+    maps = {}
+    parse_event_body(tm, TABLE_MAP_EVENT, maps)
+    assert maps[8].column_metadata == [0, 4]
+
+    vec = [1.0, -2.5, 0.125]
+    packed = _struct.pack("<3f", *vec)
+    body = (8).to_bytes(6, "little") + b"\x00\x00"
+    body += (2).to_bytes(2, "little") + bytes([2]) + bytes([0x03])
+    body += bytes([0x00])  # null bitmap
+    body += (7).to_bytes(4, "little", signed=True)
+    body += len(packed).to_bytes(4, "little") + packed
+    ev = parse_event_body(body, EXT_WRITE_ROWS, maps)
+    assert ev.new_rows == [[7, vec]]
+
+    # non-multiple-of-4 payload fails loudly
+    bad = body[:-len(packed) - 4] + (3).to_bytes(4, "little") + packed[:3]
+    with pytest.raises(ValueError, match="float32"):
+        parse_event_body(bad, EXT_WRITE_ROWS, maps)

@@ -274,3 +274,35 @@ def test_geometry_big_endian_wkb():
     # struct '>B' of 0 is the first byte; wkb_to_wkt reads payload[4] as flag
     payload = (0).to_bytes(4, "little") + bytes([0]) + be[1:]
     assert wkb_to_wkt(payload) == "POINT(2 4)"
+
+
+def test_vector_roundtrip_and_golden_bytes():
+    """MySQL 9.0 VECTOR (MYSQL_TYPE_VECTOR=242): blob-framed packed LE
+    float32s. Golden: VECTOR [1.0, -2.5] encodes as length 8 (4B LE) +
+    0000803F (1.0f) + 000020C0 (-2.5f)."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import VECTOR
+
+    spec = [ColumnSpec("id", LONG), ColumnSpec("emb", VECTOR)]
+    enc = encode_typed_rows(spec, [{"id": 1, "emb": [1.0, -2.5]}])
+    assert enc[0] == (
+        bytes([0]) + (1).to_bytes(4, "little")
+        + (8).to_bytes(4, "little") + bytes.fromhex("0000803F000020C0")
+    )
+
+    rows = [
+        {"id": 1, "emb": [1.0, -2.5, 0.125]},
+        {"id": 2, "emb": None},
+        {"id": 3, "emb": []},
+        {"id": 4, "emb": [float(i) / 7 for i in range(64)]},
+    ]
+    out = decode_typed_block(spec, encode_typed_rows(spec, rows))
+    assert out["emb"][0].tolist() == [1.0, -2.5, 0.125]
+    assert out["emb"][1] is None
+    assert out["emb"][2].tolist() == []
+    np.testing.assert_allclose(
+        out["emb"][3], np.array([i / 7 for i in range(64)], dtype=np.float32)
+    )
+    # misaligned payload fails loudly
+    bad = bytes([0]) + (1).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"abc"
+    with pytest.raises(ValueError, match="float32"):
+        decode_typed_block(spec, pd.Series([bad]))

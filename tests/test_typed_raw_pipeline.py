@@ -16,7 +16,7 @@ import pyarrow.parquet as pq
 import pyspark.sql.types as T
 
 from mysql_secure_agent_spark.functions.mysql_codecs import (
-    BLOB, DATE, ENUM, LONGLONG, NEWDECIMAL, VARCHAR,
+    BLOB, DATE, ENUM, LONGLONG, NEWDECIMAL, VARCHAR, VECTOR,
     ColumnSpec, encode_typed_rows,
 )
 from mysql_secure_agent_spark.lake.table import LakeTable
@@ -29,6 +29,8 @@ CODEC_SCHEMA = [
     ColumnSpec("status", ENUM, {"labels": ["new", "active", "closed"]}),
     ColumnSpec("note", VARCHAR, {"max_len": 100}),
     ColumnSpec("doc", BLOB, {"len_bytes": 2}),
+    # MySQL 9.0 VECTOR: embedding column riding the same CDC feed
+    ColumnSpec("emb", VECTOR),
 ]
 
 TABLE_SCHEMA = T.StructType(
@@ -39,6 +41,7 @@ TABLE_SCHEMA = T.StructType(
         T.StructField("status", T.StringType(), True),
         T.StructField("note", T.StringType(), True),
         T.StructField("doc", T.BinaryType(), True),
+        T.StructField("emb", T.ArrayType(T.FloatType(), True), True),
     ]
 )
 
@@ -63,6 +66,8 @@ def _events():
                         "status": ["new", "active", "closed"][(a + rnd) % 3],
                         "note": None if a % 6 == 0 else f"acct {a} r{rnd}",
                         "doc": bytes([a % 256, rnd]),
+                        # exact in float32 so equality asserts are lossless
+                        "emb": None if a % 9 == 0 else [float(a), rnd * 0.5, a * 0.25],
                     },
                     lsn,
                 )
@@ -127,3 +132,7 @@ def test_typed_raw_feed_matches_sequential_replay(spark, tmp_path):
         assert r["status"] == exp["status"]
         assert r["note"] == exp["note"]
         assert bytes(r["doc"]) == exp["doc"]
+        if exp["emb"] is None:
+            assert r["emb"] is None
+        else:
+            assert list(r["emb"]) == exp["emb"]

@@ -977,6 +977,80 @@ def q_cdc_gtid_decode(spark, sf_dir):
     )
 
 
+def q_cdc_multi_table_txn(spark, sf_dir):
+    """Cross-table TRANSACTION-CONSISTENCY group (lake/txn_group.py): the
+    change feed splits by slot parity into two tables of one group; each
+    lsn-half applies as ONE atomic multi-table publish (stage-all →
+    intent marker → publish-all → sealed snapshot). The second group
+    CRASHES between the two publishes (injected) — the query asserts the
+    raw heads are torn but the consistent snapshot still serves group 1 for
+    BOTH tables, then recovers (redo) and returns the union of the final
+    reads. Oracle = the relational final state partitioned by the same
+    parity, so atomic routing, crash recovery, and the snapshot math are
+    all hash-gated. The reference's single-threaded sink gives this
+    consistency for free (Updater.java:148-186); a distributed sink must
+    coordinate."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.lake.txn_group import TransactionGroup
+
+    cl = _events_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_txg_")
+    tables = {
+        ref: LakeTable.create(
+            os.path.join(base, ref), schema, ["user_id", "slot"], n_buckets=8
+        )
+        for ref in ("even", "odd")
+    }
+    txg = TransactionGroup(tables, os.path.join(base, "coord"))
+    mid = cl.agg(F.expr("percentile_approx(source_lsn, 0.5)")).first()[0]
+
+    def routed(part):
+        return {
+            ref: part.filter(F.pmod("slot", F.lit(2)) == i)
+            for i, ref in enumerate(("even", "odd"))
+        }
+
+    txg.commit_batch(spark, routed(cl.filter(F.col("source_lsn") <= mid)), 0)
+    snap = txg.consistent_versions()
+
+    real_publish = tables["odd"].publish_staged
+    tables["odd"].publish_staged = lambda wap_id: (_ for _ in ()).throw(
+        RuntimeError("injected crash between publishes")
+    )
+    try:
+        txg.commit_batch(spark, routed(cl.filter(F.col("source_lsn") > mid)), 1)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    finally:
+        tables["odd"].publish_staged = real_publish
+    # torn raw heads, untorn consistent snapshot — the contract under test
+    assert tables["even"].current_version() > snap["even"]
+    assert tables["odd"].current_version() == snap["odd"]
+    assert txg.consistent_versions() == snap
+    txg.recover()
+
+    out = None
+    for ref, t in tables.items():
+        part = txg.read_consistent(spark, ref).select(
+            F.lit(ref).alias("table_ref"),
+            "user_id",
+            "slot",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_cdc_txn_payload(spark, sf_dir):
     """S8 TRANSACTION_PAYLOAD (binlog_transaction_compression, MySQL 8.0.20,
     WL#3549) end-to-end: the change feed is re-ENCODED into MySQL wire bytes —
@@ -2254,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decode_types": q_cdc_decode_types,
         "cdc_gtid_decode": q_cdc_gtid_decode,
         "cdc_txn_payload": q_cdc_txn_payload,
+        "cdc_multi_table_txn": q_cdc_multi_table_txn,
         "cdc_table_map_meta": q_cdc_table_map_meta,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
@@ -2649,6 +2724,16 @@ WHERE rn <= 10
     return {
         "cdc_apply_changelog": final_state_sql,
         "cdc_txn_payload": final_state_sql,
+        "cdc_multi_table_txn": _CHANGELOG_CTE
+        + """
+SELECT CASE WHEN slot % 2 = 0 THEN 'even' ELSE 'odd' END AS table_ref,
+       user_id, slot,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
         "cdc_merge_into_lake": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value

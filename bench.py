@@ -121,6 +121,7 @@ HEADLINE = [
     "cdc_expire_versions",
     "train_corpus_prep_sharded",
     "cdc_txn_payload",
+    "cdc_multi_table_txn",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

@@ -37,6 +37,13 @@ class MultiTablePipeline:
 
     ``tables``: {table_ref: LakeTable}. ``config`` applies the reference's
     schema/table selection semantics to decide which refs sync at all.
+
+    ``coord_dir`` switches on ATOMIC mode: every micro-batch applies as a
+    transaction-consistency group (`lake/txn_group.py`) — per-table merges
+    stage invisibly, then publish under one group decision, so a binlog
+    transaction spanning tables is never readable half-applied (the
+    reference's single-threaded sink gives this for free,
+    ``Updater.java:148-186``; a distributed sink must coordinate).
     """
 
     def __init__(
@@ -44,12 +51,18 @@ class MultiTablePipeline:
         tables: dict[str, LakeTable],
         feed_dir: str,
         config: Config | None = None,
+        coord_dir: str | None = None,
     ):
         self.feed_dir = feed_dir
         self.config = config or Config()
         self.tables = {
             ref: t for ref, t in tables.items() if self._selected(ref)
         }
+        self.txn_group = None
+        if coord_dir is not None:
+            from ..lake.txn_group import TransactionGroup
+
+            self.txn_group = TransactionGroup(self.tables, coord_dir)
 
     def _selected(self, table_ref: str) -> bool:
         schema, _, name = table_ref.partition(".")
@@ -60,11 +73,16 @@ class MultiTablePipeline:
     ) -> dict[str, Any]:
         batch_df = batch_df.cache()  # one materialization, N routed merges
         try:
-            results = {}
-            for ref, table in self.tables.items():
-                routed = batch_df.filter(F.col("table_ref") == ref).drop("table_ref")
-                results[ref] = table.merge(spark, routed, f"{batch_id}.{ref}")
-            return results
+            routed = {
+                ref: batch_df.filter(F.col("table_ref") == ref).drop("table_ref")
+                for ref in self.tables
+            }
+            if self.txn_group is not None:
+                return self.txn_group.commit_batch(spark, routed, batch_id)
+            return {
+                ref: self.tables[ref].merge(spark, df, f"{batch_id}.{ref}")
+                for ref, df in routed.items()
+            }
         finally:
             batch_df.unpersist()
 

@@ -977,6 +977,68 @@ def q_cdc_gtid_decode(spark, sf_dir):
     )
 
 
+def q_cdc_branch_backfill(spark, sf_dir):
+    """Branch-based backfill (lake/refs.py — Iceberg refs analog): the live
+    stream keeps merging the RECENT two-thirds of the feed into main while
+    a month-of-history backfill (the oldest third, two batches) lands on a
+    BRANCH — fully isolated, own commit/metrics namespace, shared data
+    files. Main advances past the fork, so fast-forward is refused
+    (asserted) and the branch is CHERRY-PICKED: each branch merge's delta
+    manifest re-applies onto main in order with per-batch exactly-once.
+    Because the lake reconciles by source_lsn at read time, ANY split of
+    the changelog across main/branch converges to the same final state —
+    oracle = the plain full replay, so fork isolation, the rebase, and the
+    ledger carry-over are all hash-gated. The reference freezes its single
+    cursor for imports (ImportOnly.java:19-60); branches let backfill and
+    live tail proceed concurrently with an atomic settle."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_branch_")
+    tbl = LakeTable.create(
+        os.path.join(base, "t"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    lo, hi = cl.agg(
+        F.expr("percentile_approx(source_lsn, 0.33)"),
+        F.expr("percentile_approx(source_lsn, 0.66)"),
+    ).first()
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > hi), "live-0")
+    br = tbl.create_branch("backfill")
+    old = cl.filter(F.col("source_lsn") <= lo)
+    br.merge(spark, old.filter(F.pmod("source_lsn", F.lit(2)) == 0), "bf-0")
+    br.merge(spark, old.filter(F.pmod("source_lsn", F.lit(2)) == 1), "bf-1")
+    # the live stream advanced past the fork → ff impossible, rebase instead
+    tbl.merge(
+        spark,
+        cl.filter((F.col("source_lsn") > lo) & (F.col("source_lsn") <= hi)),
+        "live-1",
+    )
+    try:
+        tbl.fast_forward("backfill")
+        raise AssertionError("fast-forward should refuse a diverged main")
+    except ValueError:
+        pass
+    res = tbl.merge_branch("backfill")
+    assert res["picked"] == ["bf-0", "bf-1"], res
+    # a replayed branch batch is exactly-once on main after the rebase
+    assert tbl.merge(spark, old.limit(1), "bf-0")["skipped"]
+    tbl.drop_branch("backfill")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_multi_table_txn(spark, sf_dir):
     """Cross-table TRANSACTION-CONSISTENCY group (lake/txn_group.py): the
     change feed splits by slot parity into two tables of one group; each
@@ -2329,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gtid_decode": q_cdc_gtid_decode,
         "cdc_txn_payload": q_cdc_txn_payload,
         "cdc_multi_table_txn": q_cdc_multi_table_txn,
+        "cdc_branch_backfill": q_cdc_branch_backfill,
         "cdc_table_map_meta": q_cdc_table_map_meta,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
@@ -2735,6 +2798,15 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
 WHERE rn = 1 AND op <> 'D'
 """,
         "cdc_merge_into_lake": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # any split of the changelog across main/branch merges converges to
+        # the same lsn-reconciled state: branch backfill == plain full replay
+        "cdc_branch_backfill": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot

@@ -122,6 +122,7 @@ HEADLINE = [
     "train_corpus_prep_sharded",
     "cdc_txn_payload",
     "cdc_multi_table_txn",
+    "cdc_branch_backfill",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

@@ -321,6 +321,21 @@ class LakeTable:
     def _current_path(self) -> str:
         return os.path.join(self._commits_dir, "CURRENT")
 
+    # Naming hooks — a BranchView (lake/refs.py) overrides these so branch
+    # commits/manifests live in their own filename namespace and main's
+    # version line stays contiguous and linear.
+    def _commit_fname(self, v: int) -> str:
+        return f"v{v:08d}.json"
+
+    def _mname(self, version: int, suffix: str = "") -> str:
+        return f"m{version:08d}{suffix}.json"
+
+    def _swing_pointer(self, version: int) -> None:
+        cur_tmp = self._current_path() + ".tmp"
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(cur_tmp, self._current_path())  # atomic pointer swing
+
     @staticmethod
     def _wap_tag(wap_id: str) -> str:
         # filename-safe fixed-width tag for arbitrary wap ids
@@ -389,12 +404,14 @@ class LakeTable:
         a merge only APPENDS a delta manifest."""
         v = self.current_version() if version is None else version
         floor = self.version_floor()
-        if v < floor:
+        if v < floor and v not in self.tag_versions().values():
+            # tagged versions stay readable below the floor (Iceberg keeps
+            # tagged snapshots through expireSnapshots the same way)
             raise ValueError(
                 f"version {v} expired: expire_versions() retains only "
-                f"versions >= {floor} (time-travel floor)"
+                f"versions >= {floor} (time-travel floor) and tagged versions"
             )
-        with open(os.path.join(self._commits_dir, f"v{v:08d}.json")) as f:
+        with open(os.path.join(self._commits_dir, self._commit_fname(v))) as f:
             commit = Commit.from_json(f.read())
         if resolve and commit.manifests:  # resolve the manifest chain (adds only)
             files: dict[str, list[dict[str, Any]]] = {}
@@ -440,18 +457,18 @@ class LakeTable:
         if not parent.manifests and parent.files:
             # legacy parent (inline file listing): snapshot it into a full
             # manifest once, then append deltas
-            chain = [self._write_manifest(f"m{version:08d}.legacy.json", parent.files)]
+            chain = [self._write_manifest(self._mname(version, ".legacy"), parent.files)]
         else:
             chain = list(parent.manifests)
         if delta:  # empty micro-batches (heartbeats) add no manifest
-            chain.append(self._write_manifest(f"m{version:08d}.json", delta))
+            chain.append(self._write_manifest(self._mname(version), delta))
         if len(chain) > MAX_MANIFESTS:
             k = len(chain) // 2
             merged: dict[str, list[dict[str, Any]]] = {}
             for name in chain[:k]:
                 for b, entries in self._load_manifest(name).items():
                     merged.setdefault(b, []).extend(entries)
-            rollup = self._write_manifest(f"m{version:08d}.rollup.json", merged)
+            rollup = self._write_manifest(self._mname(version, ".rollup"), merged)
             chain = [rollup] + chain[k:]
         return chain
 
@@ -496,15 +513,12 @@ class LakeTable:
         return T.StructType(fields)
 
     def _write_commit(self, commit: Commit) -> None:
-        path = os.path.join(self._commits_dir, f"v{commit.version:08d}.json")
+        path = os.path.join(self._commits_dir, self._commit_fname(commit.version))
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             f.write(commit.to_json())
         os.replace(tmp, path)
-        cur_tmp = self._current_path() + ".tmp"
-        with open(cur_tmp, "w") as f:
-            f.write(str(commit.version))
-        os.replace(cur_tmp, self._current_path())  # atomic pointer swing
+        self._swing_pointer(commit.version)
 
     def _walk_written(
         self,
@@ -2069,6 +2083,74 @@ class LakeTable:
         self._write_commit(new_commit)
         return new_commit.version
 
+    # ------------------------------------------------------- branches & tags
+    # (implementation in lake/refs.py — Iceberg refs analog; see its module
+    # docstring for the semantics and the CDC backfill/audit workflow)
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named snapshot: survives expire_versions (the tagged
+        version stays time-travelable below the floor)."""
+        from .refs import _check_name, tag_path
+
+        _check_name(name)
+        with self._commit_lock:
+            if os.path.exists(tag_path(self, name)):
+                raise FileExistsError(f"tag {name!r} already exists")
+            v = self.current_version() if version is None else version
+            self.commit_at(v, resolve=False)  # must exist
+            tmp = tag_path(self, name) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"version": v}))
+            os.replace(tmp, tag_path(self, name))
+        return v
+
+    def tag_versions(self) -> dict[str, int]:
+        out = {}
+        for fn in os.listdir(self._commits_dir):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(self._commits_dir, fn)) as f:
+                    out[fn[4:-5]] = int(json.loads(f.read())["version"])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        from .refs import tag_path
+
+        p = tag_path(self, name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no tag named {name!r}")
+        os.remove(p)
+
+    def list_branches(self) -> list[str]:
+        return sorted(
+            fn[4:-5]
+            for fn in os.listdir(self._commits_dir)
+            if fn.startswith("ref-") and fn.endswith(".json")
+        )
+
+    def create_branch(self, name: str, at_version: int | None = None):
+        from .refs import create_branch
+
+        return create_branch(self, name, at_version)
+
+    def branch(self, name: str):
+        from .refs import BranchView
+
+        return BranchView(self.root, name)
+
+    def drop_branch(self, name: str) -> int:
+        from .refs import drop_branch
+
+        return drop_branch(self, name)
+
+    def fast_forward(self, name: str) -> dict[str, Any]:
+        from .refs import fast_forward
+
+        return fast_forward(self, name)
+
+    def merge_branch(self, name: str) -> dict[str, Any]:
+        from .refs import merge_branch
+
+        return merge_branch(self, name)
+
     def expire_versions(self, keep_last: int = 8) -> dict[str, Any]:
         """Snapshot expiry (Iceberg ``expireSnapshots`` analog): bound time
         travel to the newest ``keep_last`` versions and reclaim everything
@@ -2125,10 +2207,11 @@ class LakeTable:
 
             removed = {"data_files": 0, "commits": 0, "manifests": 0}
             removed["data_files"] = self._sweep_data_files(live_files)
+            tagged = set(self.tag_versions().values())
             for fn in os.listdir(self._commits_dir):
                 p = os.path.join(self._commits_dir, fn)
                 if fn.startswith("v") and fn.endswith(".json"):
-                    if int(fn[1:-5]) < floor:
+                    if int(fn[1:-5]) < floor and int(fn[1:-5]) not in tagged:
                         os.remove(p)
                         removed["commits"] += 1
                 elif fn.startswith("m") and fn.endswith(".json"):
@@ -2152,7 +2235,10 @@ class LakeTable:
         set and convert a recoverable metadata problem into data loss."""
         live_files: set[str] = set()
         live_manifests: set[str] = set()
-        for v in range(max(floor, 0), cur + 1):
+        versions = set(range(max(floor, 0), cur + 1))
+        # tagged versions are retained regardless of the floor
+        versions.update(self.tag_versions().values())
+        for v in sorted(versions):
             if not os.path.exists(
                 os.path.join(self._commits_dir, f"v{v:08d}.json")
             ):
@@ -2179,6 +2265,22 @@ class LakeTable:
                                     os.path.join(self.root, e["path"])
                                 )
                             )
+                live_manifests.update(c.manifests)
+        # Branch chains are live roots too: every commit of every branch
+        # (manifests may reference files no main version knows about).
+        from .refs import BranchView
+
+        for name in self.list_branches():
+            bv = BranchView(self.root, name)
+            for fn in os.listdir(self._commits_dir):
+                if not (fn.startswith(f"b-{name}-v") and fn.endswith(".json")):
+                    continue
+                c = bv.commit_at(int(fn[len(f"b-{name}-v"):-5]))
+                for entries in c.files.values():
+                    for e in entries:
+                        live_files.add(
+                            os.path.normpath(os.path.join(self.root, e["path"]))
+                        )
                 live_manifests.update(c.manifests)
         return live_files, live_manifests
 

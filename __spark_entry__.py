@@ -1039,6 +1039,59 @@ def q_cdc_branch_backfill(spark, sf_dir):
     )
 
 
+def q_cdc_failover_promote(spark, sf_dir):
+    """Primary failover / replica promotion (streaming/failover.py): the
+    primary applied the first ~70% of the log and died; the promoted
+    replica re-serves 40-100% (overlap included). GTID auto-positioning
+    analog: `applied_lsn_watermark` recovers the highest applied lsn from
+    the table's OWN delta-manifest stamps (commit metadata only — no data
+    files, no Spark job, and independent of the dead stream's checkpoint),
+    and the promoted feed is pruned to `lsn > watermark` before any shuffle.
+    The query asserts the recovered watermark equals the primary's true max
+    applied lsn, then hash-gates the post-failover final state against the
+    plain full-replay oracle. The reference can only re-request from the
+    same server's (file, position) (state/AgentState.java:14-17)."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.streaming.failover import applied_lsn_watermark
+
+    cl = _events_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_fo_")
+    tbl = LakeTable.create(
+        os.path.join(base, "t"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    p40, p70 = cl.agg(
+        F.expr("percentile_approx(source_lsn, 0.4)"),
+        F.expr("percentile_approx(source_lsn, 0.7)"),
+    ).first()
+    primary = cl.filter(F.col("source_lsn") <= p70)
+    tbl.merge(spark, primary.filter(F.col("source_lsn") <= p40), "0")
+    tbl.merge(
+        spark,
+        primary.filter((F.col("source_lsn") > p40) & (F.col("source_lsn") <= p70)),
+        "1",
+    )
+    wm = applied_lsn_watermark(tbl)
+    true_max = primary.agg(F.max("source_lsn")).first()[0]
+    assert wm == true_max, (wm, true_max)
+    # promoted replica re-serves 40-100% — auto-position past the watermark
+    promoted = cl.filter(F.col("source_lsn") > p40)
+    tbl.merge(spark, promoted.filter(F.col("source_lsn") > wm), "fo-entry.0")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_multi_table_txn(spark, sf_dir):
     """Cross-table TRANSACTION-CONSISTENCY group (lake/txn_group.py): the
     change feed splits by slot parity into two tables of one group; each
@@ -2392,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_payload": q_cdc_txn_payload,
         "cdc_multi_table_txn": q_cdc_multi_table_txn,
         "cdc_branch_backfill": q_cdc_branch_backfill,
+        "cdc_failover_promote": q_cdc_failover_promote,
         "cdc_table_map_meta": q_cdc_table_map_meta,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
@@ -2798,6 +2852,15 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
 WHERE rn = 1 AND op <> 'D'
 """,
         "cdc_merge_into_lake": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # primary died at ~70%, promoted replica re-served 40-100%, the
+        # watermark pruned the overlap: final state == plain full replay
+        "cdc_failover_promote": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot

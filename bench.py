@@ -123,6 +123,7 @@ HEADLINE = [
     "cdc_txn_payload",
     "cdc_multi_table_txn",
     "cdc_branch_backfill",
+    "cdc_failover_promote",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

@@ -77,6 +77,21 @@ class CdcPipeline:
         # of killing the stream — the reference throws mid-stream on bytes it
         # cannot frame (RowParser.java:165-166). See sinks/dead_letter.py.
         dlq_dir: str | None = None,
+        # GTID auto-positioning analog (streaming/failover.py): events with
+        # source_lsn <= this are dropped FIRST, before the salting shuffle
+        # and the decode UDF — a promoted replica re-serves an overlap the
+        # table already applied; idempotent merge would absorb it anyway,
+        # this keeps the overlap off the wire entirely.
+        min_lsn_exclusive: int = 0,
+        # Namespaces this stream incarnation's batch ids in the table's
+        # exactly-once ledger. A SECOND stream over the same table (failover
+        # to a promoted feed with a fresh checkpoint) restarts Spark's epoch
+        # numbering at 0 — without a distinct prefix its batches collide
+        # with the first stream's registered ids and silently SKIP. Must be
+        # stable across restarts of the same incarnation (crash/resume
+        # replays must still dedupe), so derive it from the feed identity,
+        # not a timestamp (failover.resume_from_promotion does this).
+        batch_id_prefix: str = "",
     ):
         if row_image not in ("full", "minimal", "noblob"):
             raise ValueError(
@@ -104,6 +119,8 @@ class CdcPipeline:
                 "validate, and the typed-codec path is fail-fast by design"
             )
         self.row_image = row_image
+        self.min_lsn_exclusive = int(min_lsn_exclusive)
+        self.batch_id_prefix = batch_id_prefix
         self.history_table = history_table
         self.table = table
         self.feed_dir = feed_dir
@@ -211,6 +228,11 @@ class CdcPipeline:
         Arrow-vectorized decode UDF spreads them. For an already-decoded feed
         there is no pre-dedup map stage — dedup's map-side combine handles
         skew — so this is a no-op."""
+        if self.min_lsn_exclusive:
+            # prune the promotion overlap before anything shuffles or decodes
+            batch_df = batch_df.filter(
+                F.col("source_lsn") > F.lit(self.min_lsn_exclusive)
+            )
         if not self.raw:
             return self._apply_selection(batch_df)
         from ..functions.decode import decode_raw_feed, decode_raw_feed_typed
@@ -289,6 +311,8 @@ class CdcPipeline:
         Sub-batch ids are deterministic (``{batch_id}.{i}``) so a replayed
         micro-batch skips exactly the sub-merges that already committed.
         """
+        if self.batch_id_prefix:
+            batch_id = f"{self.batch_id_prefix}{batch_id}"
         prepared = self._prepare(batch_df, spark)
         obs_err = None
         if self._dlq is not None:

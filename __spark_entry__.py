@@ -1288,6 +1288,207 @@ def q_cdc_txn_payload(spark, sf_dir):
     )
 
 
+def q_cdc_wire_ddl(spark, sf_dir):
+    """WIRE-NATIVE DDL end-to-end (sources/ddl_parse.py): MySQL ships DDL
+    only as SQL text inside QUERY_EVENT — there is no structured DDL event.
+    The change feed is re-encoded as binlog packet streams (one per
+    partition): the pre-cutoff half under a 5-column TABLE_MAP, then a
+    QUERY event carrying ``ALTER TABLE t ADD COLUMN note INT AFTER slot``,
+    then the post-cutoff half under the NEW 6-column TABLE_MAP — the added
+    column sits mid-row (AFTER placement), so a decoder that doesn't apply
+    the parsed DDL to its working column list misattributes every value to
+    its right. ``packets_to_changelog_and_ddl`` returns rows + the
+    structured DDL, which then drives the lake's schema evolution between
+    the two merges (the pipeline's ddl_hwm ordering). The reference never
+    parses DDL — it re-diffs information_schema per sync cycle
+    (TableDefinitions.java, Updater.java:62-86) and can miss intermediate
+    states; the oracle is the relational replay with the note column
+    derived in closed form."""
+    import struct as st
+
+    import pandas as pd
+
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+    mx = cl.agg(F.max("source_lsn")).first()[0]
+    cutoff = int(mx) // 2
+
+    def rt(batches):
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_DELETE_ROWS, EXT_UPDATE_ROWS, EXT_WRITE_ROWS, QUERY_EVENT,
+            TABLE_MAP_EVENT, packets_to_changelog_and_ddl,
+        )
+
+        def packed(n: int) -> bytes:
+            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+
+        # column wire specs: (type_code, metadata, packer)
+        def p_i64(v):
+            return int(v).to_bytes(8, "little", signed=True)
+
+        def p_i32(v):
+            return int(v).to_bytes(4, "little", signed=True)
+
+        def p_str(v):
+            b = str(v).encode()
+            return bytes([len(b)]) + b
+
+        def p_f64(v):
+            return st.pack("<d", float(v))
+
+        PRE = [  # (wire type, metadata bytes, packer)
+            (0x08, b"", p_i64),                      # user_id LONGLONG
+            (0x03, b"", p_i32),                      # slot LONG
+            (0x0F, (20).to_bytes(2, "little"), p_str),  # event_type VARCHAR(20)
+            (0x05, bytes([8]), p_f64),               # value DOUBLE
+            (0x08, b"", p_i64),                      # lsn LONGLONG
+        ]
+        POST = PRE[:2] + [(0x03, b"", p_i32)] + PRE[2:]  # note AFTER slot
+
+        def tmap(specs) -> bytes:
+            body = (7).to_bytes(6, "little") + b"\x00\x00"
+            body += bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            body += packed(len(specs)) + bytes([t for t, _, _ in specs])
+            meta = b"".join(m for _, m, _ in specs)
+            body += packed(len(meta)) + meta
+            body += bytes([0xFF])  # nullability bitset (unused by decode)
+            return body
+
+        def img(specs, vals) -> bytes:
+            nulls, out = 0, b""
+            for i, ((_, _, pack), v) in enumerate(zip(specs, vals)):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    nulls |= 1 << i
+                else:
+                    out += pack(v)
+            return bytes([nulls]) + out
+
+        def rows_ev(specs, imgs, n_images=1) -> bytes:
+            return (
+                (7).to_bytes(6, "little") + b"\x00\x00"
+                + (2).to_bytes(2, "little") + packed(len(specs))
+                + bytes([(1 << len(specs)) - 1]) * n_images
+                + b"".join(imgs)
+            )
+
+        def query_body(sql: str) -> bytes:
+            qb = sql.encode()
+            return (
+                (1).to_bytes(4, "little") + (0).to_bytes(4, "little")
+                + bytes([1]) + (0).to_bytes(2, "little")
+                + (0).to_bytes(2, "little") + b"s\x00" + qb
+            )
+
+        OPC = {"I": EXT_WRITE_ROWS, "D": EXT_DELETE_ROWS, "U": EXT_UPDATE_ROWS}
+        ROW_COLS = ["op", "user_id", "slot", "note", "event_type", "value",
+                    "lsn"]
+        for pdf in batches:
+            pdf = pdf.sort_values("source_lsn")
+            packets = []
+            for r in pdf.to_dict("records"):
+                post = r["source_lsn"] > cutoff
+                if post and not any(tc == QUERY_EVENT for tc, _ in packets):
+                    packets.append((QUERY_EVENT, query_body(
+                        "ALTER TABLE t ADD COLUMN note INT AFTER slot")))
+                    packets.append((TABLE_MAP_EVENT, tmap(POST)))
+                elif not packets:
+                    packets.append((TABLE_MAP_EVENT, tmap(PRE)))
+                if post:
+                    vals = [r["user_id"], r["slot"], r["slot"] * 7 + 1,
+                            r["event_type"], r["value"], r["source_lsn"]]
+                    specs = POST
+                else:
+                    vals = [r["user_id"], r["slot"], r["event_type"],
+                            r["value"], r["source_lsn"]]
+                    specs = PRE
+                n = 2 if r["op"] == "U" else 1
+                packets.append((OPC[r["op"]], rows_ev(
+                    specs, [img(specs, vals)] * n, n_images=n)))
+            if pdf.empty:
+                # all-post partitions still need the DDL-bearing stream head
+                packets = [(QUERY_EVENT, query_body(
+                    "ALTER TABLE t ADD COLUMN note INT AFTER slot"))]
+            rows, ddl = packets_to_changelog_and_ddl(
+                packets, "s", "t",
+                ["user_id", "slot", "event_type", "value", "lsn"],
+            )
+            out = pd.DataFrame(
+                {c: rows[c] if c in rows.columns else None for c in ROW_COLS}
+            )
+            out["kind"] = "row"
+            out["ddl_type"] = None
+            recs = [
+                {
+                    "kind": "ddl", "op": d["action"],
+                    "event_type": d["column_name"],
+                    # column_type rides in a string col; lsn pinned to cutoff
+                    "value": None, "user_id": None, "slot": None,
+                    "note": None, "lsn": cutoff,
+                    "ddl_type": d["column_type"],
+                }
+                for d in ddl.to_dict("records")
+            ]
+            cols_out = ["kind"] + ROW_COLS + ["ddl_type"]
+            if recs:
+                ddl_pdf = pd.DataFrame(recs, columns=cols_out)
+                if out.empty:
+                    out = ddl_pdf
+                else:
+                    import warnings
+
+                    with warnings.catch_warnings():
+                        # all-NA cols (pre-DDL note) trip a dtype-inference
+                        # FutureWarning; the Arrow cast fixes dtypes anyway
+                        warnings.simplefilter("ignore", FutureWarning)
+                        out = pd.concat([out[cols_out], ddl_pdf],
+                                        ignore_index=True)
+            yield out[cols_out].rename(columns={"lsn": "source_lsn"})
+
+    decoded = _with_min_parallelism(cl).mapInPandas(
+        rt,
+        schema=("kind string, op string, user_id long, slot int, note int, "
+                "event_type string, value double, source_lsn long, "
+                "ddl_type string"),
+    )
+    ddl_acts = (
+        decoded.filter(F.col("kind") == "ddl")
+        .select("op", "event_type", "ddl_type", "source_lsn")
+        .distinct()
+        .collect()
+    )
+    assert [(d["op"], d["event_type"], d["ddl_type"]) for d in ddl_acts] == [
+        ("ADD_COLUMN", "note", "int")
+    ], ddl_acts
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_wddl_")
+    tbl = LakeTable.create(
+        os.path.join(base, "t"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    rows = decoded.filter(F.col("kind") == "row").drop("kind", "ddl_type")
+    tbl.merge(spark, rows.filter(F.col("source_lsn") <= F.lit(cutoff)), "0")
+    d = ddl_acts[0]
+    tbl.add_column(d["event_type"], d["ddl_type"], spark=spark,
+                   ddl_lsn=int(d["source_lsn"]))
+    tbl.merge(spark, rows.filter(F.col("source_lsn") > F.lit(cutoff)), "1")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        "note",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_table_map_meta(spark, sf_dir):
     """S8 TABLE_MAP optional metadata (binlog_row_metadata=FULL, WL#4618):
     per event a TABLE_MAP body with a TLV tail — SIGNEDNESS, DEFAULT_CHARSET,
@@ -2447,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_branch_backfill": q_cdc_branch_backfill,
         "cdc_failover_promote": q_cdc_failover_promote,
         "cdc_table_map_meta": q_cdc_table_map_meta,
+        "cdc_wire_ddl": q_cdc_wire_ddl,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
         "cdc_batch_metrics": q_cdc_batch_metrics,
@@ -3132,6 +3334,18 @@ SELECT event_id,
          AS sequence_number,
        printf('mysql-bin.%06d', event_id // 2500 + 1) AS hb_log
 FROM (SELECT event_id, '0' || CAST(user_id % 10 AS VARCHAR) AS h2 FROM events)
+""",
+        "cdc_wire_ddl": _CHANGELOG_CTE
+        + """
+, mx AS (SELECT CAST(FLOOR(MAX(source_lsn) / 2) AS BIGINT) AS cutoff FROM cl)
+SELECT user_id, slot,
+       CASE WHEN source_lsn > (SELECT cutoff FROM mx)
+            THEN CAST(slot * 7 + 1 AS INTEGER) END AS note,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
 """,
         "cdc_table_map_meta": """
 SELECT event_id,

@@ -124,6 +124,7 @@ HEADLINE = [
     "cdc_multi_table_txn",
     "cdc_branch_backfill",
     "cdc_failover_promote",
+    "cdc_wire_ddl",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

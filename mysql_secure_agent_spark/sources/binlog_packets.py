@@ -44,6 +44,13 @@ from ..functions.mysql_codecs import DIG_PER_DEC, DIG_TO_BYTES, decimal_bin_size
 
 # MySQL event type codes (subset the reference routes on,
 # EventType enum / BinlogClient.java:191-195)
+# QUERY_EVENT carries statement text: BEGIN/COMMIT markers under RBR, and —
+# crucially — every DDL statement (there is no structured DDL event on the
+# wire; ALTER TABLE arrives as SQL). The reference discards the type and
+# instead re-diffs information_schema per sync cycle (TableDefinitions.java,
+# Updater.java:62-86); we parse it so schema evolution is positioned exactly
+# in the stream (sources/ddl_parse.py).
+QUERY_EVENT = 0x02
 ROTATE_EVENT = 0x04
 FORMAT_DESCRIPTION_EVENT = 0x0F
 XID_EVENT = 0x10
@@ -179,6 +186,21 @@ class RowsQuery:
     unreliable and the text fills the whole body)."""
 
     query: str
+
+
+@dataclass
+class Query:
+    """QUERY_EVENT body (binlog v4 layout, libbinlogevents
+    statement_events — Query_event): thread id, exec time, error code, a
+    status-var block (skipped by its declared length), the default schema
+    the session had ``USE``d, and the statement text. Under row-based
+    replication this is BEGIN/COMMIT markers plus ALL DDL."""
+
+    thread_id: int
+    exec_time: int
+    error_code: int
+    schema_name: str
+    sql: str
 
 
 @dataclass
@@ -738,7 +760,7 @@ def parse_event_body(
     header_bytes: bytes | None = None,
 ) -> (
     RowsEvent | Rotate | Gtid | PreviousGtids | Heartbeat | RowsQuery
-    | TransactionPayload | None
+    | Query | TransactionPayload | None
 ):
     """Route one event body (EventBodyParser.parse, EventBodyParser.java:19-40).
     TABLE_MAP updates the cache and returns None; XID clears it; irrelevant
@@ -797,6 +819,18 @@ def parse_event_body(
         # 1-byte length prefix is capped at 255 and unreliable for long
         # statements — MySQL fills the rest of the body with the text
         return RowsQuery(buf[1:].decode("utf-8", errors="replace"))
+    if type_code == QUERY_EVENT:
+        r = BinlogReader(buf)
+        thread_id = r.u_le(4)
+        exec_time = r.u_le(4)
+        schema_len = r.u_le(1)
+        error_code = r.u_le(2)
+        status_len = r.u_le(2)
+        r.skip(status_len)  # status vars: typed KV block, length-delimited
+        schema = r.read(schema_len).decode("utf-8", errors="replace")
+        r.skip(1)  # NUL terminator after the schema name
+        sql = r.read(r.available()).decode("utf-8", errors="replace")
+        return Query(thread_id, exec_time, error_code, schema, sql)
     if type_code == TRANSACTION_PAYLOAD_EVENT:
         return parse_transaction_payload(buf)
     if type_code not in (EXT_WRITE_ROWS, EXT_UPDATE_ROWS, EXT_DELETE_ROWS):
@@ -915,10 +949,55 @@ def packets_to_changelog(
     mask to avoid nulling unchanged columns on merge. Sequential per stream
     (wire parity layer); the engine's bulk path is the columnar payload feed.
     """
+    rows, _ = packets_to_changelog_and_ddl(
+        packets,
+        schema_name,
+        table_name,
+        column_names,
+        checksum_length=checksum_length,
+        emit_presence=emit_presence,
+        track_ddl=False,
+    )
+    return rows
+
+
+def packets_to_changelog_and_ddl(
+    packets,
+    schema_name: str,
+    table_name: str,
+    column_names: list[str],
+    checksum_length: int = 0,
+    emit_presence: bool = False,
+    track_ddl: bool = True,
+    strict_ddl: bool = True,
+):
+    """:func:`packets_to_changelog` plus WIRE-NATIVE DDL: QUERY events
+    (the only way MySQL ships DDL — as SQL text) are parsed
+    (``sources/ddl_parse.py``) and ALTER TABLE statements for this table
+    become structured DDL rows in a second frame, positioned at the same
+    monotone lsn counter as the row events — exactly the ``ddl.parquet``
+    sidecar format the streaming pipeline orders by ``ddl_hwm``.
+
+    The working column list is maintained AS the DDL arrives (ADD with
+    FIRST/AFTER placement, DROP, RENAME, MODIFY repositioning), because a
+    TABLE_MAP after an ALTER describes the NEW column order and row images
+    index positionally into it — a static column list would silently
+    misattribute every value to the right of the change. Rows emitted
+    before a RENAME carry the old name (rename-lag, same contract as the
+    sidecar feed); the rows frame's columns are every name ever current.
+
+    Returns ``(rows_df, ddl_df)`` — pandas; sequential per stream (wire
+    parity layer, like :func:`packets_to_changelog`).
+    """
     import pandas as pd
 
+    from .ddl_parse import parse_query_ddl
+
     table_maps: dict[int, TableMap] = {}
-    out = []
+    out: list[dict] = []
+    ddl_rows: list[dict] = []
+    cols = list(column_names)
+    ever: dict[str, None] = dict.fromkeys(cols)  # ordered first-seen union
     lsn = 0
     for type_code, payload in packets:
         lsn += 1
@@ -930,6 +1009,48 @@ def packets_to_changelog(
         ev = parse_event_body(
             payload, type_code, table_maps, checksum_length=checksum_length
         )
+        if isinstance(ev, Query):
+            if not track_ddl:
+                continue
+            for act in parse_query_ddl(
+                ev.schema_name, ev.sql, schema_name, table_name,
+                strict=strict_ddl,
+            ):
+                if act["action"] == "UNSUPPORTED":
+                    continue
+                ddl_rows.append(
+                    {
+                        "source_lsn": lsn,
+                        "action": act["action"],
+                        "column_name": act["column_name"],
+                        "column_type": act["column_type"],
+                        "new_name": act["new_name"],
+                    }
+                )
+                name = act["column_name"]
+                pos = act.get("position")
+                if act["action"] == "ADD_COLUMN":
+                    if name in cols:
+                        raise ValueError(f"ADD COLUMN {name!r}: already exists")
+                    if pos is None:
+                        cols.append(name)
+                    elif pos[0] == "first":
+                        cols.insert(0, name)
+                    else:
+                        cols.insert(cols.index(pos[1]) + 1, name)
+                    ever.setdefault(name)
+                elif act["action"] == "DROP_COLUMN":
+                    cols.remove(name)
+                elif act["action"] == "RENAME_COLUMN":
+                    cols[cols.index(name)] = act["new_name"]
+                    ever.setdefault(act["new_name"])
+                elif act["action"] == "MODIFY_COLUMN" and pos is not None:
+                    cols.remove(name)
+                    if pos[0] == "first":
+                        cols.insert(0, name)
+                    else:
+                        cols.insert(cols.index(pos[1]) + 1, name)
+            continue
         if isinstance(ev, TransactionPayload):
             # expand the wrapped transaction inline, in wire order; inner
             # events never carry a per-event checksum
@@ -943,9 +1064,13 @@ def packets_to_changelog(
         else:
             continue
         for ev in evs:
-            _emit_rows_event(ev, schema_name, table_name, column_names,
+            _emit_rows_event(ev, schema_name, table_name, cols,
                              emit_presence, lsn, out)
-    cols = ["op", *column_names, "source_lsn"]
+    row_cols = ["op", *ever, "source_lsn"]
     if emit_presence:
-        cols.append("_present")
-    return pd.DataFrame(out, columns=cols)
+        row_cols.append("_present")
+    ddl = pd.DataFrame(
+        ddl_rows,
+        columns=["source_lsn", "action", "column_name", "column_type", "new_name"],
+    )
+    return pd.DataFrame(out, columns=row_cols), ddl

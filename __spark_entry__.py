@@ -1288,6 +1288,308 @@ def q_cdc_txn_payload(spark, sf_dir):
     )
 
 
+def q_cdc_partial_json(spark, sf_dir):
+    """PARTIAL_UPDATE_ROWS_EVENT end-to-end (0x27,
+    binlog_row_value_options=PARTIAL_JSON, WL#2955): each key's history is
+    re-encoded as wire packets where the FIRST event writes a full JSON
+    document ``{"t","v","cnt"[,"p"]}`` and every later event ships only a
+    DIFF VECTOR — REPLACE $.t/$.v/$.cnt plus data-dependent INSERT/REPLACE
+    of $.p on purchases and REMOVE $.p on clicks (the op choice depends on
+    whether the member exists, so a wrong application order breaks it).
+    The decoder (sources/binlog_packets.py) applies the diffs against the
+    before-image via functions/json_patch.py and emits materialized
+    documents; final state is last-image-wins and the answer columns are
+    extracted from the JSON. Oracle computes every field in closed form —
+    ``p`` present iff the last purchase outlives the last click, ``cnt`` =
+    events per key — so one mis-applied diff anywhere in a key's chain
+    breaks the hash. At 100 TB partial JSON is the difference between
+    shipping a 1 MB document per small update and ~40 bytes; the reference
+    predates the event type (discard branch, BinlogClient.java:191-195)."""
+    import pandas as pd
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+
+    def rt(batches):
+        from mysql_secure_agent_spark.functions.json_binary import (
+            encode_json_binary,
+        )
+        from mysql_secure_agent_spark.functions.json_patch import (
+            DIFF_INSERT, DIFF_REMOVE, DIFF_REPLACE,
+        )
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_WRITE_ROWS, PARTIAL_UPDATE_ROWS_EVENT, TABLE_MAP_EVENT,
+            packets_to_changelog,
+        )
+
+        def packed(n: int) -> bytes:
+            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+
+        TMAP = (
+            (9).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + packed(4) + bytes([0x08, 0x03, 0xF5, 0x08])
+            + packed(1) + bytes([4])  # JSON pack length
+            + bytes([0x0F])
+        )
+
+        def keycols(u, s, lsn_tail=None) -> bytes:
+            out = int(u).to_bytes(8, "little", signed=True)
+            out += int(s).to_bytes(4, "little", signed=True)
+            if lsn_tail is not None:
+                return out, int(lsn_tail).to_bytes(8, "little")
+            return out
+
+        def full_img(u, s, doc, lsn) -> bytes:
+            jb = encode_json_binary(doc)
+            head, tail = keycols(u, s, lsn)
+            return (
+                bytes([0]) + head + len(jb).to_bytes(4, "little") + jb + tail
+            )
+
+        def diff_bytes(op, path, value=None) -> bytes:
+            out = bytes([op]) + packed(len(path)) + path.encode()
+            if op != DIFF_REMOVE:
+                vb = encode_json_binary(value)
+                out += packed(len(vb)) + vb
+            return out
+
+        def partial_img(u, s, diffs, lsn) -> bytes:
+            head, tail = keycols(u, s, lsn)
+            return (
+                packed(1) + b"\x01"  # value_options PARTIAL_JSON + bitmap
+                + bytes([0]) + head
+                + len(diffs).to_bytes(4, "little") + diffs + tail
+            )
+
+        def write_ev(img) -> bytes:
+            return (
+                (9).to_bytes(6, "little") + b"\x00\x00"
+                + (2).to_bytes(2, "little") + packed(4) + bytes([0x0F]) + img
+            )
+
+        def update_ev(before, after) -> bytes:
+            return (
+                (9).to_bytes(6, "little") + b"\x00\x00"
+                + (2).to_bytes(2, "little") + packed(4)
+                + bytes([0x0F, 0x0F]) + before + after
+            )
+
+        for pdf in batches:
+            pdf = pdf.sort_values("source_lsn")
+            packets = [(TABLE_MAP_EVENT, TMAP)]
+            docs: dict[tuple, dict] = {}
+            for r in pdf.to_dict("records"):
+                key = (r["user_id"], r["slot"])
+                et = r["event_type"]
+                v = None if pd.isna(r["value"]) else float(r["value"])
+                lsn = r["source_lsn"]
+                if key not in docs:
+                    doc = {"t": et, "v": v, "cnt": 1}
+                    if et == "purchase":
+                        doc["p"] = 1
+                    docs[key] = doc
+                    packets.append(
+                        (EXT_WRITE_ROWS, write_ev(full_img(*key, doc, lsn)))
+                    )
+                    continue
+                doc = docs[key]
+                diffs = (
+                    diff_bytes(DIFF_REPLACE, "$.t", et)
+                    + diff_bytes(DIFF_REPLACE, "$.v", v)
+                    + diff_bytes(DIFF_REPLACE, "$.cnt", doc["cnt"] + 1)
+                )
+                if et == "purchase":
+                    op = DIFF_REPLACE if "p" in doc else DIFF_INSERT
+                    diffs += diff_bytes(op, "$.p", 1)
+                elif et == "click" and "p" in doc:
+                    diffs += diff_bytes(DIFF_REMOVE, "$.p")
+                before = full_img(*key, doc, lsn)
+                doc.update(t=et, v=v, cnt=doc["cnt"] + 1)
+                if et == "purchase":
+                    doc["p"] = 1
+                elif et == "click":
+                    doc.pop("p", None)
+                packets.append((
+                    PARTIAL_UPDATE_ROWS_EVENT,
+                    update_ev(before, partial_img(*key, diffs, lsn)),
+                ))
+            out = packets_to_changelog(
+                packets, "s", "t", ["user_id", "slot", "doc", "lsn"]
+            )
+            yield out[["op", "user_id", "slot", "doc", "lsn"]].rename(
+                columns={"lsn": "source_lsn"}
+            )
+
+    decoded = cl.repartition(16, "user_id", "slot").mapInPandas(
+        rt,
+        schema=("op string, user_id long, slot int, doc string, "
+                "source_lsn long"),
+    )
+    last = last_image_wins(decoded, ["user_id", "slot"], strategy="max_by")
+    return last.select(
+        "user_id",
+        "slot",
+        F.get_json_object("doc", "$.t").alias("last_event_type"),
+        F.get_json_object("doc", "$.v").cast("double").alias("last_value"),
+        F.get_json_object("doc", "$.cnt").cast("int").alias("n_events"),
+        F.get_json_object("doc", "$.p").cast("int").alias("p_flag"),
+    )
+
+
+def q_cdc_partial_json_minimal(spark, sf_dir):
+    """PARTIAL_JSON under binlog_row_image=MINIMAL — the hard mode: the
+    before-image carries only the PK, so diffs CANNOT be materialized at
+    decode time. The decoder emits them as a ``doc_patch`` changelog column
+    (packets_to_changelog(emit_presence=True)) and ``merge_partial``
+    composes them per key in lsn order (collect_list+sort_array+filter —
+    aggregates, not windows) and applies them against the TABLE's current
+    image in one Arrow-batched UDF at resolve time. The feed is split into
+    TWO micro-batches at the lsn midpoint, so the second batch's diff
+    chains apply against batch 1's MERGED base — the cross-batch contract.
+    Same closed-form oracle as cdc_partial_json; the reference predates the
+    event type (discard branch, BinlogClient.java:191-195)."""
+    import pandas as pd
+
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+    mx = cl.agg(F.max("source_lsn")).first()[0]
+    cutoff = int(mx) // 2
+
+    def rt(batches):
+        from mysql_secure_agent_spark.functions.json_binary import (
+            encode_json_binary,
+        )
+        from mysql_secure_agent_spark.functions.json_patch import (
+            DIFF_INSERT, DIFF_REMOVE, DIFF_REPLACE,
+        )
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_WRITE_ROWS, PARTIAL_UPDATE_ROWS_EVENT, TABLE_MAP_EVENT,
+            packets_to_changelog,
+        )
+
+        def packed(n: int) -> bytes:
+            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+
+        TMAP = (
+            (9).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + packed(4) + bytes([0x08, 0x03, 0xF5, 0x08])
+            + packed(1) + bytes([4])
+            + bytes([0x0F])
+        )
+
+        def key_bytes(u, s) -> bytes:
+            return (int(u).to_bytes(8, "little", signed=True)
+                    + int(s).to_bytes(4, "little", signed=True))
+
+        def full_img(u, s, doc, lsn) -> bytes:
+            jb = encode_json_binary(doc)
+            return (bytes([0]) + key_bytes(u, s)
+                    + len(jb).to_bytes(4, "little") + jb
+                    + int(lsn).to_bytes(8, "little"))
+
+        def diff_bytes(op, path, value=None) -> bytes:
+            out = bytes([op]) + packed(len(path)) + path.encode()
+            if op != DIFF_REMOVE:
+                vb = encode_json_binary(value)
+                out += packed(len(vb)) + vb
+            return out
+
+        def write_ev(img) -> bytes:
+            return ((9).to_bytes(6, "little") + b"\x00\x00"
+                    + (2).to_bytes(2, "little") + packed(4)
+                    + bytes([0x0F]) + img)
+
+        def min_update_ev(u, s, diffs, lsn) -> bytes:
+            # MINIMAL: before image = PK only (bitmap 0x03); after image =
+            # all columns, the JSON one as a diff vector
+            before = bytes([0]) + key_bytes(u, s)
+            after = (
+                packed(1) + b"\x01"  # value_options + partial bitmap
+                + bytes([0]) + key_bytes(u, s)
+                + len(diffs).to_bytes(4, "little") + diffs
+                + int(lsn).to_bytes(8, "little")
+            )
+            return ((9).to_bytes(6, "little") + b"\x00\x00"
+                    + (2).to_bytes(2, "little") + packed(4)
+                    + bytes([0x03]) + bytes([0x0F]) + before + after)
+
+        OUT_COLS = ["op", "user_id", "slot", "doc", "doc_patch",
+                    "source_lsn", "_present"]
+        for pdf in batches:
+            pdf = pdf.sort_values("source_lsn")
+            packets = [(TABLE_MAP_EVENT, TMAP)]
+            state: dict[tuple, dict] = {}  # key → {cnt, has_p}
+            for r in pdf.to_dict("records"):
+                key = (r["user_id"], r["slot"])
+                et = r["event_type"]
+                v = None if pd.isna(r["value"]) else float(r["value"])
+                lsn = r["source_lsn"]
+                if key not in state:
+                    doc = {"t": et, "v": v, "cnt": 1}
+                    if et == "purchase":
+                        doc["p"] = 1
+                    state[key] = {"cnt": 1, "has_p": et == "purchase"}
+                    packets.append(
+                        (EXT_WRITE_ROWS, write_ev(full_img(*key, doc, lsn)))
+                    )
+                    continue
+                st = state[key]
+                st["cnt"] += 1
+                diffs = (
+                    diff_bytes(DIFF_REPLACE, "$.t", et)
+                    + diff_bytes(DIFF_REPLACE, "$.v", v)
+                    + diff_bytes(DIFF_REPLACE, "$.cnt", st["cnt"])
+                )
+                if et == "purchase":
+                    op = DIFF_REPLACE if st["has_p"] else DIFF_INSERT
+                    diffs += diff_bytes(op, "$.p", 1)
+                    st["has_p"] = True
+                elif et == "click" and st["has_p"]:
+                    diffs += diff_bytes(DIFF_REMOVE, "$.p")
+                    st["has_p"] = False
+                packets.append((
+                    PARTIAL_UPDATE_ROWS_EVENT,
+                    min_update_ev(*key, diffs, lsn),
+                ))
+            out = packets_to_changelog(
+                packets, "s", "t", ["user_id", "slot", "doc", "lsn"],
+                emit_presence=True,
+            ).rename(columns={"source_lsn": "_pkt", "lsn": "source_lsn"})
+            if "doc_patch" not in out.columns:
+                out["doc_patch"] = None
+            yield out[OUT_COLS]
+
+    decoded = cl.repartition(16, "user_id", "slot").mapInPandas(
+        rt,
+        schema=("op string, user_id long, slot int, doc string, "
+                "doc_patch string, source_lsn long, "
+                "_present array<string>"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("doc", T.StringType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_pjm_")
+    tbl = LakeTable.create(
+        os.path.join(base, "t"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    tbl.merge_partial(spark, decoded.filter(F.col("source_lsn") <= cutoff), "0")
+    tbl.merge_partial(spark, decoded.filter(F.col("source_lsn") > cutoff), "1")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.get_json_object("doc", "$.t").alias("last_event_type"),
+        F.get_json_object("doc", "$.v").cast("double").alias("last_value"),
+        F.get_json_object("doc", "$.cnt").cast("int").alias("n_events"),
+        F.get_json_object("doc", "$.p").cast("int").alias("p_flag"),
+    )
+
+
 def q_cdc_wire_ddl(spark, sf_dir):
     """WIRE-NATIVE DDL end-to-end (sources/ddl_parse.py): MySQL ships DDL
     only as SQL text inside QUERY_EVENT — there is no structured DDL event.
@@ -2649,6 +2951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_failover_promote": q_cdc_failover_promote,
         "cdc_table_map_meta": q_cdc_table_map_meta,
         "cdc_wire_ddl": q_cdc_wire_ddl,
+        "cdc_partial_json": q_cdc_partial_json,
+        "cdc_partial_json_minimal": q_cdc_partial_json_minimal,
         "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
         "cdc_batch_metrics": q_cdc_batch_metrics,
@@ -3334,6 +3638,50 @@ SELECT event_id,
          AS sequence_number,
        printf('mysql-bin.%06d', event_id // 2500 + 1) AS hb_log
 FROM (SELECT event_id, '0' || CAST(user_id % 10 AS VARCHAR) AS h2 FROM events)
+""",
+        "cdc_partial_json": _CHANGELOG_CTE
+        + """
+, last AS (
+  SELECT user_id, slot, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                     ORDER BY source_lsn DESC) AS rn FROM cl)
+  WHERE rn = 1
+), agg AS (
+  SELECT user_id, slot,
+         CAST(count(*) AS INTEGER) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN source_lsn END) AS lastp,
+         max(CASE WHEN event_type = 'click' THEN source_lsn END) AS lastc
+  FROM cl GROUP BY user_id, slot
+)
+SELECT l.user_id, l.slot,
+       l.event_type AS last_event_type,
+       l.value AS last_value,
+       a.n_events,
+       CASE WHEN a.lastp IS NOT NULL AND (a.lastc IS NULL OR a.lastp > a.lastc)
+            THEN 1 END AS p_flag
+FROM last l JOIN agg a ON l.user_id = a.user_id AND l.slot = a.slot
+""",
+        "cdc_partial_json_minimal": _CHANGELOG_CTE
+        + """
+, last AS (
+  SELECT user_id, slot, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                     ORDER BY source_lsn DESC) AS rn FROM cl)
+  WHERE rn = 1
+), agg AS (
+  SELECT user_id, slot,
+         CAST(count(*) AS INTEGER) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN source_lsn END) AS lastp,
+         max(CASE WHEN event_type = 'click' THEN source_lsn END) AS lastc
+  FROM cl GROUP BY user_id, slot
+)
+SELECT l.user_id, l.slot,
+       l.event_type AS last_event_type,
+       l.value AS last_value,
+       a.n_events,
+       CASE WHEN a.lastp IS NOT NULL AND (a.lastc IS NULL OR a.lastp > a.lastc)
+            THEN 1 END AS p_flag
+FROM last l JOIN agg a ON l.user_id = a.user_id AND l.slot = a.slot
 """,
         "cdc_wire_ddl": _CHANGELOG_CTE
         + """

@@ -125,6 +125,8 @@ HEADLINE = [
     "cdc_branch_backfill",
     "cdc_failover_promote",
     "cdc_wire_ddl",
+    "cdc_partial_json",
+    "cdc_partial_json_minimal",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

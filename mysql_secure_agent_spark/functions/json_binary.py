@@ -208,3 +208,104 @@ def parse_json_binary(buf: bytes) -> str:
         parse_json_value(buf), separators=(",", ":"), ensure_ascii=False,
         cls=_JsonEncoder,
     )
+
+
+# --------------------------------------------------------------- encoder
+def _enc_varlen(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_value(v) -> tuple[int, bytes, bool]:
+    """→ (tag, data_without_tag, inlineable_in_small_format)."""
+    if v is None:
+        return LITERAL, b"\x00", True
+    if v is True:
+        return LITERAL, b"\x01", True
+    if v is False:
+        return LITERAL, b"\x02", True
+    if isinstance(v, int):
+        if -(1 << 15) <= v < (1 << 15):
+            return INT16, struct.pack("<h", v), True
+        if -(1 << 31) <= v < (1 << 31):
+            return INT32, struct.pack("<i", v), False
+        return INT64, struct.pack("<q", v), False
+    if isinstance(v, float):
+        return DOUBLE, struct.pack("<d", v), False
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        return STRING, _enc_varlen(len(b)) + b, False
+    if isinstance(v, dict):
+        return SMALL_OBJECT, _encode_container(v), False
+    if isinstance(v, (list, tuple)):
+        return SMALL_ARRAY, _encode_container(list(v)), False
+    raise TypeError(f"cannot encode {type(v).__name__} as binary JSON")
+
+
+def _encode_container(v) -> bytes:
+    """Small-format container body (count/size/entries/keys/values) —
+    offsets relative to the container base, inline slots per the grammar
+    above. Raises if the small u16 offsets overflow (64 KiB documents are
+    not what the synthetic feeds need; MySQL would switch to the large
+    format)."""
+    is_object = isinstance(v, dict)
+    items = list(v.items()) if is_object else [(None, x) for x in v]
+    count = len(items)
+    key_bytes = [str(k).encode("utf-8") for k, _ in items] if is_object else []
+    encoded = [_encode_value(x) for _, x in items]
+
+    head = 4  # count:u16 + size:u16
+    key_entries = count * 4 if is_object else 0
+    val_entries = count * 3
+    pos = head + key_entries + val_entries
+    key_offs = []
+    for kb in key_bytes:
+        key_offs.append(pos)
+        pos += len(kb)
+    val_offs = []
+    for tag, data, inline in encoded:
+        if inline:
+            val_offs.append(None)
+        else:
+            val_offs.append(pos)
+            pos += len(data)
+    size = pos
+    if size > 0xFFFF:
+        raise ValueError("document too large for the small JSON format")
+
+    out = bytearray()
+    out += struct.pack("<HH", count, size)
+    for kb, ko in zip(key_bytes, key_offs):
+        out += struct.pack("<HH", ko, len(kb))
+    for (tag, data, inline), vo in zip(encoded, val_offs):
+        out.append(tag)
+        if inline:
+            out += data.ljust(2, b"\x00")
+        else:
+            out += struct.pack("<H", vo)
+    for kb in key_bytes:
+        out += kb
+    for (tag, data, inline), vo in zip(encoded, val_offs):
+        if not inline:
+            out += data
+    return bytes(out)
+
+
+def encode_json_binary(value) -> bytes:
+    """Python value → MySQL binary JSON (type tag + data), the inverse of
+    :func:`parse_json_binary` over the small format. The reference has no
+    encoder (it only reads the binlog); this exists to synthesize wire
+    fixtures and partial-JSON diff values (``Json_diff_vector`` values are
+    encoded exactly like column documents, json_diff.cc write_binary)."""
+    tag, data, inline = _encode_value(value)
+    if inline and tag == INT16:
+        # top level has no inline slot — promote to the 4-byte form
+        return bytes([INT32]) + struct.pack("<i", int(value))
+    return bytes([tag]) + data

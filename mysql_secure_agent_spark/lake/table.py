@@ -1217,6 +1217,15 @@ class LakeTable:
 
         value_cols = [c for c, _ in commit.schema if c not in commit.key_cols]
         types = dict(commit.schema)
+        # partial-JSON diff columns ride next to their document column as
+        # `{col}_patch` (binlog_row_value_options=PARTIAL_JSON under a
+        # MINIMAL before-image — packets_to_changelog emits them when the
+        # diffs can't be materialized from the wire alone); the fold
+        # composes them per key and resolve applies them against base.
+        json_patch_cols = [
+            c for c in value_cols
+            if types.get(c) == "string" and f"{c}_patch" in batch_df.columns
+        ]
         # project to the full table schema: columns the batch never mentions
         # enter as NULL with an empty presence claim → base fallback.
         projected = batch_df.select(
@@ -1227,11 +1236,13 @@ class LakeTable:
                 ).cast(dt).alias(c)
                 for c, dt in commit.schema
             ],
+            *[F.col(f"{c}_patch") for c in json_patch_cols],
             F.col("source_lsn").cast("long").alias("source_lsn"),
             F.col(presence_col).alias(presence_col),
         )
         folded = fold_partial_images(
-            projected, commit.key_cols, value_cols, presence_col=presence_col
+            projected, commit.key_cols, value_cols, presence_col=presence_col,
+            json_patch_cols=json_patch_cols,
         ).persist()
         try:
             # touched buckets: bounded by n_buckets, so this collect is O(B)
@@ -1244,7 +1255,10 @@ class LakeTable:
                 ).distinct().collect()
             ]
             base = self.read(spark, buckets=touched)
-            full = resolve_against_base(folded, base, commit.key_cols, value_cols)
+            full = resolve_against_base(
+                folded, base, commit.key_cols, value_cols,
+                json_patch_cols=json_patch_cols,
+            )
             metrics = self.merge(
                 spark,
                 full,

@@ -41,6 +41,7 @@ def fold_partial_images(
     value_cols: list[str],
     presence_col: str = PRESENCE_COL,
     order_col: str = "source_lsn",
+    json_patch_cols: list[str] | None = None,
 ) -> DataFrame:
     """Collapse a partial-image changelog to one net event per key.
 
@@ -59,8 +60,16 @@ def fold_partial_images(
         row was dropped (and possibly re-created), so columns never set
         after that point must reset to NULL instead of inheriting the
         pre-batch table image;
-      * ``order_col`` — the key's max lsn (merge ordering / lineage).
+      * ``order_col`` — the key's max lsn (merge ordering / lineage);
+      * per JSON-patch column ``c`` (``json_patch_cols``, partial-JSON
+        MINIMAL feeds): ``{c}_patches`` — the lsn-ordered serialized diff
+        vectors newer than both the last full image of ``c`` and the last
+        delete, to be applied on top of the folded (or base) document by
+        :func:`resolve_against_base`. Patch ordering inside the group uses
+        ``sort_array`` over ``collect_list`` — an aggregate, not a window,
+        so the fold keeps its single-exchange partial-agg shape.
     """
+    json_patch_cols = json_patch_cols or []
     has = {
         c: F.array_contains(F.col(presence_col), c) & (F.col("op") != F.lit("D"))
         for c in value_cols
@@ -74,6 +83,18 @@ def fold_partial_images(
             F.max(F.when(has[c], F.struct(F.col(order_col), F.col(c)))).alias(
                 f"_f_{c}"
             )
+        )
+    for c in json_patch_cols:
+        aggs.append(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col(f"{c}_patch").isNotNull()
+                        & (F.col("op") != F.lit("D")),
+                        F.struct(F.col(order_col), F.col(f"{c}_patch").alias("patch")),
+                    )
+                )
+            ).alias(f"_p_{c}")
         )
     agg = df.groupBy(*key_cols).agg(*aggs)
 
@@ -89,6 +110,21 @@ def fold_partial_images(
         alive = F.col(f"_f_{c}").isNotNull() & (F.col(f"_f_{c}.{order_col}") > del_lsn)
         out_cols.append(F.when(alive, F.col(f"_f_{c}.{c}")).alias(c))
         out_cols.append(alive.alias(f"{c}_set"))
+    for c in json_patch_cols:
+        # patches older than the last full image (it embeds them) or the
+        # last delete (the row they patched is gone) are void
+        cutoff = F.greatest(
+            F.coalesce(F.col(f"_f_{c}.{order_col}"), F.lit(-(1 << 62))),
+            del_lsn,
+        )
+        out_cols.append(
+            F.transform(
+                F.filter(
+                    F.col(f"_p_{c}"), lambda x: x[order_col] > cutoff
+                ),
+                lambda x: x["patch"],
+            ).alias(f"{c}_patches")
+        )
     out_cols.append(F.col("_del_lsn").isNull().alias("_base_applies"))
     out_cols.append(F.col(f"_last.{order_col}").alias(order_col))
     return agg.select(*out_cols)
@@ -99,6 +135,7 @@ def resolve_against_base(
     base: DataFrame,
     key_cols: list[str],
     value_cols: list[str],
+    json_patch_cols: list[str] | None = None,
 ) -> DataFrame:
     """Turn folded partial images into FULL-image changelog rows by filling
     never-set columns from the pre-batch table state (``base`` — the current
@@ -112,7 +149,18 @@ def resolve_against_base(
     to ``base``; callers should pass a base already pruned to the touched
     buckets — the batch side is small, the base side scans O(touched
     buckets), never the whole table.
+
+    For JSON-patch columns (``json_patch_cols``) the surviving diff vectors
+    are then applied ON TOP of the resolved document (the in-batch folded
+    full image when one exists, else the base image) by one Arrow-batched
+    pandas UDF — the only Python on the path, per patched row, exactly the
+    work MySQL's own replica applier does per diff (json_diff.cc
+    apply_json_diff). A patch against a missing/NULL document raises: MySQL
+    falls back to logging the full document whenever a diff cannot apply,
+    so an inapplicable diff at merge time means the stream is corrupt and
+    silently skipping would fork the replica.
     """
+    json_patch_cols = json_patch_cols or []
     b = base.select(
         *[F.col(c) for c in key_cols],
         *[F.col(c).alias(f"_base_{c}") for c in value_cols],
@@ -120,10 +168,18 @@ def resolve_against_base(
     joined = folded.join(b, on=key_cols, how="left")
     sel: list[F.Column] = [F.col("op")] + [F.col(c) for c in key_cols]
     for c in value_cols:
-        sel.append(
+        resolved = (
             F.when(F.col(f"{c}_set"), F.col(c))
             .when(F.col("_base_applies"), F.col(f"_base_{c}"))
-            .alias(c)
         )
+        if c in json_patch_cols:
+            from ..functions.json_patch import apply_patches_udf
+
+            patches = F.col(f"{c}_patches")
+            resolved = F.when(
+                patches.isNotNull() & (F.size(patches) > 0),
+                apply_patches_udf()(resolved, patches),
+            ).otherwise(resolved)
+        sel.append(resolved.alias(c))
     sel.append(F.col("source_lsn"))
     return joined.select(*sel)

@@ -73,6 +73,12 @@ PREVIOUS_GTIDS_EVENT = 0x23
 # metadata, never needed for decode. The reference discards it
 # (BinlogClient.java:191-195 keeps only EXT_*_ROWS).
 ROWS_QUERY_EVENT = 0x1D
+# binlog_row_value_options=PARTIAL_JSON (MySQL 8.0, WL#2955): UPDATEs that
+# touch part of a JSON document log a diff vector instead of the full
+# document. The reference predates the type (discard branch,
+# BinlogClient.java:191-195); we decode AND apply the diffs
+# (functions/json_patch.py).
+PARTIAL_UPDATE_ROWS_EVENT = 0x27
 # binlog_transaction_compression=ON (MySQL 8.0.20, WL#3549): one container
 # event wrapping a whole transaction's events, zstd-compressed. Inner
 # events carry NO per-event checksum — the container carries the stream's.
@@ -575,15 +581,102 @@ def _parse_value(
     raise ValueError(f"unsupported column type {t:#x}")
 
 
-def _parse_row(r: BinlogReader, tmap: TableMap, included: list[int]) -> list:
+@dataclass
+class JsonDiffVector:
+    """A partial-JSON after-image value: the diff vector as decoded from
+    the wire, before application (``(op, path, decoded_value)`` tuples).
+    Empty means 'column mentioned but unchanged'."""
+
+    diffs: list
+
+
+def _parse_json_diffs(buf: bytes) -> JsonDiffVector:
+    """Json_diff_vector wire layout (sql/json_diff.cc write_binary): per
+    diff an operation byte (0 REPLACE / 1 INSERT / 2 REMOVE), a
+    length-prefixed JSON path (net_field_length + text), and — except for
+    REMOVE — a length-prefixed value in the standard binary-JSON encoding
+    (type tag + data, exactly like a column document)."""
+    from ..functions.json_binary import parse_json_value
+
+    r = BinlogReader(buf)
+    out = []
+    while r.available() > 0:
+        op = r.u_le(1)
+        if op > 2:
+            raise ValueError(f"unknown JSON diff operation {op}")
+        plen = r.packed_int() or 0
+        path = r.read(plen).decode("utf-8")
+        if op == 2:  # REMOVE carries no value
+            out.append((op, path, None))
+        else:
+            vlen = r.packed_int() or 0
+            out.append((op, path, parse_json_value(r.read(vlen))))
+    return JsonDiffVector(out)
+
+
+def _materialize_partial_json(
+    old: list,
+    new: list,
+    included_old: list[int],
+    included: list[int],
+    partial: set[int],
+) -> None:
+    """Replace each JsonDiffVector in the after-image with the full
+    document: apply the diffs to the before-image's value (in-place on
+    ``new``). Requires the before-image to carry the column — true under
+    binlog_row_image=FULL (MySQL's default). Under MINIMAL the before-image
+    has only the PK, so the vector is left in place for the merge-time
+    apply against the TABLE's current image (``_emit_rows_event`` turns it
+    into a ``{col}_patch`` changelog column; ``operators/partial_image``
+    composes and applies it against base)."""
+    import json as _json
+
+    from ..functions.json_binary import _JsonEncoder
+    from ..functions.json_patch import apply_json_diffs
+
+    old_pos = {c: j for j, c in enumerate(included_old)}
+    for idx, col in enumerate(included):
+        v = new[idx]
+        if not isinstance(v, JsonDiffVector):
+            continue
+        if col not in old_pos:
+            continue  # defer: apply against the base table at merge time
+        before = old[old_pos[col]]
+        if not v.diffs:
+            new[idx] = before  # unchanged
+            continue
+        if before is None:
+            raise ValueError(
+                f"partial JSON diffs for column {col} against a NULL "
+                "before-image"
+            )
+        doc = apply_json_diffs(_json.loads(before), v.diffs)
+        new[idx] = _json.dumps(
+            doc, separators=(",", ":"), ensure_ascii=False, cls=_JsonEncoder
+        )
+
+
+def _parse_row(
+    r: BinlogReader,
+    tmap: TableMap,
+    included: list[int],
+    partial_cols: set[int] | None = None,
+) -> list:
     """One row image (RowParser.parseRow, RowParser.java:46-93): null bitmap
     over the included columns, then values. STRING metadata may smuggle the
-    real ENUM/SET/CHAR type in its high byte (RowParser.java:71-105)."""
+    real ENUM/SET/CHAR type in its high byte (RowParser.java:71-105).
+    Columns in ``partial_cols`` (JSON, partial-update after-images) decode
+    to :class:`JsonDiffVector` instead of a document."""
     nulls = set(r.bitset(len(included)))
     out = []
     for idx, col in enumerate(included):
         if idx in nulls:
             out.append(None)
+            continue
+        if partial_cols and col in partial_cols:
+            meta = tmap.column_metadata[col]
+            n = r.u_le(meta)
+            out.append(_parse_json_diffs(r.read(n)))
             continue
         type_code = tmap.column_types[col]
         meta = tmap.column_metadata[col]
@@ -833,7 +926,10 @@ def parse_event_body(
         return Query(thread_id, exec_time, error_code, schema, sql)
     if type_code == TRANSACTION_PAYLOAD_EVENT:
         return parse_transaction_payload(buf)
-    if type_code not in (EXT_WRITE_ROWS, EXT_UPDATE_ROWS, EXT_DELETE_ROWS):
+    if type_code not in (
+        EXT_WRITE_ROWS, EXT_UPDATE_ROWS, EXT_DELETE_ROWS,
+        PARTIAL_UPDATE_ROWS_EVENT,
+    ):
         return None
 
     r = BinlogReader(buf)
@@ -844,10 +940,13 @@ def parse_event_body(
     tmap = table_maps.get(tid)
     if tmap is None:
         raise ValueError(f"no TABLE_MAP for table id {tid}")
-    kind = {EXT_WRITE_ROWS: "insert", EXT_UPDATE_ROWS: "update", EXT_DELETE_ROWS: "delete"}[
-        type_code
-    ]
-    if type_code == EXT_UPDATE_ROWS:
+    kind = {
+        EXT_WRITE_ROWS: "insert",
+        EXT_UPDATE_ROWS: "update",
+        PARTIAL_UPDATE_ROWS_EVENT: "update",
+        EXT_DELETE_ROWS: "delete",
+    }[type_code]
+    if type_code in (EXT_UPDATE_ROWS, PARTIAL_UPDATE_ROWS_EVENT):
         # Two bitmaps: before-image columns, then after-image columns. The
         # reference assumes binlog_row_image=FULL and reuses one bitmap for
         # both (RowsParser skips the first); under MINIMAL they differ — the
@@ -864,9 +963,29 @@ def parse_event_body(
             included,
             included_columns_old=included_old,
         )
+        partial_event = type_code == PARTIAL_UPDATE_ROWS_EVENT
+        json_cols = [
+            i for i, t in enumerate(tmap.column_types) if t == 0xF5
+        ] if partial_event else []
         while r.available() > 0:
-            ev.old_rows.append(_parse_row(r, tmap, included_old))
-            ev.new_rows.append(_parse_row(r, tmap, included))
+            old = _parse_row(r, tmap, included_old)
+            partial: set[int] = set()
+            if partial_event:
+                # the after-image opens with value_options (packed int); bit
+                # 0 = PARTIAL_JSON → a bitmap with one bit per JSON column
+                # of the TABLE (not per included column) marks which store
+                # diff vectors instead of full documents
+                # (Rows_log_event::unpack_current_row, WL#2955)
+                value_options = r.packed_int() or 0
+                if value_options & 1:
+                    partial = {json_cols[i] for i in r.bitset(len(json_cols))}
+            new = _parse_row(r, tmap, included, partial_cols=partial)
+            if partial:
+                _materialize_partial_json(
+                    old, new, included_old, included, partial
+                )
+            ev.old_rows.append(old)
+            ev.new_rows.append(new)
         return ev
     included = r.bitset(n_cols)
     ev = RowsEvent(tid, tmap.schema_name, tmap.table_name, kind, included)
@@ -912,15 +1031,45 @@ def _emit_rows_event(
     old_pos = {c: j for j, c in enumerate(ev.included_columns_old or [])}
     for idx, row in enumerate(ev.new_rows):
         rec = {"op": op, "source_lsn": lsn}
+        row_present = list(present)
         for i, col in enumerate(ev.included_columns):
-            if col < len(column_names):
-                rec[column_names[col]] = row[i]
+            if col >= len(column_names):
+                continue
+            name = column_names[col]
+            v = row[i]
+            if isinstance(v, JsonDiffVector):
+                # a partial-JSON vector that could NOT be materialized from
+                # the before-image (binlog_row_image=MINIMAL): ship it as a
+                # {col}_patch column for the merge-time apply against base
+                # (operators/partial_image). Without presence tracking there
+                # is no way to represent "patch, not value" downstream.
+                if not emit_presence:
+                    raise ValueError(
+                        f"partial JSON for column {name!r} cannot be "
+                        "materialized (before-image lacks the column) and "
+                        "emit_presence=False leaves no way to carry the "
+                        "patch — decode with emit_presence=True"
+                    )
+                import json as _json
+
+                from ..functions.json_binary import _JsonEncoder
+
+                rec[name] = None
+                rec[f"{name}_patch"] = _json.dumps(
+                    [[o, p, val] for o, p, val in v.diffs],
+                    separators=(",", ":"), ensure_ascii=False,
+                    cls=_JsonEncoder,
+                )
+                if name in row_present:
+                    row_present.remove(name)
+                continue
+            rec[name] = v
         if op == "U" and old_only and idx < len(ev.old_rows):
             old_row = ev.old_rows[idx]
             for col in old_only:
                 rec[column_names[col]] = old_row[old_pos[col]]
         if emit_presence:
-            rec["_present"] = list(present)
+            rec["_present"] = row_present
         out.append(rec)
 
 
@@ -1067,6 +1216,11 @@ def packets_to_changelog_and_ddl(
             _emit_rows_event(ev, schema_name, table_name, cols,
                              emit_presence, lsn, out)
     row_cols = ["op", *ever, "source_lsn"]
+    patch_cols = sorted(
+        {k for rec in out for k in rec if k.endswith("_patch")}
+        - set(row_cols)
+    )
+    row_cols += patch_cols
     if emit_presence:
         row_cols.append("_present")
     ddl = pd.DataFrame(

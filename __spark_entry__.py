@@ -1288,6 +1288,135 @@ def q_cdc_txn_payload(spark, sf_dir):
     )
 
 
+def q_cdc_xa_transactions(spark, sf_dir):
+    """XA two-phase commit end-to-end (S8; XA_PREPARE_LOG_EVENT,
+    EventType.java:195-199): the change feed is re-encoded as XA wire
+    transactions of 16 rows (txn = source_lsn // 16) — QUERY "XA START",
+    TABLE_MAP + rows, XA_PREPARE — with the terminal decision arriving
+    LATER and OUT OF ORDER (all two-phase terminals are appended after
+    every prepare, in reverse txn order). Disposition by txn % 5: 4 →
+    XA ROLLBACK (rows must vanish), 3 → one-phase prepare (commits at the
+    prepare event), else XA COMMIT. Decoding buffers at prepare and emits
+    at the terminal; the reference keeps only EXT_*_ROWS
+    (BinlogClient.java:191-195) and would apply rolled-back rows. Oracle =
+    the relational replay EXCLUDING rolled-back transactions, so both the
+    release path (committed rows present, correct lsn) and the discard
+    path (rolled-back images absent from last-image-wins) are hash-gated.
+    Partition-safe: a txn's rows may split across partitions, but the
+    disposition is a pure function of txn id, so every fragment makes the
+    same decision."""
+    import struct as st
+
+    import pandas as pd
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+
+    def rt(batches):
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_DELETE_ROWS, EXT_UPDATE_ROWS, EXT_WRITE_ROWS, QUERY_EVENT,
+            TABLE_MAP_EVENT, XA_PREPARE_EVENT, packets_to_changelog,
+        )
+
+        def packed(n: int) -> bytes:
+            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+
+        tmap_body = (
+            (7).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + packed(5) + bytes([0x08, 0x03, 0x0F, 0x05, 0x08])
+            + packed(3) + (20).to_bytes(2, "little") + bytes([8])
+            + bytes([0x1F])
+        )
+
+        def row_img(u, s, et, v, lsn) -> bytes:
+            nulls, out = 0, b""
+            out += int(u).to_bytes(8, "little", signed=True)
+            out += int(s).to_bytes(4, "little", signed=True)
+            if et is None or (isinstance(et, float) and pd.isna(et)):
+                nulls |= 1 << 2
+            else:
+                b = str(et).encode()
+                out += bytes([len(b)]) + b
+            if v is None or pd.isna(v):
+                nulls |= 1 << 3
+            else:
+                out += st.pack("<d", float(v))
+            out += int(lsn).to_bytes(8, "little")
+            return bytes([nulls]) + out
+
+        def rows_body(imgs: list, n_images: int = 1) -> bytes:
+            return (
+                (7).to_bytes(6, "little") + b"\x00\x00"
+                + (2).to_bytes(2, "little") + packed(5)
+                + bytes([0x1F]) * n_images + b"".join(imgs)
+            )
+
+        def query_body(sql: str) -> bytes:
+            qb = sql.encode()
+            return (
+                st.pack("<IIBHH", 0, 0, 1, 0, 0) + b"s\x00" + qb
+            )
+
+        def xa_prepare_body(gtrid: bytes, one_phase: bool) -> bytes:
+            return (
+                bytes([1 if one_phase else 0]) + (1).to_bytes(4, "little")
+                + len(gtrid).to_bytes(4, "little") + (0).to_bytes(4, "little")
+                + gtrid
+            )
+
+        OPC = {"I": EXT_WRITE_ROWS, "D": EXT_DELETE_ROWS, "U": EXT_UPDATE_ROWS}
+        cols = ["user_id", "slot", "event_type", "value", "lsn"]
+        for pdf in batches:
+            pdf = pdf.sort_values("source_lsn")
+            packets, terminals = [], []
+            for txn, grp in pdf.groupby(pdf["source_lsn"] // 16, sort=True):
+                gtrid = str(int(txn)).encode()
+                hexid = gtrid.hex()
+                disp = int(txn) % 5
+                packets.append(
+                    (QUERY_EVENT, query_body(f"XA START X'{hexid}',X'',1"))
+                )
+                packets.append((TABLE_MAP_EVENT, tmap_body))
+                for r in grp.to_dict("records"):
+                    img = row_img(r["user_id"], r["slot"], r["event_type"],
+                                  r["value"], r["source_lsn"])
+                    n = 2 if r["op"] == "U" else 1
+                    packets.append((OPC[r["op"]], rows_body([img] * n, n)))
+                packets.append(
+                    (XA_PREPARE_EVENT, xa_prepare_body(gtrid, disp == 3))
+                )
+                if disp == 4:
+                    terminals.append(
+                        (QUERY_EVENT,
+                         query_body(f"XA ROLLBACK X'{hexid}',X'',1"))
+                    )
+                elif disp != 3:
+                    terminals.append(
+                        (QUERY_EVENT,
+                         query_body(f"XA COMMIT X'{hexid}',X'',1"))
+                    )
+            packets.extend(reversed(terminals))  # out-of-order terminals
+            df = packets_to_changelog(packets, "s", "t", cols)
+            df = df[["op", "user_id", "slot", "event_type", "value", "lsn"]]
+            yield df.rename(columns={"lsn": "source_lsn"})
+
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    decoded = _with_min_parallelism(cl).mapInPandas(
+        rt,
+        schema=("op string, user_id long, slot int, event_type string, "
+                "value double, source_lsn long"),
+    )
+    last = last_image_wins(decoded, ["user_id", "slot"], strategy="max_by")
+    return last.filter(F.col("op") != "D").select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("source_lsn").alias("last_lsn"),
+    )
+
+
 def q_cdc_partial_json(spark, sf_dir):
     """PARTIAL_UPDATE_ROWS_EVENT end-to-end (0x27,
     binlog_row_value_options=PARTIAL_JSON, WL#2955): each key's history is
@@ -2946,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decode_types": q_cdc_decode_types,
         "cdc_gtid_decode": q_cdc_gtid_decode,
         "cdc_txn_payload": q_cdc_txn_payload,
+        "cdc_xa_transactions": q_cdc_xa_transactions,
         "cdc_multi_table_txn": q_cdc_multi_table_txn,
         "cdc_branch_backfill": q_cdc_branch_backfill,
         "cdc_failover_promote": q_cdc_failover_promote,
@@ -3347,6 +3477,21 @@ WHERE rn <= 10
     return {
         "cdc_apply_changelog": final_state_sql,
         "cdc_txn_payload": final_state_sql,
+        # rolled-back XA transactions (txn = lsn//16, txn % 5 == 4) never
+        # commit: exclude them BEFORE last-image-wins, so a key whose
+        # newest image rode a rolled-back txn falls back to its previous
+        # committed image — exactly what prepare-time buffering yields
+        "cdc_xa_transactions": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot,
+       event_type AS last_event_type,
+       value AS last_value,
+       source_lsn AS last_lsn
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn
+      FROM cl WHERE (source_lsn // 16) % 5 <> 4)
+WHERE rn = 1 AND op <> 'D'
+""",
         "cdc_multi_table_txn": _CHANGELOG_CTE
         + """
 SELECT CASE WHEN slot % 2 = 0 THEN 'even' ELSE 'odd' END AS table_ref,

@@ -35,13 +35,17 @@ Measures:
      * the only early stop is a metric-BLIND wall budget
        (SPARK_GRAFT_BENCH_BUDGET, default 3600 s): after a completed pair,
        if elapsed > budget and both levels have ≥ 2 JVM runs, stop.
-   Every wall sample is recorded. Efficiency is reported three ways over the
-   full sample set: NESTED MEDIAN (per-JVM median of replays, then the median
-   across JVMs — the round's PRIMARY estimator, pre-registered before the
-   recorded run; robust to whole-JVM host-contention windows, the
-   contamination shape the r3/r4 sample sets actually show), plain pooled
-   per-level MEDIAN, and per-level MINIMUM (capability under fresh-JVM
-   isolation). All three are printed; no sample is ever excluded.
+   Every wall sample is recorded. Efficiency is reported four ways over the
+   full sample set: HOST-VALID NESTED MEDIAN (per-JVM median over the reps
+   whose bracketing spin probes both read healthy, then the median across
+   JVMs — the round's PRIMARY estimator; the gate and the nested shape were
+   both pre-registered 2026-08-19, before the recorded run; the gate
+   conditions on an independent instrument-health channel, never on the
+   measured walls), the ungated NESTED MEDIAN (robust to whole-JVM
+   host-contention windows, the contamination shape the r3/r4 sample sets
+   actually show), plain pooled per-level MEDIAN, and per-level MINIMUM
+   (capability under fresh-JVM isolation). All four are printed; no sample
+   is ever excluded from the record.
 2. Headline query latencies from __spark_entry__.queries() at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forced end-to-end with
    a noop sink (so column pruning can't skip the measured work), best of 2.
@@ -481,7 +485,11 @@ def main() -> None:
                 "timed_runs_per_jvm": jvm_reps,
                 "full_warmup_replay_per_jvm": True,
                 "mem_gb_per_core": 2,
-                "primary_estimator": "nested_median (per-JVM median, then median across JVMs)",
+                "primary_estimator": (
+                    "host_valid_nested_median (per-JVM median over reps whose "
+                    "bracketing spin probes pass the metric-blind gate, then "
+                    "median across JVMs; ungated nested median alongside)"
+                ),
                 "adaptive_extension": False,
             },
         },

@@ -35,6 +35,7 @@ captured packets, ``BinlogParserSpec.java``).
 from __future__ import annotations
 
 import datetime as dt
+import re
 import struct
 from dataclasses import dataclass, field
 from decimal import Decimal
@@ -83,6 +84,24 @@ PARTIAL_UPDATE_ROWS_EVENT = 0x27
 # event wrapping a whole transaction's events, zstd-compressed. Inner
 # events carry NO per-event checksum — the container carries the stream's.
 TRANSACTION_PAYLOAD_EVENT = 0x28
+# Written when mysqld stops cleanly (reference enumerates it,
+# EventType.java:46; empty body — the next event continues in a new file,
+# which ROTATE/index handling already covers).
+STOP_EVENT = 0x03
+# "Out of the ordinary event ... might cause data to be in an inconsistent
+# state" (EventType.java:155-159) — e.g. LOST_EVENTS after a master crash
+# with sync_binlog!=1. The ONLY safe CDC reaction is to stop applying and
+# resnapshot; the reference routes it to the discard branch
+# (BinlogClient.java:191-195) and would silently apply post-gap events.
+INCIDENT_EVENT = 0x1A
+# Terminal event of a PREPARED XA transaction (XA ... PREPARE) — "similar
+# to XID except that it is specific to XA transaction"
+# (EventType.java:195-199). The row events of an XA transaction are
+# flushed to the binlog at PREPARE time; the decision (XA COMMIT /
+# XA ROLLBACK) arrives LATER as a top-level QUERY event, possibly after
+# unrelated transactions. A CDC consumer that applies at prepare time
+# replicates data a subsequent XA ROLLBACK never committed.
+XA_PREPARE_EVENT = 0x26
 
 # transaction-payload compression algorithm codes
 # (libbinlogevents include/compression/base.h)
@@ -230,6 +249,39 @@ class Heartbeat:
     (EventReader.java:8-14)."""
 
     log_name: str
+
+
+@dataclass
+class XaPrepare:
+    """XA_PREPARE_LOG_EVENT body (layout per the public MySQL source,
+    libbinlogevents control_events XA_prepare_event: 1-byte one_phase flag,
+    4-byte formatID, 4-byte gtrid_length, 4-byte bqual_length, then
+    gtrid+bqual data). ``one_phase`` means XA COMMIT ... ONE PHASE — the
+    transaction is committed AT this event, no later terminal arrives."""
+
+    one_phase: bool
+    format_id: int
+    gtrid: bytes
+    bqual: bytes
+
+    def xid_key(self) -> tuple[int, bytes, bytes]:
+        return (self.format_id, self.gtrid, self.bqual)
+
+
+@dataclass
+class Incident:
+    """INCIDENT_EVENT body (1 = LOST_EVENTS): the master declares a gap —
+    downstream state MAY be inconsistent from here (EventType.java:155-159).
+    Body layout per libbinlogevents Incident_event: 2-byte incident number,
+    1-byte message length, message bytes."""
+
+    incident_type: int
+    message: str
+
+
+@dataclass
+class Stop:
+    """STOP_EVENT: clean mysqld shutdown (EventType.java:43-46); empty body."""
 
 
 class BinlogReader:
@@ -844,6 +896,66 @@ def parse_transaction_payload(buf: bytes) -> TransactionPayload:
                               payload, events)
 
 
+def parse_xa_prepare(buf: bytes) -> XaPrepare:
+    """Decode XA_PREPARE_LOG_EVENT (see :class:`XaPrepare` for the layout,
+    from the public libbinlogevents XA_prepare_event codec)."""
+    r = BinlogReader(buf)
+    one_phase = r.u_le(1) != 0
+    format_id = r.u_le(4)
+    gtrid_len = r.u_le(4)
+    bqual_len = r.u_le(4)
+    return XaPrepare(one_phase, format_id, r.read(gtrid_len), r.read(bqual_len))
+
+
+def parse_incident(buf: bytes) -> Incident:
+    """Decode INCIDENT_EVENT (see :class:`Incident`)."""
+    r = BinlogReader(buf)
+    itype = r.u_le(2)
+    mlen = r.u_le(1)
+    return Incident(itype, r.read(mlen).decode("utf-8", errors="replace"))
+
+
+_XA_STMT_RE = re.compile(
+    r"^\s*XA\s+(START|BEGIN|END|PREPARE|COMMIT|ROLLBACK)\s+(.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_XA_PART_RE = re.compile(
+    r"X'([0-9a-fA-F]*)'|'((?:[^'\\]|\\.)*)'|(\d+)"
+)
+
+
+def parse_xa_statement(sql: str):
+    """Parse an ``XA START|END|PREPARE|COMMIT|ROLLBACK xid [ONE PHASE]``
+    statement into ``(verb, xid_key, one_phase)`` or None if ``sql`` is not
+    an XA statement. The xid is ``gtrid [, bqual [, formatID]]`` with string
+    parts as ``'...'`` or ``X'hex'`` literals (the binlog writes the hex
+    form); xid_key matches :meth:`XaPrepare.xid_key` so the QUERY-event
+    terminal pairs with the prepare event's buffered rows."""
+    m = _XA_STMT_RE.match(sql)
+    if not m:
+        return None
+    verb = m.group(1).upper()
+    if verb == "BEGIN":
+        verb = "START"
+    rest = m.group(2)
+    one_phase = bool(re.search(r"ONE\s+PHASE\s*;?\s*$", rest, re.IGNORECASE))
+    parts: list = []
+    for pm in _XA_PART_RE.finditer(rest):
+        if pm.group(3) is not None:
+            parts.append(int(pm.group(3)))
+        elif pm.group(2) is not None:
+            parts.append(pm.group(2).encode())
+        else:
+            parts.append(bytes.fromhex(pm.group(1)))
+    # parts = [gtrid, bqual?, formatID?]; MySQL defaults bqual='' formatID=1
+    strs = [p for p in parts if isinstance(p, bytes)]
+    nums = [p for p in parts if isinstance(p, int)]
+    gtrid = strs[0] if strs else b""
+    bqual = strs[1] if len(strs) > 1 else b""
+    format_id = nums[0] if nums else 1
+    return verb, (format_id, gtrid, bqual), one_phase
+
+
 def parse_event_body(
     buf: bytes,
     type_code: int,
@@ -853,7 +965,7 @@ def parse_event_body(
     header_bytes: bytes | None = None,
 ) -> (
     RowsEvent | Rotate | Gtid | PreviousGtids | Heartbeat | RowsQuery
-    | Query | TransactionPayload | None
+    | Query | TransactionPayload | XaPrepare | Incident | Stop | None
 ):
     """Route one event body (EventBodyParser.parse, EventBodyParser.java:19-40).
     TABLE_MAP updates the cache and returns None; XID clears it; irrelevant
@@ -926,6 +1038,15 @@ def parse_event_body(
         return Query(thread_id, exec_time, error_code, schema, sql)
     if type_code == TRANSACTION_PAYLOAD_EVENT:
         return parse_transaction_payload(buf)
+    if type_code == XA_PREPARE_EVENT:
+        # like XID this ends the statement group — later row events belong
+        # to a new transaction and re-announce their TABLE_MAPs
+        table_maps.clear()
+        return parse_xa_prepare(buf)
+    if type_code == INCIDENT_EVENT:
+        return parse_incident(buf)
+    if type_code == STOP_EVENT:
+        return Stop()
     if type_code not in (
         EXT_WRITE_ROWS, EXT_UPDATE_ROWS, EXT_DELETE_ROWS,
         PARTIAL_UPDATE_ROWS_EVENT,
@@ -1080,6 +1201,7 @@ def packets_to_changelog(
     column_names: list[str],
     checksum_length: int = 0,
     emit_presence: bool = False,
+    on_incident: str = "raise",
 ):
     """Replay a (type_code, payload) packet stream into changelog rows for
     one table — the Updater event loop's emission semantics
@@ -1106,8 +1228,17 @@ def packets_to_changelog(
         checksum_length=checksum_length,
         emit_presence=emit_presence,
         track_ddl=False,
+        on_incident=on_incident,
     )
     return rows
+
+
+class BinlogGapError(RuntimeError):
+    """Raised when the stream carries an INCIDENT_EVENT: the master declared
+    a gap (e.g. LOST_EVENTS) and everything applied past it may be
+    inconsistent. The only safe recovery is a fresh snapshot — the caller
+    must not keep applying (the reference would: INCIDENT falls into its
+    discard branch, BinlogClient.java:191-195)."""
 
 
 def packets_to_changelog_and_ddl(
@@ -1119,6 +1250,7 @@ def packets_to_changelog_and_ddl(
     emit_presence: bool = False,
     track_ddl: bool = True,
     strict_ddl: bool = True,
+    on_incident: str = "raise",
 ):
     """:func:`packets_to_changelog` plus WIRE-NATIVE DDL: QUERY events
     (the only way MySQL ships DDL — as SQL text) are parsed
@@ -1137,6 +1269,25 @@ def packets_to_changelog_and_ddl(
 
     Returns ``(rows_df, ddl_df)`` — pandas; sequential per stream (wire
     parity layer, like :func:`packets_to_changelog`).
+
+    XA transactions (two-phase commit across resource managers) are handled
+    with PREPARE-time buffering: MySQL flushes an XA transaction's row
+    events to the binlog at ``XA PREPARE`` (QUERY "XA START ..." → rows →
+    XA_PREPARE_LOG_EVENT), but the decision arrives LATER as a top-level
+    QUERY — ``XA COMMIT xid`` releases the buffered rows, ``XA ROLLBACK
+    xid`` discards them. Applying at prepare time would replicate rows a
+    later rollback never committed. Released rows keep the source_lsn of
+    the packet that carried them: between PREPARE and COMMIT the XA branch
+    holds its row locks, so no committed writer can interleave on those
+    keys and prepare-order IS commit-order for every key the transaction
+    touched. Transactions still in-doubt (prepared, no terminal in this
+    packet stream) are NOT emitted — their decision belongs to a later
+    stream segment, exactly like the server's own recovery view.
+
+    ``on_incident``: "raise" (default) raises :class:`BinlogGapError` on an
+    INCIDENT_EVENT — the master declared a gap and the only safe recovery
+    is a resnapshot; "skip" continues (forensic replay of a stream you
+    already know to be whole).
     """
     import pandas as pd
 
@@ -1148,6 +1299,9 @@ def packets_to_changelog_and_ddl(
     cols = list(column_names)
     ever: dict[str, None] = dict.fromkeys(cols)  # ordered first-seen union
     lsn = 0
+    xa_open: tuple | None = None  # xid of the txn currently buffering
+    xa_buf: list[dict] = []
+    xa_prepared: dict[tuple, list[dict]] = {}  # in-doubt: awaiting terminal
     for type_code, payload in packets:
         lsn += 1
         if type_code == FORMAT_DESCRIPTION_EVENT:
@@ -1158,7 +1312,45 @@ def packets_to_changelog_and_ddl(
         ev = parse_event_body(
             payload, type_code, table_maps, checksum_length=checksum_length
         )
+        if isinstance(ev, Incident):
+            if on_incident == "raise":
+                raise BinlogGapError(
+                    f"INCIDENT event (type {ev.incident_type}) at packet "
+                    f"{lsn}: {ev.message or 'master declared a gap'} — "
+                    "stream has a gap; resnapshot required"
+                )
+            continue
+        if isinstance(ev, Stop):
+            continue
+        if isinstance(ev, XaPrepare):
+            if ev.one_phase:
+                out.extend(xa_buf)  # XA COMMIT ... ONE PHASE: commits here
+            else:
+                xa_prepared[ev.xid_key()] = xa_buf  # in-doubt until terminal
+            xa_open, xa_buf = None, []
+            continue
         if isinstance(ev, Query):
+            xa = parse_xa_statement(ev.sql)
+            if xa is not None:
+                verb, xid, one_phase = xa
+                if verb == "START":
+                    xa_open, xa_buf = xid, []
+                elif verb == "PREPARE" and xa_open == xid:
+                    # statement form (statement-based segments log PREPARE
+                    # as SQL instead of the XA_PREPARE event)
+                    xa_prepared[xid] = xa_buf
+                    xa_open, xa_buf = None, []
+                elif verb == "COMMIT":
+                    if xid in xa_prepared:
+                        out.extend(xa_prepared.pop(xid))
+                    elif xa_open == xid and one_phase:
+                        out.extend(xa_buf)
+                        xa_open, xa_buf = None, []
+                elif verb == "ROLLBACK":
+                    xa_prepared.pop(xid, None)
+                    if xa_open == xid:
+                        xa_open, xa_buf = None, []
+                continue
             if not track_ddl:
                 continue
             for act in parse_query_ddl(
@@ -1212,9 +1404,10 @@ def packets_to_changelog_and_ddl(
             evs = [ev]
         else:
             continue
+        sink = xa_buf if xa_open is not None else out
         for ev in evs:
             _emit_rows_event(ev, schema_name, table_name, cols,
-                             emit_presence, lsn, out)
+                             emit_presence, lsn, sink)
     row_cols = ["op", *ever, "source_lsn"]
     patch_cols = sorted(
         {k for rec in out for k in rec if k.endswith("_patch")}

@@ -2017,7 +2017,7 @@ def q_cdc_decode_types(spark, sf_dir):
         BIT, BLOB, DATE, DATETIME, DATETIME_V2, DOUBLE, ENUM, GEOMETRY,
         INT24, NEWDECIMAL, SET, TIME, TIME_V2, TIMESTAMP, VECTOR, YEAR,
         ColumnSpec, decode_typed_block, encode_typed_rows, wkb_linestring,
-        wkb_point,
+        wkb_multi, wkb_point, wkb_polygon,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -2109,6 +2109,24 @@ def q_cdc_decode_types(spark, sf_dir):
                         "geo": (
                             None
                             if eid % 23 == 0
+                            else (
+                                0,
+                                wkb_polygon([[
+                                    (eid % 100, eid % 50 - 25),
+                                    (eid % 100 + 2, eid % 50 - 25),
+                                    (eid % 100 + 2, eid % 50 - 23),
+                                    (eid % 100, eid % 50 - 25),
+                                ]]),
+                            )
+                            if eid % 6 == 3
+                            else (
+                                0,
+                                wkb_multi(4, [
+                                    wkb_point(eid % 100, eid % 50 - 25),
+                                    wkb_point(eid % 100 + 1, eid % 50 - 24),
+                                ]),
+                            )
+                            if eid % 6 == 5
                             else (0, wkb_point(eid % 100, eid % 50 - 25))
                             if eid % 2 == 0
                             else (
@@ -3888,6 +3906,20 @@ SELECT event_id,
   CAST(make_timestamp(((event_id * 97) % 2000000000) * 1000000) AS VARCHAR) AS lts,
   CAST(date_trunc('second', ts) AS VARCHAR) AS ldt,
   CASE WHEN event_id % 23 = 0 THEN NULL
+       WHEN event_id % 6 = 3 THEN
+         'POLYGON((' || CAST(event_id % 100 AS VARCHAR) || ' '
+                     || CAST(event_id % 50 - 25 AS VARCHAR) || ','
+                     || CAST(event_id % 100 + 2 AS VARCHAR) || ' '
+                     || CAST(event_id % 50 - 25 AS VARCHAR) || ','
+                     || CAST(event_id % 100 + 2 AS VARCHAR) || ' '
+                     || CAST(event_id % 50 - 23 AS VARCHAR) || ','
+                     || CAST(event_id % 100 AS VARCHAR) || ' '
+                     || CAST(event_id % 50 - 25 AS VARCHAR) || '))'
+       WHEN event_id % 6 = 5 THEN
+         'MULTIPOINT((' || CAST(event_id % 100 AS VARCHAR) || ' '
+                        || CAST(event_id % 50 - 25 AS VARCHAR) || '),('
+                        || CAST(event_id % 100 + 1 AS VARCHAR) || ' '
+                        || CAST(event_id % 50 - 24 AS VARCHAR) || '))'
        WHEN event_id % 2 = 0 THEN
          'POINT(' || CAST(event_id % 100 AS VARCHAR) || ' '
                   || CAST(event_id % 50 - 25 AS VARCHAR) || ')'

@@ -338,26 +338,84 @@ def _fmt_coord(x: float) -> str:
     return repr(x)
 
 
-def wkb_to_wkt(payload: bytes) -> str:
-    """MySQL geometry payload (SRID + WKB) → WKT text, 'SRID=n;' prefixed
-    when the SRID is nonzero (EWKT). POINT and LINESTRING (both byte
-    orders); other WKB types raise — extend as needed."""
-    srid = int.from_bytes(payload[:4], "little")
-    b = payload[4:]
-    order = "<" if b[0] == 1 else ">"
-    (gtype,) = struct.unpack_from(f"{order}I", b, 1)
+def wkb_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
+    """Little-endian WKB POLYGON (type 3): exterior ring first, then holes;
+    each ring is a closed point sequence (first == last, caller's duty)."""
+    out = struct.pack("<BII", 1, 3, len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in ring
+        )
+    return out
+
+
+def wkb_multi(gtype: int, children: list[bytes]) -> bytes:
+    """Little-endian WKB container (4=MULTIPOINT, 5=MULTILINESTRING,
+    6=MULTIPOLYGON, 7=GEOMETRYCOLLECTION): each child is a complete WKB
+    geometry with its own byte-order byte (OGC SFA §8.2.3)."""
+    return struct.pack("<BII", 1, gtype, len(children)) + b"".join(children)
+
+
+_WKB_NAMES = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+              5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+              7: "GEOMETRYCOLLECTION"}
+
+
+def _wkb_geom(b: bytes, off: int) -> tuple[str, int]:
+    """Decode one WKB geometry at ``off`` → (WKT, next offset). Recursive
+    over the container types; both byte orders (OGC SFA part 1 §8.2.3 —
+    the reference throws on the whole GEOMETRY column type,
+    RowParser.java:165-166; decoding it exceeds the reference)."""
+    order = "<" if b[off] == 1 else ">"
+    (gtype,) = struct.unpack_from(f"{order}I", b, off + 1)
+    off += 5
+
+    def _count() -> int:
+        nonlocal off
+        (n,) = struct.unpack_from(f"{order}I", b, off)
+        off += 4
+        return n
+
+    def _pt() -> str:
+        nonlocal off
+        x, y = struct.unpack_from(f"{order}dd", b, off)
+        off += 16
+        return f"{_fmt_coord(x)} {_fmt_coord(y)}"
+
+    def _ring() -> str:
+        return "(" + ",".join(_pt() for _ in range(_count())) + ")"
+
     if gtype == 1:
-        x, y = struct.unpack_from(f"{order}dd", b, 5)
-        wkt = f"POINT({_fmt_coord(x)} {_fmt_coord(y)})"
-    elif gtype == 2:
-        (npts,) = struct.unpack_from(f"{order}I", b, 5)
-        pts = struct.unpack_from(f"{order}{2 * npts}d", b, 9)
-        wkt = "LINESTRING(" + ",".join(
-            f"{_fmt_coord(pts[2 * i])} {_fmt_coord(pts[2 * i + 1])}"
-            for i in range(npts)
-        ) + ")"
-    else:
-        raise ValueError(f"unsupported WKB geometry type {gtype}")
+        return "POINT(" + _pt() + ")", off
+    if gtype == 2:
+        return "LINESTRING" + _ring(), off
+    if gtype == 3:
+        return "POLYGON(" + ",".join(_ring() for _ in range(_count())) + ")", off
+    if gtype in (4, 5, 6, 7):
+        parts = []
+        for _ in range(_count()):
+            w, off = _wkb_geom(b, off)
+            # MULTI* children render without their type name (WKT standard,
+            # the form MySQL 8.0 ST_AsText emits: MULTIPOINT((1 1),(2 2)));
+            # GEOMETRYCOLLECTION children keep the full tagged text
+            parts.append(w if gtype == 7 else w[w.index("("):])
+        return _WKB_NAMES[gtype] + "(" + ",".join(parts) + ")", off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def wkb_to_wkt(payload: bytes) -> str:
+    """MySQL geometry payload (4-byte LE SRID + WKB) → WKT text, 'SRID=n;'
+    prefixed when the SRID is nonzero (EWKT). Full OGC SFA family: POINT,
+    LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING, MULTIPOLYGON and
+    (nested) GEOMETRYCOLLECTION, both byte orders. The reference refuses
+    the column type outright (``IOException("Unsupported type")``,
+    RowParser.java:165-166)."""
+    srid = int.from_bytes(payload[:4], "little")
+    wkt, end = _wkb_geom(payload, 4)
+    if end != len(payload):
+        raise ValueError(
+            f"trailing {len(payload) - end} bytes after WKB geometry"
+        )
     return f"SRID={srid};{wkt}" if srid else wkt
 
 

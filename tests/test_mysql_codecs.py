@@ -276,6 +276,77 @@ def test_geometry_big_endian_wkb():
     assert wkb_to_wkt(payload) == "POINT(2 4)"
 
 
+def test_geometry_polygon_golden_hex():
+    """POLYGON with a hole, hand-encoded per OGC SFA §8.2.3 (LE): byte
+    order 01, type 03000000, 2 rings of 5 and 4 points. Spec-derived
+    golden, independent of the encoder under test."""
+    import struct
+
+    from mysql_secure_agent_spark.functions.mysql_codecs import wkb_to_wkt
+
+    def pts(*xy):
+        return b"".join(struct.pack("<dd", x, y) for x, y in xy)
+
+    wkb = (
+        bytes.fromhex("0103000000" + "02000000")
+        + struct.pack("<I", 5)
+        + pts((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))
+        + struct.pack("<I", 4)
+        + pts((5, 5), (7, 5), (5, 7), (5, 5))
+    )
+    payload = (0).to_bytes(4, "little") + wkb
+    assert wkb_to_wkt(payload) == (
+        "POLYGON((0 0,10 0,10 10,0 10,0 0),(5 5,7 5,5 7,5 5))"
+    )
+
+
+def test_geometry_multi_and_collection():
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        wkb_linestring,
+        wkb_multi,
+        wkb_point,
+        wkb_polygon,
+        wkb_to_wkt,
+    )
+
+    def p(b):
+        return (0).to_bytes(4, "little") + b
+
+    assert wkb_to_wkt(p(wkb_multi(4, [wkb_point(1, 1), wkb_point(2, -2)]))) == (
+        "MULTIPOINT((1 1),(2 -2))"
+    )
+    assert wkb_to_wkt(p(wkb_multi(5, [
+        wkb_linestring([(0, 0), (1, 1)]), wkb_linestring([(2, 2), (3, 3)]),
+    ]))) == "MULTILINESTRING((0 0,1 1),(2 2,3 3))"
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    sq2 = [(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]
+    assert wkb_to_wkt(p(wkb_multi(6, [wkb_polygon([sq]), wkb_polygon([sq2])]))) == (
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))"
+    )
+    # nested collection keeps full tagged children
+    gc = wkb_multi(7, [wkb_point(9, 9), wkb_multi(4, [wkb_point(1, 2)])])
+    assert wkb_to_wkt(p(gc)) == (
+        "GEOMETRYCOLLECTION(POINT(9 9),MULTIPOINT((1 2)))"
+    )
+    assert wkb_to_wkt(p(wkb_multi(7, []))) == "GEOMETRYCOLLECTION()"
+    # SRID prefix composes with containers
+    srid = (4326).to_bytes(4, "little") + wkb_polygon([sq])
+    assert wkb_to_wkt(srid) == "SRID=4326;POLYGON((0 0,1 0,1 1,0 1,0 0))"
+
+
+def test_geometry_trailing_bytes_refused():
+    import pytest
+
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        wkb_point,
+        wkb_to_wkt,
+    )
+
+    payload = (0).to_bytes(4, "little") + wkb_point(1, 1) + b"\x00"
+    with pytest.raises(ValueError, match="trailing"):
+        wkb_to_wkt(payload)
+
+
 def test_vector_roundtrip_and_golden_bytes():
     """MySQL 9.0 VECTOR (MYSQL_TYPE_VECTOR=242): blob-framed packed LE
     float32s. Golden: VECTOR [1.0, -2.5] encodes as length 8 (4B LE) +

@@ -125,6 +125,7 @@ HEADLINE = [
     "cdc_expire_versions",
     "train_corpus_prep_sharded",
     "cdc_txn_payload",
+    "cdc_xa_transactions",
     "cdc_multi_table_txn",
     "cdc_branch_backfill",
     "cdc_failover_promote",

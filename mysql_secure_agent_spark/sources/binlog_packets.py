@@ -1302,16 +1302,9 @@ def packets_to_changelog_and_ddl(
     xa_open: tuple | None = None  # xid of the txn currently buffering
     xa_buf: list[dict] = []
     xa_prepared: dict[tuple, list[dict]] = {}  # in-doubt: awaiting terminal
-    for type_code, payload in packets:
-        lsn += 1
-        if type_code == FORMAT_DESCRIPTION_EVENT:
-            # stream self-configures: the FDE announces the checksum tail
-            # every later event carries (alg byte, parse_format_description)
-            _, checksum_length = parse_format_description(payload)
-            continue
-        ev = parse_event_body(
-            payload, type_code, table_maps, checksum_length=checksum_length
-        )
+
+    def _handle(ev) -> None:
+        nonlocal xa_open, xa_buf
         if isinstance(ev, Incident):
             if on_incident == "raise":
                 raise BinlogGapError(
@@ -1319,16 +1312,14 @@ def packets_to_changelog_and_ddl(
                     f"{lsn}: {ev.message or 'master declared a gap'} — "
                     "stream has a gap; resnapshot required"
                 )
-            continue
-        if isinstance(ev, Stop):
-            continue
+            return
         if isinstance(ev, XaPrepare):
             if ev.one_phase:
                 out.extend(xa_buf)  # XA COMMIT ... ONE PHASE: commits here
             else:
                 xa_prepared[ev.xid_key()] = xa_buf  # in-doubt until terminal
             xa_open, xa_buf = None, []
-            continue
+            return
         if isinstance(ev, Query):
             xa = parse_xa_statement(ev.sql)
             if xa is not None:
@@ -1350,9 +1341,9 @@ def packets_to_changelog_and_ddl(
                     xa_prepared.pop(xid, None)
                     if xa_open == xid:
                         xa_open, xa_buf = None, []
-                continue
+                return
             if not track_ddl:
-                continue
+                return
             for act in parse_query_ddl(
                 ev.schema_name, ev.sql, schema_name, table_name,
                 strict=strict_ddl,
@@ -1391,23 +1382,37 @@ def packets_to_changelog_and_ddl(
                         cols.insert(0, name)
                     else:
                         cols.insert(cols.index(pos[1]) + 1, name)
-            continue
+            return
         if isinstance(ev, TransactionPayload):
-            # expand the wrapped transaction inline, in wire order; inner
-            # events never carry a per-event checksum
-            inner = [
-                parse_event_body(b, h.type_code, table_maps, checksum_length=0)
-                for h, b in ev.events
-            ]
-            evs = [e for e in inner if isinstance(e, RowsEvent)]
-        elif isinstance(ev, RowsEvent):
-            evs = [ev]
-        else:
-            continue
-        sink = xa_buf if xa_open is not None else out
-        for ev in evs:
+            # expand the wrapped transaction inline, in wire order, through
+            # the SAME state machine — a compressed XA transaction, DDL, or
+            # INCIDENT behaves identically to its uncompressed form. Inner
+            # events never carry a per-event checksum; containers never
+            # nest (WL#3549), so recursion depth is 1.
+            for h, b in ev.events:
+                _handle(
+                    parse_event_body(b, h.type_code, table_maps,
+                                     checksum_length=0)
+                )
+            return
+        if isinstance(ev, RowsEvent):
+            sink = xa_buf if xa_open is not None else out
             _emit_rows_event(ev, schema_name, table_name, cols,
                              emit_presence, lsn, sink)
+        # Stop / None (TABLE_MAP, XID, ROTATE, GTID, heartbeat): no emission
+
+    for type_code, payload in packets:
+        lsn += 1
+        if type_code == FORMAT_DESCRIPTION_EVENT:
+            # stream self-configures: the FDE announces the checksum tail
+            # every later event carries (alg byte, parse_format_description)
+            _, checksum_length = parse_format_description(payload)
+            continue
+        _handle(
+            parse_event_body(
+                payload, type_code, table_maps, checksum_length=checksum_length
+            )
+        )
     row_cols = ["op", *ever, "source_lsn"]
     patch_cols = sorted(
         {k for rec in out for k in rec if k.endswith("_patch")}

@@ -194,3 +194,47 @@ def test_stop_and_incident_route_via_parse_event_body():
     assert isinstance(parse_event_body(b"", STOP_EVENT, maps), Stop)
     got = parse_event_body(_incident_body("m"), INCIDENT_EVENT, maps)
     assert isinstance(got, Incident) and got.message == "m"
+
+
+def test_xa_inside_transaction_payload_container():
+    """A compressed (container-wrapped) XA transaction behaves identically
+    to its uncompressed form: inner QUERY/XA_PREPARE events route through
+    the same state machine, so commit releases and rollback discards."""
+    from test_binlog_packets import _inner_event, _payload_event
+
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        TRANSACTION_PAYLOAD_EVENT,
+    )
+
+    def xa_container(name: str, gtrid: bytes, rollback: bool) -> list:
+        hexid = gtrid.hex()
+        ib = _inner_event(QUERY_EVENT, _query(f"XA START X'{hexid}'"))
+        ib += _inner_event(TABLE_MAP_EVENT, _synthetic_table_map())
+        ib += _inner_event(*_insert(1 if rollback else 2, name))
+        ib += _inner_event(XA_PREPARE_EVENT, _xa_prepare_body(gtrid))
+        verb = "ROLLBACK" if rollback else "COMMIT"
+        term = _inner_event(QUERY_EVENT, _query(f"XA {verb} X'{hexid}'"))
+        return [
+            (TRANSACTION_PAYLOAD_EVENT, _payload_event(ib)),
+            (TRANSACTION_PAYLOAD_EVENT, _payload_event(term)),
+        ]
+
+    pk = xa_container("dropped", b"r1", rollback=True) + xa_container(
+        "landed", b"c1", rollback=False
+    )
+    df = packets_to_changelog(pk, "s", "t", COLS)
+    assert df["name"].tolist() == ["landed"]
+
+
+def test_incident_inside_container_raises():
+    from test_binlog_packets import _inner_event, _payload_event
+
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        TRANSACTION_PAYLOAD_EVENT,
+    )
+
+    ib = _inner_event(INCIDENT_EVENT, _incident_body("LOST_EVENTS"))
+    with pytest.raises(BinlogGapError):
+        packets_to_changelog(
+            [(TRANSACTION_PAYLOAD_EVENT, _payload_event(ib))], "s", "t", COLS
+        )

@@ -1288,6 +1288,147 @@ def q_cdc_txn_payload(spark, sf_dir):
     )
 
 
+def q_cdc_truncate(spark, sf_dir):
+    """TRUNCATE TABLE end-to-end: the change feed is re-encoded as wire
+    packets with a ``TRUNCATE TABLE t`` QUERY event at the lsn midpoint;
+    ``packets_to_changelog_and_ddl`` surfaces it as a structured DDL row,
+    which drives ``LakeTable.truncate`` between the two merges — a
+    metadata-only empty-live-set commit (no Spark job, no data IO; old
+    versions keep serving time travel). MySQL logs TRUNCATE with NO row
+    events, so the reference diverges silently: information_schema
+    re-diff sees no schema change (Updater.java:62-86) and the QUERY event
+    hits its discard branch (BinlogClient.java:191-195). Oracle = the
+    relational replay restricted to post-truncate events, so both the
+    wipe (pre rows gone, including keys never touched again) and the
+    tail merge are hash-gated."""
+    import struct as st
+
+    import pandas as pd
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+    mx = cl.agg(F.max("source_lsn")).first()[0]
+    cutoff = int(mx) // 2
+
+    def rt(batches):
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_DELETE_ROWS, EXT_UPDATE_ROWS, EXT_WRITE_ROWS, QUERY_EVENT,
+            TABLE_MAP_EVENT, packets_to_changelog_and_ddl,
+        )
+
+        def packed(n: int) -> bytes:
+            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+
+        tmap_body = (
+            (7).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + packed(5) + bytes([0x08, 0x03, 0x0F, 0x05, 0x08])
+            + packed(3) + (20).to_bytes(2, "little") + bytes([8])
+            + bytes([0x1F])
+        )
+
+        def row_img(u, s, et, v, lsn) -> bytes:
+            nulls, out = 0, b""
+            out += int(u).to_bytes(8, "little", signed=True)
+            out += int(s).to_bytes(4, "little", signed=True)
+            if et is None or (isinstance(et, float) and pd.isna(et)):
+                nulls |= 1 << 2
+            else:
+                b = str(et).encode()
+                out += bytes([len(b)]) + b
+            if v is None or pd.isna(v):
+                nulls |= 1 << 3
+            else:
+                out += st.pack("<d", float(v))
+            out += int(lsn).to_bytes(8, "little")
+            return bytes([nulls]) + out
+
+        def rows_body(imgs: list, n_images: int = 1) -> bytes:
+            return (
+                (7).to_bytes(6, "little") + b"\x00\x00"
+                + (2).to_bytes(2, "little") + packed(5)
+                + bytes([0x1F]) * n_images + b"".join(imgs)
+            )
+
+        def query_body(sql: str) -> bytes:
+            return st.pack("<IIBHH", 0, 0, 1, 0, 0) + b"s\x00" + sql.encode()
+
+        OPC = {"I": EXT_WRITE_ROWS, "D": EXT_DELETE_ROWS, "U": EXT_UPDATE_ROWS}
+        cols = ["user_id", "slot", "event_type", "value", "lsn"]
+        out_cols = ["kind", "op", "user_id", "slot", "event_type", "value",
+                    "source_lsn"]
+        for pdf in batches:
+            pdf = pdf.sort_values("source_lsn")
+            packets = [(TABLE_MAP_EVENT, tmap_body)]
+            emitted_ddl = False
+            for r in pdf.to_dict("records"):
+                if r["source_lsn"] > cutoff and not emitted_ddl:
+                    packets.append((QUERY_EVENT, query_body("TRUNCATE TABLE t")))
+                    emitted_ddl = True
+                img = row_img(r["user_id"], r["slot"], r["event_type"],
+                              r["value"], r["source_lsn"])
+                n = 2 if r["op"] == "U" else 1
+                packets.append((OPC[r["op"]], rows_body([img] * n, n)))
+            if not emitted_ddl:
+                # all-pre partitions still announce the truncate position so
+                # every partition's ddl frame agrees after distinct()
+                packets.append((QUERY_EVENT, query_body("TRUNCATE TABLE t")))
+            rows, ddl = packets_to_changelog_and_ddl(packets, "s", "t", cols)
+            rows = rows[["op", "user_id", "slot", "event_type", "value", "lsn"]]
+            rows = rows.rename(columns={"lsn": "source_lsn"})
+            rows.insert(0, "kind", "row")
+            recs = [
+                {"kind": "ddl", "op": d["action"], "user_id": None,
+                 "slot": None, "event_type": None, "value": None,
+                 "source_lsn": cutoff}
+                for d in ddl.to_dict("records")
+            ]
+            if recs:
+                rows = pd.concat(
+                    [rows, pd.DataFrame(recs, columns=out_cols)],
+                    ignore_index=True,
+                )
+            yield rows[out_cols]
+
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    decoded = _with_min_parallelism(cl).mapInPandas(
+        rt,
+        schema=("kind string, op string, user_id long, slot int, "
+                "event_type string, value double, source_lsn long"),
+    )
+    ddl_acts = (
+        decoded.filter(F.col("kind") == "ddl")
+        .select("op", "source_lsn").distinct().collect()
+    )
+    assert [(d["op"], d["source_lsn"]) for d in ddl_acts] == [
+        ("TRUNCATE", cutoff)
+    ], ddl_acts
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_trunc_")
+    tbl = LakeTable.create(
+        os.path.join(base, "t"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    rows = decoded.filter(F.col("kind") == "row").drop("kind")
+    tbl.merge(spark, rows.filter(F.col("source_lsn") <= F.lit(cutoff)), "0")
+    tbl.truncate(batch_id="ddl-trunc", ddl_lsn=cutoff)
+    tbl.merge(spark, rows.filter(F.col("source_lsn") > F.lit(cutoff)), "1")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_xa_transactions(spark, sf_dir):
     """XA two-phase commit end-to-end (S8; XA_PREPARE_LOG_EVENT,
     EventType.java:195-199): the change feed is re-encoded as XA wire
@@ -3094,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gtid_decode": q_cdc_gtid_decode,
         "cdc_txn_payload": q_cdc_txn_payload,
         "cdc_xa_transactions": q_cdc_xa_transactions,
+        "cdc_truncate": q_cdc_truncate,
         "cdc_multi_table_txn": q_cdc_multi_table_txn,
         "cdc_branch_backfill": q_cdc_branch_backfill,
         "cdc_failover_promote": q_cdc_failover_promote,
@@ -3508,6 +3650,19 @@ SELECT user_id, slot,
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn
       FROM cl WHERE (source_lsn // 16) % 5 <> 4)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # TRUNCATE at the lsn midpoint wipes everything applied before it;
+        # the final state is the replay of strictly-post-truncate events
+        "cdc_truncate": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn
+      FROM cl
+      WHERE source_lsn > (SELECT MAX(event_id) // 2 FROM events))
 WHERE rn = 1 AND op <> 'D'
 """,
         "cdc_multi_table_txn": _CHANGELOG_CTE

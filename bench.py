@@ -126,6 +126,7 @@ HEADLINE = [
     "train_corpus_prep_sharded",
     "cdc_txn_payload",
     "cdc_xa_transactions",
+    "cdc_truncate",
     "cdc_multi_table_txn",
     "cdc_branch_backfill",
     "cdc_failover_promote",

@@ -1614,6 +1614,80 @@ class LakeTable:
             "skipped": False,
         }
 
+    def truncate(
+        self,
+        batch_id: str | None = None,
+        ddl_lsn: int | None = None,
+    ) -> int:
+        """TRUNCATE TABLE: metadata-only commit that empties the live file
+        set — O(1) driver work, no Spark job, no data-file IO. Old files
+        stay referenced by older versions for time travel until
+        expire_versions/vacuum reclaim them (Iceberg's truncate-as-new-
+        snapshot shape).
+
+        Why a CDC engine needs this: MySQL logs TRUNCATE as a bare QUERY
+        DDL statement with NO row events. A consumer that only applies row
+        images keeps every pre-truncate row forever — the reference's
+        information_schema re-diff sees no schema change AND its client
+        loop discards QUERY events (Updater.java:62-86,
+        BinlogClient.java:191-195), so it diverges silently. Debezium
+        models the same gap with an explicit truncate change event.
+
+        The changefeed floor rises to the table's max applied lsn: history
+        at or before the truncate is no longer replayable as net changes
+        (the same collapsed-history contract as ``compact``); incremental
+        consumers behind the floor resync loudly. ``batch_id`` registers
+        in the applied ledger so a replayed micro-batch that carried the
+        truncate skips (exactly-once); ``ddl_lsn`` advances the DDL
+        high-water mark like every other wire-DDL application."""
+        with self._commit_lock:
+            commit = self.commit_at()  # resolved: the floor needs lsn stats
+            if batch_id is not None and commit.is_applied(batch_id):
+                return commit.version
+            entries = [e for es in commit.files.values() for e in es]
+            known = [e["lsn_max"] for e in entries if e.get("lsn_max") is not None]
+            unknown = [
+                os.path.join(self.root, e["path"])
+                for e in entries
+                if e.get("lsn_max") is None
+            ]
+            floor = max(known, default=-1)
+            if unknown:
+                _, _, _, mx = _footer_stats(unknown)
+                if mx is not None:
+                    floor = max(floor, int(mx))
+            floor = max(floor, commit.changefeed_floor)
+            version = commit.version + 1
+            applied = dict(commit.applied_batches)
+            hwm = commit.applied_hwm
+            if batch_id is not None:
+                applied[str(batch_id)] = version
+                applied, hwm = self._prune_applied(applied, hwm)
+            new_commit = Commit(
+                version=version,
+                schema=commit.schema,
+                key_cols=commit.key_cols,
+                bucket_cols=commit.bucket_cols,
+                n_buckets=commit.n_buckets,
+                bucket_function=commit.bucket_function,
+                files={},
+                # fresh one-manifest chain referencing nothing: the live set
+                # is empty by construction, not by tombstones
+                manifests=[self._write_manifest(f"m{version:08d}.full.json", {})],
+                applied_batches=applied,
+                applied_hwm=hwm,
+                changefeed_floor=floor,
+                dropped_cols=list(commit.dropped_cols),
+                renamed_cols=dict(commit.renamed_cols),
+                ddl_hwm=max(
+                    commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)
+                ),
+                parent=commit.version,
+                summary={"operation": "truncate"},
+            )
+            self._write_commit(new_commit)
+        return version
+
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict[str, Any]:
         """Online bucket-count migration: rewrite the whole table under a new
         ``n_buckets`` in ONE versioned commit. The operational story at

@@ -326,6 +326,14 @@ def parse_alter_table(sql: str, strict: bool = True) -> tuple[tuple[str | None, 
 
 _DDL_HEAD = re.compile(r"^\s*alter\s+(ignore\s+)?table\b", re.I)
 _TXN_MARKER = re.compile(r"^\s*(begin|commit|rollback|start\s+transaction)\b", re.I)
+# TRUNCATE [TABLE] [schema.]name — logged as bare QUERY DDL with NO row
+# events (MySQL implements it as drop+recreate, bypassing row logging), so
+# a row-image-only consumer silently keeps every pre-truncate row
+_TRUNCATE_HEAD = re.compile(
+    r"^\s*truncate\s+(?:table\s+)?(?:" + _IDENT + r"\s*\.\s*)?" + _IDENT
+    + r"\s*$",
+    re.I,
+)
 
 
 def parse_query_ddl(
@@ -341,7 +349,20 @@ def parse_query_ddl(
     the event's default schema — the ``USE``-database MySQL stamps into the
     QUERY event header). BEGIN/COMMIT markers and DDL for other tables
     return []."""
-    if _TXN_MARKER.match(sql) or not _DDL_HEAD.match(sql):
+    if _TXN_MARKER.match(sql):
+        return []
+    tm = _TRUNCATE_HEAD.match(_strip_comments(sql).strip().rstrip(";").strip())
+    if tm:
+        schema = _unquote(tm.group(1)) if tm.group(1) else default_schema
+        if (schema, _unquote(tm.group(2))) != (schema_name, table_name):
+            return []
+        return [{
+            "action": "TRUNCATE",
+            "column_name": None,
+            "column_type": None,
+            "new_name": None,
+        }]
+    if not _DDL_HEAD.match(sql):
         return []
     (schema, table), actions = parse_alter_table(sql, strict=strict)
     schema = schema if schema is not None else default_schema

@@ -204,6 +204,20 @@ class CdcPipeline:
             self.table.rename_column(
                 d["column_name"], d["new_name"], spark=spark, ddl_lsn=lsn
             )
+        elif d["action"] == "TRUNCATE":
+            if self.history_table is not None:
+                # closing every open SCD-2 interval at the truncate point is
+                # a table-wide history rewrite this pipeline doesn't model —
+                # refuse loudly rather than record silently-wrong history
+                raise ValueError(
+                    "TRUNCATE with an attached SCD-2 history table is not "
+                    "supported: it would need every open interval closed at "
+                    "the truncate lsn"
+                )
+            # rows merged before this point in apply_batch's DDL split are
+            # wiped; the batch tail (post-truncate rows) merges next
+            self.table.truncate(ddl_lsn=lsn)
+            return
         else:
             raise ValueError(f"unknown DDL action {d['action']!r}")
         if self.history_table is not None:

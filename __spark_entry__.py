@@ -1288,6 +1288,148 @@ def q_cdc_txn_payload(spark, sf_dir):
     )
 
 
+def q_cdc_binlog_file_ingest(spark, sf_dir):
+    """On-disk binlog FILE ingest, end to end: the change feed is encoded
+    into four rotated ``mysql-bin.NNNNNN`` files on disk — real file
+    framing: 4-byte magic, a FORMAT_DESCRIPTION first event announcing
+    CRC32, per-event checksums, end_log_pos chaining, a trailing ROTATE
+    naming the successor, 16-row transactions (TABLE_MAP + EXT_*_ROWS +
+    XID) inside — then decoded DISTRIBUTED via
+    ``sources.binlog_file.read_binlog_files`` (binaryFile listing → one
+    decode task per file, CRC verified; a binlog file cannot be split
+    mid-stream, so per-FILE parallelism is the scale unit — exactly how
+    servers rotate) and reduced to the final table state. The reference
+    can only consume a live socket (client/EventReader.java,
+    BinlogChannel.java:43-236); bulk-decoding archived files in parallel
+    exceeds it. Oracle = the plain relational replay, so file framing,
+    checksum config self-discovery, rotation, and cross-file ordering are
+    all hash-gated. The authoritative lsn rides IN the row image (file
+    assignment here is a range split, and the merge must not depend on
+    it); the file-derived (file_no, end_log_pos) lsn is asserted monotone
+    by the reader."""
+    import struct as st
+
+    import pandas as pd
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+    lo, hi = cl.agg(F.min("source_lsn"), F.max("source_lsn")).first()
+    n_files, span = 4, int(hi) - int(lo) + 1
+    with_file = cl.withColumn(
+        "file_no",
+        (
+            F.lit(1)
+            + F.floor((F.col("source_lsn") - F.lit(int(lo)))
+                      * n_files / F.lit(span))
+        ).cast("int"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="binlog_files_")
+
+    def write_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from mysql_secure_agent_spark.sources.binlog_file import (
+            encode_binlog_file,
+        )
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_DELETE_ROWS, EXT_UPDATE_ROWS, EXT_WRITE_ROWS,
+            TABLE_MAP_EVENT, XID_EVENT,
+        )
+
+        def packed(n: int) -> bytes:
+            if n < 0xFB:
+                return bytes([n])
+            if n < 1 << 16:
+                return b"\xfc" + n.to_bytes(2, "little")
+            return b"\xfd" + n.to_bytes(3, "little")
+
+        # table t: (user_id LONGLONG, slot LONG, event_type VARCHAR(20),
+        # value DOUBLE, lsn LONGLONG) — same wire shape as cdc_txn_payload
+        tmap_body = (
+            (7).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + packed(5) + bytes([0x08, 0x03, 0x0F, 0x05, 0x08])
+            + packed(3) + (20).to_bytes(2, "little") + bytes([8])
+            + bytes([0x1F])
+        )
+
+        def row_img(u, s, et, v, lsn) -> bytes:
+            nulls, out = 0, b""
+            out += int(u).to_bytes(8, "little", signed=True)
+            out += int(s).to_bytes(4, "little", signed=True)
+            if et is None or (isinstance(et, float) and pd.isna(et)):
+                nulls |= 1 << 2
+            else:
+                b = str(et).encode()
+                out += bytes([len(b)]) + b
+            if v is None or pd.isna(v):
+                nulls |= 1 << 3
+            else:
+                out += st.pack("<d", float(v))
+            out += int(lsn).to_bytes(8, "little")
+            return bytes([nulls]) + out
+
+        def rows_body(imgs: list, n_images: int = 1) -> bytes:
+            return (
+                (7).to_bytes(6, "little") + b"\x00\x00"
+                + (2).to_bytes(2, "little") + packed(5)
+                + bytes([0x1F]) * n_images + b"".join(imgs)
+            )
+
+        pdf = pdf.sort_values("source_lsn")
+        no = int(pdf["file_no"].iloc[0])
+        events = []
+        recs = pdf.to_dict("records")
+        for i in range(0, len(recs), 16):  # 16-row transactions
+            events.append((TABLE_MAP_EVENT, tmap_body))
+            for r in recs[i : i + 16]:
+                img = row_img(r["user_id"], r["slot"], r["event_type"],
+                              r["value"], r["source_lsn"])
+                if r["op"] == "I":
+                    events.append((EXT_WRITE_ROWS, rows_body([img])))
+                elif r["op"] == "D":
+                    events.append((EXT_DELETE_ROWS, rows_body([img])))
+                else:
+                    events.append(
+                        (EXT_UPDATE_ROWS, rows_body([img, img], n_images=2))
+                    )
+            events.append((XID_EVENT, (1).to_bytes(8, "little")))
+        data = encode_binlog_file(
+            events, checksum=True, next_file=f"mysql-bin.{no + 1:06d}"
+        )
+        path = os.path.join(out_dir, f"mysql-bin.{no:06d}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame({"file_no": [no], "n_events": [len(recs)]})
+
+    # eager: the files must exist before binaryFile plans the read
+    with_file.groupBy("file_no").applyInPandas(
+        write_file, "file_no int, n_events long"
+    ).collect()
+
+    from mysql_secure_agent_spark.sources.binlog_file import read_binlog_files
+
+    decoded = read_binlog_files(
+        spark,
+        os.path.join(out_dir, "mysql-bin.*"),
+        "s",
+        "t",
+        ["user_id", "slot", "event_type", "value", "lsn"],
+        "op string, user_id long, slot int, event_type string, "
+        "value double, lsn long, source_lsn long",
+        verify_checksum=True,
+    )
+    # in-image lsn is authoritative; the file-position lsn was transport
+    decoded = decoded.drop("source_lsn").withColumnRenamed("lsn", "source_lsn")
+    last = last_image_wins(decoded, ["user_id", "slot"], strategy="max_by")
+    return last.filter(F.col("op") != "D").select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("source_lsn").alias("last_lsn"),
+    )
+
+
 def q_cdc_truncate(spark, sf_dir):
     """TRUNCATE TABLE end-to-end: the change feed is re-encoded as wire
     packets with a ``TRUNCATE TABLE t`` QUERY event at the lsn midpoint;
@@ -3234,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decode_types": q_cdc_decode_types,
         "cdc_gtid_decode": q_cdc_gtid_decode,
         "cdc_txn_payload": q_cdc_txn_payload,
+        "cdc_binlog_file_ingest": q_cdc_binlog_file_ingest,
         "cdc_xa_transactions": q_cdc_xa_transactions,
         "cdc_truncate": q_cdc_truncate,
         "cdc_multi_table_txn": q_cdc_multi_table_txn,
@@ -3637,6 +3780,9 @@ WHERE rn <= 10
     return {
         "cdc_apply_changelog": final_state_sql,
         "cdc_txn_payload": final_state_sql,
+        # file framing/rotation/checksums are transport: the final state is
+        # the plain replay, so any framing bug breaks the hash
+        "cdc_binlog_file_ingest": final_state_sql,
         # rolled-back XA transactions (txn = lsn//16, txn % 5 == 4) never
         # commit: exclude them BEFORE last-image-wins, so a key whose
         # newest image rode a rolled-back txn falls back to its previous

@@ -1,0 +1,275 @@
+"""On-disk binlog FILE source: ``mysql-bin.NNNNNN`` → changelog DataFrame.
+
+The reference consumes binlog events only over a live replication socket —
+``source/binlog/client/EventReader.java`` frames packets off the stream the
+DUMP command opened (``client/shyiko/BinlogChannel.java:43-236``); it has no
+reader for the server's on-disk binlog files. At bulk scale the files
+themselves are the natural interchange: ``mysqlbinlog --raw``, filesystem
+snapshots, and object-store archival all deliver ``mysql-bin.NNNNNN`` files,
+and a cluster can decode MANY files in parallel (one task per file — a
+binlog file cannot be split mid-stream because events are variable-length)
+while a socket tail is inherently serial. Reading the files directly also
+makes historical backfill a batch job instead of a server re-serve.
+
+The file layout is public (MySQL internals manual "Binary Log Overview";
+libbinlogevents ``binlog_event.h``): a 4-byte magic ``0xFE 'b' 'i' 'n'``,
+then events back-to-back, each a 19-byte v4 header plus body. The first
+event is always FORMAT_DESCRIPTION, which self-describes the checksum
+algorithm every later event carries (alg byte at body[-5], see
+``parse_format_description``). Each header's ``next_position`` is the
+byte offset of the NEXT event (end_log_pos) — the same number ``SHOW
+BINLOG EVENTS`` prints and ``BinlogPosition.position`` checkpoints — so a
+row's lsn can be derived exactly as ``BinlogPosition.as_lsn`` does:
+``file_no * rotate_every + end_log_pos``.
+
+Framing is validated, not trusted: magic, per-event size floor, the
+end_log_pos chain, and (optionally) each event's CRC32. A truncated final
+event — a server crash mid-write; mysqld itself truncates these during
+binlog recovery — raises by default, or is dropped with
+``on_torn_tail="truncate"`` (the recovery semantic).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+import zlib
+
+from .binlog_packets import (
+    CHECKSUM_CRC32,
+    FORMAT_DESCRIPTION_EVENT,
+    ROTATE_EVENT,
+    EventHeader,
+    parse_event_header,
+    parse_format_description,
+)
+
+BINLOG_MAGIC = b"\xfebin"  # 0xFE 'b' 'i' 'n'
+
+#: default (file, pos) → lsn stride. ``max_binlog_size`` is capped at 1 GiB
+#: and end_log_pos is a u32, so 2**32 guarantees positions never collide
+#: across file numbers (BinlogPosition.as_lsn's 1e6 default suits synthetic
+#: positions, not byte offsets).
+ROTATE_EVERY = 1 << 32
+
+
+def file_number(path: str) -> int:
+    """``.../mysql-bin.000007`` → 7 (the numeric rotation suffix)."""
+    m = re.search(r"\.(\d+)$", path)
+    if not m:
+        raise ValueError(f"binlog file name has no numeric suffix: {path!r}")
+    return int(m.group(1))
+
+
+def iter_binlog_events(
+    data: bytes,
+    *,
+    verify_checksum: bool = False,
+    on_torn_tail: str = "raise",
+):
+    """Walk one binlog file's bytes, yielding ``(EventHeader, body)``.
+
+    The body INCLUDES the checksum tail (callers strip it exactly like the
+    socket path does, via the FDE-derived ``checksum_length``). Yields the
+    FDE itself first — feeding the events straight into
+    ``packets_to_changelog`` lets the stream self-configure.
+
+    ``verify_checksum``: check each event's CRC32 (ISO-3309, over header +
+    body-minus-CRC — the same span the server writes) once the FDE
+    announces CRC32. ``on_torn_tail``: "raise" (default) on a truncated
+    final event, "truncate" to drop it (mysqld's own binlog-recovery
+    behavior for a crash mid-write).
+    """
+    if on_torn_tail not in ("raise", "truncate"):
+        raise ValueError(f"on_torn_tail must be raise|truncate, got {on_torn_tail!r}")
+    if data[:4] != BINLOG_MAGIC:
+        raise ValueError(
+            f"not a binlog file: magic {data[:4]!r} != {BINLOG_MAGIC!r}"
+        )
+    off = 4
+    checksum_length = 0
+    first = True
+    n = len(data)
+    while off < n:
+        if off + 19 > n:
+            if on_torn_tail == "truncate":
+                return
+            raise ValueError(f"torn event header at offset {off} (file ends at {n})")
+        header_bytes = data[off : off + 19]
+        h = parse_event_header(header_bytes)
+        if h.event_length < 19:
+            raise ValueError(
+                f"corrupt event at offset {off}: event_length {h.event_length} < 19"
+            )
+        end = off + h.event_length
+        if end > n:
+            if on_torn_tail == "truncate":
+                return
+            raise ValueError(
+                f"torn event at offset {off}: declared size {h.event_length} "
+                f"runs past end of file ({n})"
+            )
+        body = data[off + 19 : end]
+        if first:
+            if h.type_code != FORMAT_DESCRIPTION_EVENT:
+                raise ValueError(
+                    "first event is not FORMAT_DESCRIPTION "
+                    f"(type {h.type_code:#04x}) — checksum config unknown"
+                )
+            _, checksum_length = parse_format_description(body)
+            first = False
+        if verify_checksum and checksum_length:
+            want = int.from_bytes(body[-4:], "little")
+            got = zlib.crc32(header_bytes + body[:-4])
+            if want != got:
+                raise ValueError(
+                    f"binlog event CRC32 mismatch at offset {off}: "
+                    f"stored {want:#010x}, computed {got:#010x}"
+                )
+        # end_log_pos chain: next_position is the offset of the next event.
+        # Artificial events (a ROTATE the server fabricates for a connecting
+        # replica) carry 0 — skip the check for those.
+        if h.next_position not in (0, end):
+            raise ValueError(
+                f"end_log_pos chain broken at offset {off}: header says "
+                f"{h.next_position}, next event starts at {end}"
+            )
+        yield h, body
+        off = end
+
+
+def binlog_file_to_packets(
+    data: bytes,
+    *,
+    lsn_base: int = 0,
+    verify_checksum: bool = False,
+    on_torn_tail: str = "raise",
+) -> list[tuple[int, bytes, int]]:
+    """One file's bytes → ``[(type_code, body, lsn)]`` ready for
+    ``packets_to_changelog``: lsn = ``lsn_base + end_log_pos``, the exact
+    ``BinlogPosition.as_lsn`` encoding, so positions from different files
+    interleave in true log order when ``lsn_base = file_no * ROTATE_EVERY``.
+    """
+    out = []
+    off = 4
+    for h, body in iter_binlog_events(
+        data, verify_checksum=verify_checksum, on_torn_tail=on_torn_tail
+    ):
+        off += h.event_length
+        pos = h.next_position or off
+        out.append((h.type_code, body, lsn_base + pos))
+    return out
+
+
+def read_binlog_files(
+    spark,
+    path,
+    schema_name: str,
+    table_name: str,
+    column_names: list[str],
+    result_schema: str,
+    *,
+    rotate_every: int = ROTATE_EVERY,
+    verify_checksum: bool = True,
+    on_torn_tail: str = "raise",
+):
+    """Distributed decode of a directory/glob of on-disk binlog files.
+
+    ``spark.read.format("binaryFile")`` lists the files; each decode task
+    handles whole files (events are variable-length — a file cannot be
+    split mid-stream; parallelism = file count, which is how servers
+    rotate anyway: one file per ``max_binlog_size``). Each emitted row's
+    ``source_lsn`` is ``file_no * rotate_every + end_log_pos`` — globally
+    ordered across files without any cross-file coordination, so
+    last-image-wins reconciliation downstream needs no shuffle beyond its
+    usual key exchange.
+
+    ``result_schema`` is the output DDL string ("op string, ...,
+    source_lsn long"); its column names must match ``column_names`` plus
+    op/source_lsn (the decode emits exactly those).
+    """
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def decode(batches):
+        from .binlog_packets import packets_to_changelog
+
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                base = file_number(rec["path"]) * rotate_every
+                packets = binlog_file_to_packets(
+                    bytes(rec["content"]),
+                    lsn_base=base,
+                    verify_checksum=verify_checksum,
+                    on_torn_tail=on_torn_tail,
+                )
+                rows = packets_to_changelog(
+                    packets, schema_name, table_name, column_names
+                )
+                yield rows[["op", *column_names, "source_lsn"]]
+
+    return files.mapInPandas(decode, schema=result_schema)
+
+
+# --------------------------------------------------------------- write side
+def encode_binlog_file(
+    events,
+    *,
+    server_version: str = "8.0.36-engine",
+    checksum: bool = True,
+    server_id: int = 1,
+    timestamp: int = 0,
+    next_file: str | None = None,
+) -> bytes:
+    """The write-side inverse (fixtures + binlog-format export): frame
+    ``(type_code, body)`` events into one on-disk binlog file — magic, a
+    FORMAT_DESCRIPTION first (alg byte + its own CRC, the >=5.6.1 tail
+    ``parse_format_description`` reads at body[-5]), correct end_log_pos
+    chaining, per-event CRC32 when ``checksum``, and an optional trailing
+    ROTATE naming ``next_file`` (how real files hand off to their
+    successor).
+    """
+    out = bytearray(BINLOG_MAGIC)
+
+    def emit(type_code: int, body: bytes) -> None:
+        tail = 4 if checksum else 0
+        size = 19 + len(body) + tail
+        header = struct.pack(
+            "<IBIIIH", timestamp, type_code, server_id,
+            size, len(out) + size, 0,
+        )
+        out.extend(header)
+        out.extend(body)
+        if checksum:
+            out.extend(
+                zlib.crc32(header + body).to_bytes(4, "little")
+            )
+
+    # FDE: binlog_version(2) + server_version(50 NUL-padded) + create_ts(4)
+    # + common_header_length(1) + per-type post-header lengths (one byte per
+    # known type; zeros are fine — nothing here consumes them) + alg byte.
+    sv = server_version.encode("latin1")[:50]
+    fde = (
+        (4).to_bytes(2, "little")
+        + sv + b"\x00" * (50 - len(sv))
+        + timestamp.to_bytes(4, "little")
+        + bytes([19])
+        + bytes(40)
+        + bytes([CHECKSUM_CRC32 if checksum else 0])
+    )
+    # the FDE always carries the 4-byte checksum field after the alg byte
+    # (zeros when alg=NONE) so body[-5] is the alg byte either way
+    if checksum:
+        emit(FORMAT_DESCRIPTION_EVENT, fde)
+    else:
+        size = 19 + len(fde) + 4
+        header = struct.pack(
+            "<IBIIIH", timestamp, FORMAT_DESCRIPTION_EVENT, server_id,
+            size, len(out) + size, 0,
+        )
+        out.extend(header + fde + bytes(4))
+    for type_code, body in events:
+        emit(type_code, body)
+    if next_file is not None:
+        emit(ROTATE_EVENT, (4).to_bytes(8, "little") + next_file.encode())
+    return bytes(out)

@@ -1401,8 +1401,21 @@ def packets_to_changelog_and_ddl(
                              emit_presence, lsn, sink)
         # Stop / None (TABLE_MAP, XID, ROTATE, GTID, heartbeat): no emission
 
-    for type_code, payload in packets:
-        lsn += 1
+    for pkt in packets:
+        if len(pkt) == 3:
+            # explicit log position (the on-disk file reader supplies
+            # end_log_pos-derived lsns in the BinlogPosition.as_lsn
+            # encoding so rows from different files interleave in true
+            # log order) — must be monotone like the counter it replaces
+            type_code, payload, pos = pkt
+            if pos < lsn:
+                raise ValueError(
+                    f"packet positions must be non-decreasing: {pos} after {lsn}"
+                )
+            lsn = pos
+        else:
+            type_code, payload = pkt
+            lsn += 1
         if type_code == FORMAT_DESCRIPTION_EVENT:
             # stream self-configures: the FDE announces the checksum tail
             # every later event carries (alg byte, parse_format_description)

@@ -1,0 +1,186 @@
+"""On-disk binlog FILE framing + distributed file-parallel decode.
+
+The reference reads events only off a replication socket
+(source/binlog/client/EventReader.java); the on-disk file format (magic
+0xFE 'b' 'i' 'n' + FDE + events, public per the MySQL internals manual)
+is covered here: framing round-trip, CRC verification, torn-tail
+recovery, end_log_pos chain validation, and the distributed
+binaryFile→mapInPandas read path converging to the sequential replay.
+"""
+
+import datetime as dt
+import os
+from decimal import Decimal
+
+import pytest
+
+from mysql_secure_agent_spark.sources.binlog_file import (
+    BINLOG_MAGIC,
+    ROTATE_EVERY,
+    binlog_file_to_packets,
+    encode_binlog_file,
+    file_number,
+    iter_binlog_events,
+    read_binlog_files,
+)
+from mysql_secure_agent_spark.sources.binlog_packets import (
+    EXT_DELETE_ROWS,
+    EXT_WRITE_ROWS,
+    FORMAT_DESCRIPTION_EVENT,
+    ROTATE_EVENT,
+    TABLE_MAP_EVENT,
+    XID_EVENT,
+    packets_to_changelog,
+)
+
+from test_binlog_packets import _row, _rows_body, _synthetic_table_map
+
+COLS = ["id", "name", "amount", "day"]
+
+
+def _events(ids, op=EXT_WRITE_ROWS):
+    evs = [(TABLE_MAP_EVENT, _synthetic_table_map())]
+    for i in ids:
+        evs.append(
+            (op, _rows_body([_row(i, f"n{i}", Decimal(f"{i}.25"), dt.date(2026, 1, 2))]))
+        )
+    evs.append((XID_EVENT, (1).to_bytes(8, "little")))
+    return evs
+
+
+def test_magic_and_roundtrip_with_crc():
+    data = encode_binlog_file(_events([1, 2, 3]), checksum=True)
+    assert data[:4] == BINLOG_MAGIC
+    got = list(iter_binlog_events(data, verify_checksum=True))
+    # FDE + TABLE_MAP + 3 writes + XID
+    assert [h.type_code for h, _ in got] == [
+        FORMAT_DESCRIPTION_EVENT, TABLE_MAP_EVENT,
+        EXT_WRITE_ROWS, EXT_WRITE_ROWS, EXT_WRITE_ROWS, XID_EVENT,
+    ]
+    rows = packets_to_changelog(
+        binlog_file_to_packets(data, verify_checksum=True), "s", "t", COLS
+    )
+    assert list(rows["id"]) == [1, 2, 3]
+    # lsn = end_log_pos of the carrying event: strictly increasing, > 4
+    assert rows["source_lsn"].is_monotonic_increasing
+    assert (rows["source_lsn"] > 4).all()
+
+
+def test_roundtrip_without_checksum():
+    data = encode_binlog_file(_events([9]), checksum=False)
+    rows = packets_to_changelog(binlog_file_to_packets(data), "s", "t", COLS)
+    assert list(rows["id"]) == [9]
+
+
+def test_bad_magic_rejected():
+    data = b"PK\x03\x04" + encode_binlog_file(_events([1]))[4:]
+    with pytest.raises(ValueError, match="magic"):
+        list(iter_binlog_events(data))
+
+
+def test_corrupt_crc_detected_only_when_verifying():
+    data = bytearray(encode_binlog_file(_events([1, 2])))
+    data[-1] ^= 0xFF  # flip a bit in the last event's CRC
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        list(iter_binlog_events(bytes(data), verify_checksum=True))
+    # without verification the event still frames (the socket path's
+    # strip-only behavior, BinlogClient.java:242)
+    assert len(list(iter_binlog_events(bytes(data)))) == 5
+
+
+def test_torn_tail_raise_and_truncate():
+    data = encode_binlog_file(_events([1, 2]))
+    torn = data[:-5]  # cut into the final event
+    with pytest.raises(ValueError, match="torn"):
+        list(iter_binlog_events(torn))
+    kept = list(iter_binlog_events(torn, on_torn_tail="truncate"))
+    # the torn XID is dropped; everything before it survives intact
+    assert [h.type_code for h, _ in kept][-1] == EXT_WRITE_ROWS
+    assert len(kept) == len(list(iter_binlog_events(data))) - 1
+
+
+def test_first_event_must_be_fde():
+    data = encode_binlog_file(_events([1]))
+    # strip the FDE (its size is in the header at offset 4+9)
+    fde_size = int.from_bytes(data[4 + 9 : 4 + 13], "little")
+    with pytest.raises(ValueError, match="FORMAT_DESCRIPTION"):
+        list(iter_binlog_events(data[:4] + data[4 + fde_size :]))
+
+
+def test_end_log_pos_chain_validated():
+    data = bytearray(encode_binlog_file(_events([1])))
+    # corrupt the FDE header's next_position field (offset 4+13, 4 bytes)
+    data[4 + 13 : 4 + 17] = (999999).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="chain broken"):
+        list(iter_binlog_events(bytes(data)))
+
+
+def test_rotate_tail_names_successor():
+    data = encode_binlog_file(_events([1]), next_file="mysql-bin.000002")
+    h, body = list(iter_binlog_events(data))[-1]
+    assert h.type_code == ROTATE_EVENT
+    assert body[8:-4] == b"mysql-bin.000002"
+
+
+def test_file_number():
+    assert file_number("/x/mysql-bin.000007") == 7
+    with pytest.raises(ValueError):
+        file_number("/x/notabinlog")
+
+
+def test_distributed_read_matches_sequential_replay(spark, tmp_path):
+    # 3 rotated files; file 2 deletes a key from file 1 — the merged view
+    # must honor cross-file lsn order purely from (file_no, end_log_pos)
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    all_packets = []
+    specs = [
+        (1, _events([1, 2, 3])),
+        (
+            2,
+            [
+                (TABLE_MAP_EVENT, _synthetic_table_map()),
+                (EXT_DELETE_ROWS, _rows_body(
+                    [_row(2, "n2", Decimal("2.25"), dt.date(2026, 1, 2))])),
+                (EXT_WRITE_ROWS, _rows_body(
+                    [_row(4, "n4", Decimal("4.25"), dt.date(2026, 1, 2))])),
+                (XID_EVENT, (1).to_bytes(8, "little")),
+            ],
+        ),
+        (3, _events([5, 1])),
+    ]
+    for no, evs in specs:
+        data = encode_binlog_file(evs, next_file=f"mysql-bin.{no + 1:06d}")
+        (d / f"mysql-bin.{no:06d}").write_bytes(data)
+        all_packets += binlog_file_to_packets(data, lsn_base=no * ROTATE_EVERY)
+    seq = packets_to_changelog(all_packets, "s", "t", COLS)
+
+    df = read_binlog_files(
+        spark,
+        os.path.join(str(d), "mysql-bin.*"),
+        "s",
+        "t",
+        COLS,
+        "op string, id int, name string, amount decimal(8,2), day date, "
+        "source_lsn long",
+    )
+    got = df.orderBy("source_lsn").toPandas()
+    assert list(got["op"]) == list(seq["op"])
+    assert list(got["id"]) == list(seq["id"])
+    assert list(got["source_lsn"]) == list(seq["source_lsn"])
+    # last-image-wins over the file-derived lsn: key 2 deleted, key 1 re-upserted
+    import pandas as pd
+
+    live = (
+        got.sort_values("source_lsn").groupby("id").last().reset_index()
+    )
+    live = live[live["op"] != "D"]
+    assert sorted(live["id"]) == [1, 3, 4, 5]
+
+
+def test_explicit_positions_must_be_monotone():
+    data = encode_binlog_file(_events([1]))
+    pkts = binlog_file_to_packets(data)
+    bad = pkts + [(pkts[-1][0], pkts[-1][1], 5)]  # position goes backwards
+    with pytest.raises(ValueError, match="non-decreasing"):
+        packets_to_changelog(bad, "s", "t", COLS)

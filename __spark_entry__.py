@@ -2970,8 +2970,12 @@ def q_cdc_point_lookup(spark, sf_dir):
     """O(bucket) point lookup: the changelog is merged into a LakeTable
     bucketed on user_id alone, then lookup(user_id=42) computes the bucket
     DRIVER-SIDE (pure-Python Murmur3, lake/bucketing.py) and reads only that
-    bucket's files — 1/n_buckets of the listing at any table size. Oracle:
-    the final state restricted to that user."""
+    bucket's files — 1/n_buckets of the listing at any table size. Within
+    the bucket, per-file key BLOOMS recorded at merge time (lake/bloom.py,
+    Hudi's bloom-index pattern) drop the micro-batch delta files that
+    provably lack the key from the LISTING — the pruning layer min/max
+    stats cannot provide for arrival-ordered deltas. Oracle: the final
+    state restricted to that user."""
     from mysql_secure_agent_spark.lake.table import LakeTable
 
     cl = _events_changelog(spark, sf_dir)

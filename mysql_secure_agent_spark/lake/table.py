@@ -130,6 +130,35 @@ def _file_key_stats(path: str, cols: list[str]) -> dict[str, list[Any]]:
     return out
 
 
+def _file_key_bloom(
+    path: str, cols: list[str], ddl_types: list[str]
+) -> dict[str, Any] | None:
+    """Manifest bloom over the file's bucket-key tuples (``lake.bloom``) —
+    recorded only for files at/below ``KEY_BLOOM_MAX_ROWS`` rows (the
+    micro-batch deltas range stats cannot prune; a bulk file's bloom would
+    bloat driver metadata and compaction will key-sort it soon anyway) and
+    only when every bucket-key type is driver-hashable. The column read is
+    pruned to the key columns; the row cap comes from the footer first, so
+    an over-cap file costs one metadata read and zero data pages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .bloom import KEY_BLOOM_MAX_ROWS, build_bloom, key_hash
+
+    pf = pq.ParquetFile(path)
+    if pf.metadata.num_rows > KEY_BLOOM_MAX_ROWS:
+        return None
+    try:
+        tbl = pf.read(columns=cols)
+    except (KeyError, pa.ArrowInvalid):
+        return None
+    tuples = zip(*(tbl.column(c).to_pylist() for c in cols))
+    try:
+        return build_bloom(key_hash(list(t), ddl_types) for t in tuples)
+    except TypeError:  # un-hashable bucket-key type — stays un-prunable
+        return None
+
+
 def _entry_intersects(
     entry: dict[str, Any], key_range: dict[str, tuple[Any, Any]]
 ) -> bool:
@@ -527,6 +556,7 @@ class LakeTable:
         kind: str,
         footer_lsn_stats: bool = False,
         key_stats_cols: list[str] | None = None,
+        key_bloom_cols: list[tuple[str, str]] | None = None,
     ) -> dict[str, list[dict[str, Any]]]:
         """Manifest entries for the ``_bucket=``-partitioned parquet files a
         rewrite just wrote under ``out_dir`` — the ONE implementation every
@@ -560,6 +590,14 @@ class LakeTable:
                     ks = _file_key_stats(abs_p, key_stats_cols)
                     if ks:
                         entry["key_stats"] = ks
+                if key_bloom_cols:
+                    kb = _file_key_bloom(
+                        abs_p,
+                        [c for c, _ in key_bloom_cols],
+                        [t for _, t in key_bloom_cols],
+                    )
+                    if kb:
+                        entry["key_bloom"] = kb
                 files.setdefault(b, []).append(entry)
         return files
 
@@ -588,11 +626,23 @@ class LakeTable:
         buckets: list[int] | None = None,
         min_lsn_exclusive: int | None = None,
         key_range: dict[str, tuple[Any, Any]] | None = None,
+        key_probe: int | None = None,
     ) -> list[str]:
         """Listing-level file planning (the Iceberg ``planFiles`` analog):
-        bucket pruning, lsn-cursor pruning, and key-range pruning against
-        the per-file stats recorded in the manifest — no footer is opened.
-        Entries without the relevant stats are kept (conservative)."""
+        bucket pruning, lsn-cursor pruning, key-range pruning, and — for a
+        point lookup — per-file key-BLOOM pruning, all against stats
+        recorded in the manifest; no footer is opened. Entries without the
+        relevant stats are kept (conservative).
+
+        ``key_probe`` is the Murmur3 h1 of the full bucket-key tuple
+        (``lake.bloom.key_hash``): delta files whose recorded bloom proves
+        the key absent are dropped — the pruning layer that works where
+        min/max cannot (arrival-ordered micro-batch deltas span the whole
+        key domain). Sound for reconciliation: every image of a key,
+        including its tombstone, carries the same bucket-key tuple, so a
+        file the bloom excludes holds NO image of the looked-up key."""
+        from .bloom import bloom_contains
+
         paths: list[str] = []
         for b, entries in commit.files.items():
             if buckets is not None and int(b) not in buckets:
@@ -606,6 +656,12 @@ class LakeTable:
                     continue
                 if key_range is not None and not _entry_intersects(e, key_range):
                     continue
+                if (
+                    key_probe is not None
+                    and e.get("key_bloom") is not None
+                    and not bloom_contains(e["key_bloom"], key_probe)
+                ):
+                    continue
                 paths.append(os.path.join(self.root, e["path"]))
         return paths
 
@@ -616,6 +672,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         min_lsn_exclusive: int | None = None,
         key_range: dict[str, tuple[Any, Any]] | None = None,
+        key_probe: int | None = None,
     ) -> DataFrame | None:
         """Raw base+delta rows (with system columns) for the given buckets.
 
@@ -623,10 +680,14 @@ class LakeTable:
         cursor — listing-level pruning: an incremental reader of a 10^6-file
         table opens only the files its cursor can touch, no footer reads.
         ``key_range`` additionally skips files whose recorded per-file key
-        stats (written by sorted compaction) cannot intersect the range.
-        Entries without recorded stats (legacy/modify-rewrite) are kept —
-        parquet row-group stats still prune them executor-side."""
-        paths = self.candidate_paths(commit, buckets, min_lsn_exclusive, key_range)
+        stats (written by sorted compaction) cannot intersect the range;
+        ``key_probe`` skips delta files whose manifest bloom proves the
+        looked-up key absent. Entries without recorded stats
+        (legacy/modify-rewrite) are kept — parquet row-group stats still
+        prune them executor-side."""
+        paths = self.candidate_paths(
+            commit, buckets, min_lsn_exclusive, key_range, key_probe
+        )
         if not paths:
             return None
         # Explicit schema → files written before an ADD COLUMN project the new
@@ -653,6 +714,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         strategy: str = "max_by",
         key_range: dict[str, tuple[Any, Any]] | None = None,
+        key_probe: int | None = None,
     ) -> DataFrame:
         """Reconciled current state: last image per key, tombstones dropped.
 
@@ -676,7 +738,9 @@ class LakeTable:
         resurrect.
         """
         commit = self.commit_at(version)
-        return self._reconciled_state(spark, commit, buckets, strategy, key_range)
+        return self._reconciled_state(
+            spark, commit, buckets, strategy, key_range, key_probe
+        )
 
     def _reconciled_state(
         self,
@@ -685,6 +749,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         strategy: str = "max_by",
         key_range: dict[str, tuple[Any, Any]] | None = None,
+        key_probe: int | None = None,
     ) -> DataFrame:
         """read()'s body over an already-loaded (resolved) commit — shared
         with read_staged(), which reconciles a commit that CURRENT never
@@ -697,7 +762,9 @@ class LakeTable:
                     f"{commit.key_cols}: listing-level range pruning is only "
                     "sound for columns immutable across a key's images"
                 )
-        raw = self._read_files(spark, commit, buckets, key_range=key_range)
+        raw = self._read_files(
+            spark, commit, buckets, key_range=key_range, key_probe=key_probe
+        )
         cols = [n for n, _ in commit.schema]
         if raw is None:
             return spark.createDataFrame(
@@ -745,18 +812,21 @@ class LakeTable:
             raise NotImplementedError(
                 f"driver-side bucketing for {commit.bucket_function!r} tables"
             )
-        from .bucketing import bucket_for
+        from .bloom import key_hash
 
         types = dict(commit.schema)
-        b = bucket_for(
+        # one Murmur3 chain serves both pruning layers: bucket id is
+        # h mod n_buckets (bucket_for's math) and h itself is the bloom
+        # probe for per-file key_bloom entries (lake.bloom)
+        h = key_hash(
             [key[c] for c in commit.bucket_cols],
             [types[c] for c in commit.bucket_cols],
-            commit.n_buckets,
         )
+        b = h % commit.n_buckets
         # point range per key column → files whose recorded key stats
         # exclude the key never enter the listing (on top of bucket pruning)
         key_range = {c: (v, v) for c, v in key.items() if c in dict(commit.schema)}
-        out = self.read(spark, buckets=[b], key_range=key_range)
+        out = self.read(spark, buckets=[b], key_range=key_range, key_probe=h)
         for c, v in key.items():
             out = out.filter(F.col(c) == F.lit(v))
         return out
@@ -1028,7 +1098,11 @@ class LakeTable:
         # partitionBy writes exactly one file per bucket per commit.
         with_bucket.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
-        delta = self._walk_written(out_dir, rel_dir, "delta")
+        types = dict(commit.schema)
+        delta = self._walk_written(
+            out_dir, rel_dir, "delta",
+            key_bloom_cols=[(c, types[c]) for c in commit.bucket_cols],
+        )
         touched = sorted(int(b) for b in delta)
         n_files = sum(len(es) for es in delta.values())
         try:

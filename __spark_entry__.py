@@ -3000,6 +3000,88 @@ def q_cdc_point_lookup(spark, sf_dir):
     )
 
 
+def q_cdc_join_view_incremental(spark, sf_dir):
+    """Incrementally-maintained JOIN view (lake/join_view.py): a fact lake
+    (the events changelog, fk ``cust_key = user_id % |customer| + 1``) LEFT
+    JOINed to a customer dim lake, refreshed by affected-key recompute from
+    BOTH changefeeds. Three epochs prove both delta paths end to end:
+    (1) first half of the feed + the initial dim → refresh (backfill);
+    (2) a dim update (acctbal += 100 for custkey % 7 == 0) → refresh — the
+    right-path fan-out rewrites every referencing view row via the reverse
+    fk lookup; (3) the feed's second half → refresh (left path, including
+    deletes shipping view deletes). The reference ships per-table
+    changelogs and leaves joining to the warehouse (OutputSpec.java writes
+    tables independently); maintaining the join AS a lake table exceeds
+    it. Oracle = the plain join of both final states, so cursor atomicity,
+    the fan-out path, and delete propagation are all hash-gated."""
+    from mysql_secure_agent_spark.lake.join_view import JoinView
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    n_cust = _t(spark, sf_dir, "customer").count()
+    cl = _events_changelog(spark, sf_dir).withColumn(
+        "cust_key", (F.col("user_id") % n_cust + 1).cast("long")
+    ).select("op", "user_id", "slot", "cust_key", "event_type", "value",
+             "source_lsn")
+    lo, hi = cl.agg(F.min("source_lsn"), F.max("source_lsn")).first()
+    mid = (int(lo) + int(hi)) // 2
+
+    base = tempfile.mkdtemp(prefix="lake_jv_")
+    fact_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("cust_key", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    dim_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), False),
+            T.StructField("c_name", T.StringType(), True),
+            T.StructField("c_acctbal", T.DoubleType(), True),
+        ]
+    )
+    fact = LakeTable.create(
+        os.path.join(base, "fact"), fact_schema, ["user_id", "slot"], n_buckets=8
+    )
+    dim = LakeTable.create(
+        os.path.join(base, "dim"), dim_schema, ["c_custkey"], n_buckets=8
+    )
+    view = JoinView.create(os.path.join(base, "view"), fact, dim, fk="cust_key")
+
+    dim0 = _t(spark, sf_dir, "customer").select(
+        F.lit("U").alias("op"),
+        F.col("c_custkey").cast("long"),
+        "c_name",
+        F.col("c_acctbal").cast("double"),
+        F.col("c_custkey").cast("long").alias("source_lsn"),
+    )
+    dim.merge(spark, dim0, "dim-initial")
+    fact.merge(spark, cl.filter(F.col("source_lsn") <= mid), "fact-1")
+    view.refresh(spark)  # epoch 1: backfill
+
+    dim_upd = dim0.filter(F.col("c_custkey") % 7 == 0).select(
+        "op", "c_custkey", "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        (F.col("source_lsn") + 1_000_000_000).alias("source_lsn"),
+    )
+    dim.merge(spark, dim_upd, "dim-update")
+    view.refresh(spark)  # epoch 2: right-path fan-out
+
+    fact.merge(spark, cl.filter(F.col("source_lsn") > mid), "fact-2")
+    view.refresh(spark)  # epoch 3: left path incl. deletes
+
+    return view.view.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        "c_name",
+        F.col("c_acctbal").alias("cust_acctbal"),
+    )
+
+
 # ============================================== conversation-level operators
 def _doc_turns(spark, sf_dir):
     """documents reinterpreted as transcript turns: conv = doc_id mod 200,
@@ -3400,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_interleaved": q_cdc_snapshot_interleaved,
         "cdc_multi_source": q_cdc_multi_source,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_join_view_incremental": q_cdc_join_view_incremental,
         "transcript_assemble": q_transcript_assemble,
         "transcript_token_budget": q_transcript_token_budget,
         "train_sample_stratified": q_train_sample_stratified,
@@ -4328,6 +4411,26 @@ SELECT user_id, slot,
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D' AND user_id = 42
+""",
+        # the maintained view must equal the PLAIN join of both final
+        # states: fact final state (replay) LEFT JOIN the dim with its
+        # mid-stream update applied (acctbal+100 for custkey % 7 == 0)
+        "cdc_join_view_incremental": _CHANGELOG_CTE
+        + """
+, fs AS (
+  SELECT user_id, slot, event_type, value,
+         user_id % (SELECT count(*) FROM customer) + 1 AS cust_key
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                     ORDER BY source_lsn DESC) AS rn FROM cl)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT fs.user_id, fs.slot,
+       fs.event_type AS last_event_type,
+       fs.value AS last_value,
+       c.c_name,
+       CAST(CASE WHEN c.c_custkey % 7 = 0 THEN c.c_acctbal + 100
+                 ELSE c.c_acctbal END AS DOUBLE) AS cust_acctbal
+FROM fs LEFT JOIN customer c ON fs.cust_key = c.c_custkey
 """,
         "transcript_assemble": f"""
 WITH t AS ({_DOC_TURNS_SQL})

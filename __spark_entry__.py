@@ -2601,6 +2601,43 @@ def q_cdc_snapshot_order(spark, sf_dir):
 
 
 # ======================================================== relational fragments
+def q_agg_distinct_hll(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-count (operators/sketches.py): per
+    event_type, approx distinct users computed as per-shard register
+    sketches MERGED by element-wise max, then estimated — the incremental
+    "distinct users per segment" a 10^10-event table cannot afford to
+    count(distinct) from scratch, alongside the exact count for
+    reference. The whole sketch is Catalyst (two-level partial agg, the
+    shuffle carries ≤ m rows per group per map partition); ρ uses
+    length(bin(w)) so the register table is integer-exact and the full
+    estimator — α, Σ2^-ρ (dyadic, exact in double), linear-counting
+    branch — reproduces bit-for-bit in DuckDB: a genuinely oracle-gated
+    approximate operator."""
+    from mysql_secure_agent_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sharded = hll_registers(
+        ev.withColumn("shard", (F.col("user_id") % 4).cast("int")),
+        ["event_type", "shard"],
+        "user_id",
+        p=12,
+    )
+    merged = hll_merge(sharded.drop("shard"), ["event_type"])
+    est = hll_estimate(merged, ["event_type"], p=12)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("approx").alias("approx_users"),
+        "exact_users",
+    )
+
+
 def q_agg_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -3492,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": q_events_time_rollup,
         "events_asof_enrich": q_events_asof_enrich,
         "events_interval_join": q_events_interval_join,
+        "agg_distinct_hll": q_agg_distinct_hll,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
         "join_enrich": q_join_enrich,
@@ -4514,6 +4552,41 @@ FROM (SELECT * FROM events WHERE event_type = 'click') l
 JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id
  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+""",
+        # the same HLL math, register for register: portable md5-derived
+        # 32-bit hash, p=12, rho via length(bin(w)) (integer-exact), dyadic
+        # power sums (exact in double), shared alpha literal — the
+        # approximate estimate itself is hash-gated, not just its inputs
+        "agg_distinct_hll": """
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h % 4096 AS reg_idx,
+         max(CASE WHEN h // 4096 = 0 THEN 21
+                  ELSE 21 - length(bin(h // 4096)) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, sum(pow(2.0, -rho)) AS s_hit, count(*) AS n_hit
+  FROM r GROUP BY 1
+),
+e AS (
+  SELECT event_type,
+         0.7213 / (1.0 + 1.079 / 4096) * 4096.0 * 4096.0
+           / (s_hit + (4096 - n_hit)) AS raw,
+         4096 - n_hit AS zeros
+  FROM g
+)
+SELECT e.event_type,
+       CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+            THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END AS approx_users,
+       x.exact_users
+FROM e JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users
+             FROM events WHERE user_id IS NOT NULL GROUP BY 1) x
+  USING (event_type)
 """,
         "agg_rollup": """
 SELECT event_type, count(*) AS cnt,

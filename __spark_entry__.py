@@ -3274,6 +3274,36 @@ def q_events_time_rollup(spark, sf_dir):
     return tumbling_rollup(ev, window_duration="1 hour")
 
 
+def q_events_window_distinct(spark, sf_dir):
+    """Windowed distinct users at bounded state (streaming/windowed_agg.py
+    windowed_distinct): per (1-hour tumbling window, event_type), the HLL
+    register sketch — a plain max aggregation Structured Streaming accepts
+    natively, ≤ 2^p register rows of state per open window regardless of
+    user cardinality (the streaming twin and its closed-window equality
+    with this batch definition are tested in test_windowed_distinct.py) —
+    folded to the approximate count, with the exact count alongside. The
+    full estimator reproduces bit-for-bit in DuckDB (see agg_distinct_hll)."""
+    from mysql_secure_agent_spark.streaming.windowed_agg import (
+        windowed_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    approx = windowed_distinct(
+        ev, window_duration="1 hour", key_cols=["event_type"]
+    )
+    exact = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact_users")).select(
+        F.col("w.start").alias("window_start"), "event_type", "exact_users"
+    )
+    return approx.join(exact, ["window_start", "event_type"]).select(
+        "window_start",
+        "event_type",
+        F.col("approx_distinct").alias("approx_users"),
+        "exact_users",
+    )
+
+
 def q_text_redact_pii(spark, sf_dir):
     """PII scrub (functions/text_analysis.py): chained regexp_replace with
     RE2-compatible patterns shared VERBATIM with the oracle (imported, not
@@ -3527,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "events_sessionize": q_events_sessionize,
         "events_time_rollup": q_events_time_rollup,
+        "events_window_distinct": q_events_window_distinct,
         "events_asof_enrich": q_events_asof_enrich,
         "events_interval_join": q_events_interval_join,
         "agg_distinct_hll": q_agg_distinct_hll,
@@ -4519,6 +4550,41 @@ SELECT date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        sum(value) AS sum_value
 FROM events GROUP BY 1, 2, 3
+""",
+        # the HLL estimator of agg_distinct_hll, grouped by the tumbling
+        # hour (date_trunc == F.window('1 hour') for epoch-aligned hours)
+        "events_window_distinct": """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT window_start, event_type, h % 4096 AS reg_idx,
+         max(CASE WHEN h // 4096 = 0 THEN 21
+                  ELSE 21 - length(bin(h // 4096)) END) AS rho
+  FROM h GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT window_start, event_type,
+         sum(pow(2.0, -rho)) AS s_hit, count(*) AS n_hit
+  FROM r GROUP BY 1, 2
+),
+e AS (
+  SELECT window_start, event_type,
+         0.7213 / (1.0 + 1.079 / 4096) * 4096.0 * 4096.0
+           / (s_hit + (4096 - n_hit)) AS raw,
+         4096 - n_hit AS zeros
+  FROM g
+)
+SELECT e.window_start, e.event_type,
+       CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+            THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END AS approx_users,
+       x.exact_users
+FROM e JOIN (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                    count(DISTINCT user_id) AS exact_users
+             FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2) x
+  USING (window_start, event_type)
 """,
         "events_sessionize": """
 WITH n AS (

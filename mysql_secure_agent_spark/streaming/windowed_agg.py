@@ -23,7 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["tumbling_rollup", "tumbling_rollup_stream"]
+__all__ = [
+    "tumbling_rollup",
+    "tumbling_rollup_stream",
+    "windowed_distinct_registers",
+    "windowed_distinct_registers_stream",
+    "windowed_distinct",
+]
 
 
 def tumbling_rollup(
@@ -68,3 +74,96 @@ def tumbling_rollup_stream(
         ts_col=ts_col,
         key_cols=key_cols,
     )
+
+
+# ------------------------------------------------- windowed distinct (HLL)
+def windowed_distinct_registers(
+    df: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "user_id",
+    p: int = 12,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Distinct-count REGISTERS per (tumbling window, keys) — the shared
+    batch/stream definition for "distinct users per hour per segment".
+
+    A streaming ``count(distinct)`` needs state proportional to the
+    distinct VALUES per open window — unbounded under a hot window. The
+    HLL register form (``operators/sketches``) is a plain max aggregation,
+    so Structured Streaming accepts it natively and the state per open
+    window is AT MOST m = 2^p register rows per key group, no matter how
+    many billions of users flow through. Max is also the HLL merge, so
+    late batches, shard unions, and stream restarts all fold losslessly.
+
+    Output: window_start/window_end + keys + reg_idx + rho. Streaming
+    emits FINAL register rows once the watermark passes the window
+    (append mode); the estimate is a stateless O(m)-per-window fold over
+    the emitted rows (``windowed_distinct`` / ``hll_estimate``) — chaining
+    it INTO the streaming query would be a second stateful aggregation,
+    which append-mode streaming does not compose."""
+    from ..operators.sketches import hll_registers
+
+    keys = key_cols if key_cols is not None else ["event_type"]
+    regs = hll_registers(
+        df.select(F.window(F.col(ts_col), window_duration).alias("w"), *keys,
+                  value_col),
+        ["w", *keys],
+        value_col,
+        p=p,
+        hash_fn=hash_fn,
+    )
+    return regs.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        "reg_idx",
+        "rho",
+    )
+
+
+def windowed_distinct_registers_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "user_id",
+    p: int = 12,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Streaming twin: identical registers over a readStream DataFrame;
+    the watermark bounds open-window state and drops late events (same
+    semantics as ``tumbling_rollup_stream``)."""
+    return windowed_distinct_registers(
+        events.withWatermark(ts_col, watermark_delay),
+        window_duration=window_duration,
+        ts_col=ts_col,
+        key_cols=key_cols,
+        value_col=value_col,
+        p=p,
+        hash_fn=hash_fn,
+    )
+
+
+def windowed_distinct(
+    df: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "user_id",
+    p: int = 12,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Registers → approx distinct per (window, keys). Batch convenience
+    AND the estimator to run over a streamed register sink."""
+    from ..operators.sketches import hll_estimate
+
+    keys = key_cols if key_cols is not None else ["event_type"]
+    regs = windowed_distinct_registers(
+        df, window_duration, ts_col, keys, value_col, p, hash_fn
+    )
+    return hll_estimate(
+        regs, ["window_start", "window_end", *keys], p=p
+    ).withColumnRenamed("approx", "approx_distinct")

@@ -2638,6 +2638,45 @@ def q_agg_distinct_hll(spark, sf_dir):
     )
 
 
+def q_topk_heavy_hitters_cms(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketches.py cms_*): a d=4 ×
+    w=1024 counter sketch built per shard and MERGED by counter sum (the
+    lossless CMS union), then point-queried for the exact top-10 users —
+    the O(d·w)-space incremental answer to "who is hot" that a 10^10-event
+    stream cannot re-count. Counts are integers, so the oracle checks the
+    ESTIMATES themselves (one-sided: cms_n ≥ exact_n), not just inputs:
+    hash salting, counter sums, the shard merge, and the min-fold all
+    reproduce exactly in DuckDB via the portable md5 hash."""
+    from mysql_secure_agent_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_rows,
+    )
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sharded = cms_rows(
+        ev.withColumn("shard", (F.col("user_id") % 4).cast("int")),
+        ["shard"],
+        "user_id",
+    )
+    cms = cms_merge(sharded.drop("shard"), [])
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_n").desc(), F.col("user_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    return cms_estimate(cms, [], top, "user_id").select(
+        "user_id", "exact_n", "cms_n"
+    )
+
+
 def q_agg_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -3561,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_enrich": q_events_asof_enrich,
         "events_interval_join": q_events_interval_join,
         "agg_distinct_hll": q_agg_distinct_hll,
+        "topk_heavy_hitters_cms": q_topk_heavy_hitters_cms,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
         "join_enrich": q_join_enrich,
@@ -4653,6 +4693,35 @@ SELECT e.event_type,
 FROM e JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users
              FROM events WHERE user_id IS NOT NULL GROUP BY 1) x
   USING (event_type)
+""",
+        # count-min, counter for counter: salted portable hash i + ':' +
+        # value, d=4 rows × w=1024 counters, min-fold over the probe's
+        # cells — integer math end to end, estimates hash-gated exactly
+        "topk_heavy_hitters_cms": """
+WITH x AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+top AS (
+  SELECT user_id, exact_n
+  FROM (SELECT *, row_number() OVER (ORDER BY exact_n DESC, user_id) AS rn
+        FROM x)
+  WHERE rn <= 10
+),
+d AS (SELECT unnest(range(4)) AS cm_row),
+h AS (
+  SELECT d.cm_row,
+         CAST(concat('0x', substr(md5(concat(CAST(d.cm_row AS VARCHAR), ':',
+              CAST(e.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1024 AS cm_idx
+  FROM events e CROSS JOIN d
+),
+cms AS (SELECT cm_row, cm_idx, count(*) AS cnt FROM h GROUP BY 1, 2),
+probe AS (
+  SELECT t.user_id, t.exact_n, d.cm_row,
+         CAST(concat('0x', substr(md5(concat(CAST(d.cm_row AS VARCHAR), ':',
+              CAST(t.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1024 AS cm_idx
+  FROM top t CROSS JOIN d
+)
+SELECT p.user_id, p.exact_n, min(coalesce(c.cnt, 0)) AS cms_n
+FROM probe p LEFT JOIN cms c USING (cm_row, cm_idx)
+GROUP BY 1, 2
 """,
         "agg_rollup": """
 SELECT event_type, count(*) AS cnt,

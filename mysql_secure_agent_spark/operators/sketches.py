@@ -113,6 +113,96 @@ def hll_estimate(
     return per.select(*group_cols, est.alias("approx"))
 
 
+def cms_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) in its
+    shuffle-native form: rows ``group_cols + [cm_row, cm_idx, cnt]`` —
+    d salted hash rows × w counters, each counter the SUM of weights
+    whose value hashed into it. Built with one explode(d) + one
+    groupBy(sum) (map-side partial agg: the shuffle carries ≤ d·w rows
+    per group per map partition, never the raw stream). Merging
+    shards/days/tables is the same sum (``cms_merge``) — a CMS table in
+    the lake is an incremental heavy-hitter view over 10^10 events in
+    O(d·w) space per group.
+
+    Counts are INTEGERS, so unlike most sketches the whole estimator is
+    exactly reproducible in any engine sharing the portable hash — the
+    entry query's oracle checks the estimates themselves. Estimates are
+    one-sided: est ≥ true count, overshoot bounded by ε·N with
+    ε = e/w at probability 1 − e^-d."""
+    if hash_fn != "md5":
+        raise ValueError("cms_rows is the portable tier; only md5 for now")
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    s = F.col(value_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cm_row"),
+                F.pmod(
+                    _h32(F.concat(F.lit(str(i)), F.lit(":"), s)), F.lit(w)
+                ).cast("int").alias("cm_idx"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.explode(pairs).alias("p"), weight.alias("_w"))
+        .select(*group_cols, "p.cm_row", "p.cm_idx", "_w")
+        .groupBy(*group_cols, "cm_row", "cm_idx")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(cms: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge CMS tables (shards, days): element-wise counter sum."""
+    return cms.groupBy(*group_cols, "cm_row", "cm_idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    group_cols: list[str],
+    probes: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch: for each probe row (its ``value_col`` plus
+    any ``group_cols``), est = min over the d rows of the counter its
+    salted hash lands in. Probes are expected small (the candidate heavy
+    hitters); the join broadcasts them. Missing counters count 0 (the
+    value never hashed there). Output: probes' columns + ``cms_n``."""
+    s = F.col(value_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cm_row"),
+                F.pmod(
+                    _h32(F.concat(F.lit(str(i)), F.lit(":"), s)), F.lit(w)
+                ).cast("int").alias("cm_idx"),
+            )
+            for i in range(d)
+        ]
+    )
+    px = probes.select(*probes.columns, F.explode(pairs).alias("p")).select(
+        *probes.columns, "p.cm_row", "p.cm_idx"
+    )
+    joined = px.join(cms, [*group_cols, "cm_row", "cm_idx"], "left")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_n"))
+    )
+
+
 def approx_distinct(
     df: DataFrame,
     group_cols: list[str],

@@ -1430,6 +1430,57 @@ def q_cdc_binlog_file_ingest(spark, sf_dir):
     )
 
 
+def q_cdc_binlog_export_roundtrip(spark, sf_dir):
+    """Binlog-format EXPORT (sinks/binlog_export.py), end to end: the
+    change feed is rendered as four rotated ``mysql-bin.NNNNNN`` files by
+    the sink — library wire encode (TABLE_MAP metadata from ColumnSpecs,
+    per-txn framing, CRC32, end_log_pos chains), one task per file, split
+    by lsn range — read back DISTRIBUTED through ``read_binlog_files``
+    with CRC verification, and reduced to the final table state. The
+    reference is one-directional (binlog in, JSONL out, OutputSpec.java);
+    producing consumable binlog files exceeds it and closes the loop with
+    the file reader. Oracle = the plain relational replay."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        DOUBLE, LONG, LONGLONG, VARCHAR, ColumnSpec,
+    )
+    from mysql_secure_agent_spark.sinks.binlog_export import (
+        write_binlog_changelog,
+    )
+    from mysql_secure_agent_spark.sources.binlog_file import read_binlog_files
+
+    cl = _events_changelog(spark, sf_dir).drop("ts").withColumn(
+        "lsn", F.col("source_lsn")
+    )
+    specs = [
+        ColumnSpec("user_id", LONGLONG),
+        ColumnSpec("slot", LONG),
+        ColumnSpec("event_type", VARCHAR, {"max_len": 20}),
+        ColumnSpec("value", DOUBLE),
+        ColumnSpec("lsn", LONGLONG),
+    ]
+    out = os.path.join(tempfile.mkdtemp(prefix="binlog_exp_"), "log")
+    write_binlog_changelog(cl, out, "testdata", "events", specs, n_files=4)
+    decoded = read_binlog_files(
+        spark,
+        os.path.join(out, "mysql-bin.*"),
+        "testdata",
+        "events",
+        [s.name for s in specs],
+        "op string, user_id long, slot int, event_type string, "
+        "value double, lsn long, source_lsn long",
+        verify_checksum=True,
+    )
+    decoded = decoded.drop("source_lsn").withColumnRenamed("lsn", "source_lsn")
+    last = last_image_wins(decoded, ["user_id", "slot"], strategy="max_by")
+    return last.filter(F.col("op") != "D").select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("source_lsn").alias("last_lsn"),
+    )
+
+
 def q_cdc_truncate(spark, sf_dir):
     """TRUNCATE TABLE end-to-end: the change feed is re-encoded as wire
     packets with a ``TRUNCATE TABLE t`` QUERY event at the lsn midpoint;
@@ -3569,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gtid_decode": q_cdc_gtid_decode,
         "cdc_txn_payload": q_cdc_txn_payload,
         "cdc_binlog_file_ingest": q_cdc_binlog_file_ingest,
+        "cdc_binlog_export_roundtrip": q_cdc_binlog_export_roundtrip,
         "cdc_xa_transactions": q_cdc_xa_transactions,
         "cdc_truncate": q_cdc_truncate,
         "cdc_multi_table_txn": q_cdc_multi_table_txn,
@@ -3979,6 +4031,7 @@ WHERE rn <= 10
         # file framing/rotation/checksums are transport: the final state is
         # the plain replay, so any framing bug breaks the hash
         "cdc_binlog_file_ingest": final_state_sql,
+        "cdc_binlog_export_roundtrip": final_state_sql,
         # rolled-back XA transactions (txn = lsn//16, txn % 5 == 4) never
         # commit: exclude them BEFORE last-image-wins, so a key whose
         # newest image rode a rolled-back txn falls back to its previous

@@ -1481,6 +1481,75 @@ def q_cdc_binlog_export_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdc_binlog_dir_tail(spark, sf_dir):
+    """Streaming binlog-DIRECTORY tail (streaming/binlog_tail.py): the
+    change feed is exported as binlog files in two drops (files 1-2, then
+    3-4), and a Structured Streaming binaryFile tail drains the directory
+    twice into a LakeTable — per-file parallel decode, content-addressed
+    batch ids (a regrouped replay reapplies idempotently; an exact replay
+    skips on the ledger), lsn = (file_no, end_log_pos). The reference's
+    only ingress is a live socket (client/EventReader.java) — it cannot
+    resume from archived files. Oracle = the plain relational replay, so
+    the full loop (export framing → streaming discovery → distributed
+    decode → exactly-once merge) is hash-gated."""
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        DOUBLE, LONG, LONGLONG, VARCHAR, ColumnSpec,
+    )
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.sinks.binlog_export import (
+        write_binlog_changelog,
+    )
+    from mysql_secure_agent_spark.streaming.binlog_tail import (
+        BinlogDirectoryTail,
+    )
+
+    cl = _events_changelog(spark, sf_dir).drop("ts").withColumn(
+        "lsn", F.col("source_lsn")
+    )
+    specs = [
+        ColumnSpec("user_id", LONGLONG),
+        ColumnSpec("slot", LONG),
+        ColumnSpec("event_type", VARCHAR, {"max_len": 20}),
+        ColumnSpec("value", DOUBLE),
+        ColumnSpec("lsn", LONGLONG),
+    ]
+    lo, hi = cl.agg(F.min("source_lsn"), F.max("source_lsn")).first()
+    mid = (int(lo) + int(hi)) // 2
+    base = tempfile.mkdtemp(prefix="binlog_tail_")
+    logs = os.path.join(base, "logs")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("lsn", T.LongType(), True),
+        ]
+    )
+    tbl = LakeTable.create(
+        os.path.join(base, "t"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    tail = BinlogDirectoryTail(tbl, logs, "testdata", "events")
+    ck = os.path.join(base, "ck")
+    write_binlog_changelog(
+        cl.filter(F.col("source_lsn") <= mid), logs, "testdata", "events",
+        specs, n_files=2, base_file_no=1,
+    )
+    tail.run(spark, ck)
+    write_binlog_changelog(
+        cl.filter(F.col("source_lsn") > mid), logs, "testdata", "events",
+        specs, n_files=2, base_file_no=3,
+    )
+    tail.run(spark, ck)
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
 def q_cdc_truncate(spark, sf_dir):
     """TRUNCATE TABLE end-to-end: the change feed is re-encoded as wire
     packets with a ``TRUNCATE TABLE t`` QUERY event at the lsn midpoint;
@@ -3621,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_payload": q_cdc_txn_payload,
         "cdc_binlog_file_ingest": q_cdc_binlog_file_ingest,
         "cdc_binlog_export_roundtrip": q_cdc_binlog_export_roundtrip,
+        "cdc_binlog_dir_tail": q_cdc_binlog_dir_tail,
         "cdc_xa_transactions": q_cdc_xa_transactions,
         "cdc_truncate": q_cdc_truncate,
         "cdc_multi_table_txn": q_cdc_multi_table_txn,
@@ -4032,6 +4102,7 @@ WHERE rn <= 10
         # the plain replay, so any framing bug breaks the hash
         "cdc_binlog_file_ingest": final_state_sql,
         "cdc_binlog_export_roundtrip": final_state_sql,
+        "cdc_binlog_dir_tail": final_state_sql,
         # rolled-back XA transactions (txn = lsn//16, txn % 5 == 4) never
         # commit: exclude them BEFORE last-image-wins, so a key whose
         # newest image rode a rolled-back txn falls back to its previous

@@ -133,6 +133,15 @@ HEADLINE = [
     "cdc_wire_ddl",
     "cdc_partial_json",
     "cdc_partial_json_minimal",
+    "cdc_binlog_file_ingest",
+    "cdc_binlog_export_roundtrip",
+    # cdc_join_view_incremental is correctness-gated but not benched: its
+    # wall is ~20 small driver-orchestrated jobs across three refresh
+    # epochs (merges + changefeed reads), not operator throughput — at
+    # bench scale the fixed per-job cost dominates and tells nothing
+    "agg_distinct_hll",
+    "events_window_distinct",
+    "topk_heavy_hitters_cms",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

@@ -188,8 +188,17 @@ def read_binlog_files(
     ``result_schema`` is the output DDL string ("op string, ...,
     source_lsn long"); its column names must match ``column_names`` plus
     op/source_lsn (the decode emits exactly those).
+
+    ``path`` may also be an already-loaded DataFrame carrying ``path`` and
+    ``content`` columns (e.g. one micro-batch of a streaming binaryFile
+    source — see ``streaming/binlog_tail.py``).
     """
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(path, _DF):
+        files = path.select("path", "content")
+    else:
+        files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def decode(batches):
         from .binlog_packets import packets_to_changelog

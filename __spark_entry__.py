@@ -2797,6 +2797,30 @@ def q_topk_heavy_hitters_cms(spark, sf_dir):
     )
 
 
+def q_agg_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (operators/sketches.py histogram_*): per
+    event_type, p50/p95/p99 of value from a 200-bin equi-width histogram —
+    the incremental percentile view a 10^10-event table cannot re-sort
+    for. One groupBy-sum with map-side combine (≤ bins rows per group per
+    map partition on the wire), merge = counter sum, quantile fold =
+    O(bins) window over the sketch, never the data. Binning and
+    interpolation use only IEEE basic ops, so the ESTIMATES reproduce
+    bit-for-bit in DuckDB — error bounded by one bin width by
+    construction, not by luck."""
+    from mysql_secure_agent_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_rows,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    lo, hi = float(lo), float(hi)
+    rows = histogram_rows(ev, ["event_type"], "value", lo, hi, bins=200)
+    return histogram_quantiles(
+        rows, ["event_type"], [0.5, 0.95, 0.99], lo, hi, bins=200
+    ).select("event_type", "q", F.col("est").alias("approx_value"))
+
+
 def q_agg_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -3723,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "agg_distinct_hll": q_agg_distinct_hll,
         "topk_heavy_hitters_cms": q_topk_heavy_hitters_cms,
+        "agg_quantile_sketch": q_agg_quantile_sketch,
         "agg_rollup": q_agg_rollup,
         "topk_hot_users": q_topk_hot_users,
         "join_enrich": q_join_enrich,
@@ -4817,6 +4842,35 @@ SELECT e.event_type,
 FROM e JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users
              FROM events WHERE user_id IS NOT NULL GROUP BY 1) x
   USING (event_type)
+""",
+        # the same 200-bin histogram, bin for bin: lo/hi are the engines'
+        # identical double min/max; binning and interpolation are pure IEEE
+        # basic ops, so even the interpolated estimates hash-match
+        "agg_quantile_sketch": """
+WITH b AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+                  CAST(max(value) AS DOUBLE) AS hi FROM events),
+h AS (
+  SELECT event_type,
+         least(greatest(CAST(floor((value - b.lo) / ((b.hi - b.lo) / 200.0))
+                             AS INT), 0), 199) AS bin
+  FROM events, b WHERE value IS NOT NULL
+),
+r AS (SELECT event_type, bin, count(*) AS cnt FROM h GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM r
+),
+qx AS (SELECT c.*, q.q FROM c,
+       -- bare 0.95 unnests as DECIMAL in DuckDB; the estimator must run
+       -- in double like the Spark side or the interpolation drifts
+       (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q) q)
+SELECT event_type, q,
+       b.lo + (bin + (q * total - (cum - cnt)) / cnt)
+              * ((b.hi - b.lo) / 200.0) AS approx_value
+FROM qx, b
+WHERE cum >= q * total AND (cum - cnt) < q * total
 """,
         # count-min, counter for counter: salted portable hash i + ':' +
         # value, d=4 rows × w=1024 counters, min-fold over the probe's

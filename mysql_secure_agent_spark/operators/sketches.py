@@ -203,6 +203,85 @@ def cms_estimate(
     )
 
 
+def histogram_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Equi-width histogram sketch: rows ``group_cols + [bin, cnt]`` —
+    the mergeable quantile sketch (merge = counter sum, like CMS). One
+    groupBy-sum with map-side combine: ≤ ``bins`` rows per group per map
+    partition on the wire regardless of input volume; a histogram table
+    in the lake is an incremental percentile view (p50/p95/p99 latency
+    rollups at 10^10 events without re-sorting anything).
+
+    Binning uses ONLY IEEE basic ops (sub/mul/div/floor), so the sketch —
+    and the quantile estimates derived from it — reproduce bit-for-bit in
+    any engine given the same (lo, hi, bins); no libm, no rounding
+    ambiguity. Values outside [lo, hi] clamp into the edge bins (the
+    standard histogram convention; pick bounds from a prior scalar agg).
+    Estimate error is bounded by one bin width — chosen, not stochastic.
+    """
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    b = F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(rows: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge histogram sketches (shards, days): per-bin count sum."""
+    return rows.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    rows: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Histogram rows → per-group quantile estimates: for each q, find the
+    first bin whose cumulative count reaches q·N and interpolate linearly
+    inside it. O(bins) per group (a window over the bins, never the data).
+    Output: ``group_cols + [q, est]``."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = rows.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    qdf = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    target = F.col("q") * F.col("total")
+    hit = qdf.filter(
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+    )
+    frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    est = F.lit(float(lo)) + (F.col("bin") + frac) * F.lit(float(width))
+    return hit.select(*group_cols, "q", est.alias("est"))
+
+
 def approx_distinct(
     df: DataFrame,
     group_cols: list[str],

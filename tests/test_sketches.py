@@ -88,3 +88,88 @@ def test_xxhash_tier_accuracy_and_rejects_unknown(spark):
         approx_distinct(df, ["seg"], "user_id", hash_fn="sha9000")
     with pytest.raises(ValueError):
         hll_registers(df, ["seg"], "user_id", p=2)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hll_plan_is_one_exchange_with_partial_agg(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    plan = _plan(hll_registers(df, ["g"], "v"))
+    # map-side combine BEFORE the shuffle: the wire carries <= m rows per
+    # group per map partition, the property the 100 TB story rests on
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+    # pure Catalyst: no Python evaluation anywhere in the sketch
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_cms_plan_is_one_exchange_with_partial_agg(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_secure_agent_spark.operators.sketches import cms_rows
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    plan = _plan(cms_rows(df, ["g"], "v"))
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+# --------------------------------------------------- histogram quantiles
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_secure_agent_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_rows,
+    )
+
+    # uniform 0..9999 per segment → true pXX known exactly
+    df = spark.range(20_000).select(
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("seg"),
+        (F.col("id") / 2).cast("double").alias("v"),
+    )
+    rows = histogram_rows(df, ["seg"], "v", lo=0.0, hi=10_000.0, bins=200)
+    got = {
+        (r.seg, r.q): r.est
+        for r in histogram_quantiles(
+            rows, ["seg"], [0.5, 0.95, 0.99], 0.0, 10_000.0, 200
+        ).collect()
+    }
+    for seg in ("a", "b"):
+        assert abs(got[(seg, 0.5)] - 5000) <= 50   # one bin width
+        assert abs(got[(seg, 0.95)] - 9500) <= 50
+        assert abs(got[(seg, 0.99)] - 9900) <= 50
+    # shard merge is lossless: identical bins → identical estimates
+    sharded = histogram_merge(
+        histogram_rows(
+            df.withColumn("shard", (F.col("v") % 4).cast("int")),
+            ["seg", "shard"], "v", 0.0, 10_000.0, 200,
+        ).drop("shard"),
+        ["seg"],
+    )
+    assert rows.exceptAll(sharded).count() == 0
+    assert sharded.exceptAll(rows).count() == 0
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_secure_agent_spark.operators.sketches import histogram_rows
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.5,), (1e9,)], "v double"
+    )
+    rows = {r.bin: r.cnt for r in histogram_rows(df, [], "v", 0.0, 100.0, 10).collect()}
+    assert rows == {0: 2, 9: 2}  # -5 clamps to bin 0, 1e9 to bin 9

@@ -142,6 +142,7 @@ HEADLINE = [
     "agg_distinct_hll",
     "events_window_distinct",
     "topk_heavy_hitters_cms",
+    "agg_quantile_sketch",
 ]
 
 MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")

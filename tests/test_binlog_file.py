@@ -184,3 +184,64 @@ def test_explicit_positions_must_be_monotone():
     bad = pkts + [(pkts[-1][0], pkts[-1][1], 5)]  # position goes backwards
     with pytest.raises(ValueError, match="non-decreasing"):
         packets_to_changelog(bad, "s", "t", COLS)
+
+
+# --------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    bodies=st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=12),
+    checksum=st.booleans(),
+)
+def test_framing_roundtrip_any_bodies(bodies, checksum):
+    # framing is type-agnostic: arbitrary bodies under arbitrary checksum
+    # config must walk back out byte-identical, in order
+    events = [(0x23, b) for b in bodies]  # IGNORABLE: parser-neutral type
+    data = encode_binlog_file(events, checksum=checksum)
+    got = list(iter_binlog_events(data, verify_checksum=checksum))
+    assert got[0][0].type_code == FORMAT_DESCRIPTION_EVENT
+    tail = 4 if checksum else 0
+    outs = [b[: len(b) - tail] if tail else b for _, b in got[1:]]
+    assert outs == bodies
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    bodies=st.lists(st.binary(min_size=0, max_size=100), min_size=1, max_size=8),
+    cut=st.integers(min_value=1, max_value=50),
+)
+def test_any_truncation_is_detected_or_cleanly_dropped(bodies, cut):
+    data = encode_binlog_file([(0x23, b) for b in bodies])
+    cut = min(cut, len(data) - 5)
+    torn = data[:cut + 5]  # keep at least the magic + 1 byte
+    try:
+        kept = list(iter_binlog_events(torn, on_torn_tail="truncate"))
+    except ValueError:
+        return  # mid-FDE cut or chain break: loud refusal is also correct
+    # whatever survives must be a strict prefix of the original event walk
+    orig = list(iter_binlog_events(data))
+    assert len(kept) <= len(orig)
+    for (h1, b1), (h2, b2) in zip(kept, orig):
+        assert h1.type_code == h2.type_code and b1 == b2
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    flip=st.integers(min_value=0, max_value=10_000),
+    bodies=st.lists(st.binary(min_size=1, max_size=80), min_size=1, max_size=6),
+)
+def test_any_single_bitflip_caught_by_crc_or_framing(flip, bodies):
+    data = bytearray(encode_binlog_file([(0x23, b) for b in bodies]))
+    flip = 4 + (flip % (len(data) - 4))  # never the magic (tested separately)
+    data[flip] ^= 0x01
+    try:
+        got = list(iter_binlog_events(bytes(data), verify_checksum=True))
+    except ValueError:
+        return  # caught: CRC mismatch, chain break, or bad frame
+    # a flip inside the FDE's server-version padding can genuinely escape
+    # the CRC? no: CRC covers header+body of every event incl. the FDE —
+    # reaching here means the walk succeeded, which must not happen
+    raise AssertionError(f"bit flip at {flip} escaped verification: {got}")

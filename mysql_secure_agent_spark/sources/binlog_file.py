@@ -220,6 +220,120 @@ def read_binlog_files(
     return files.mapInPandas(decode, schema=result_schema)
 
 
+# ------------------------------------------------------ GTID file pruning
+def read_file_head(path: str, *, max_events: int = 4) -> dict:
+    """Read ONLY a binlog file's head (magic + FDE + the PREVIOUS_GTIDS
+    every GTID-mode server writes right after it) — a few hundred bytes,
+    no body decode. Returns ``{"server_version", "checksum_length",
+    "previous_gtids": {sid: [(start, end)]} | None}``."""
+    from .binlog_packets import (
+        PREVIOUS_GTIDS_EVENT,
+        parse_previous_gtids,
+    )
+
+    with open(path, "rb") as f:
+        data = f.read(65536)
+    out = {"server_version": None, "checksum_length": 0, "previous_gtids": None}
+    for i, (h, body) in enumerate(
+        iter_binlog_events(data, on_torn_tail="truncate")
+    ):
+        if h.type_code == FORMAT_DESCRIPTION_EVENT:
+            out["server_version"], out["checksum_length"] = (
+                parse_format_description(body)
+            )
+        elif h.type_code == PREVIOUS_GTIDS_EVENT:
+            tail = out["checksum_length"]
+            out["previous_gtids"] = parse_previous_gtids(
+                body[:-tail] if tail else body
+            ).intervals
+            break
+        if i + 1 >= max_events:
+            break
+    return out
+
+
+def parse_gtid_set_string(s: str) -> dict[str, list[tuple[int, int]]]:
+    """``sid:1-5:7,sid2:1-3`` (the SHOW MASTER STATUS / PreviousGtids
+    printed form) → {sid: [(start, end)] inclusive}."""
+    out: dict[str, list[tuple[int, int]]] = {}
+    for part in filter(None, (p.strip() for p in s.split(","))):
+        sid, *spans = part.split(":")
+        ivs = []
+        for sp in spans:
+            a, _, b = sp.partition("-")
+            ivs.append((int(a), int(b) if b else int(a)))
+        out[sid] = sorted(ivs)
+    return out
+
+
+def _merge_intervals(ivs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    merged: list[list[int]] = []
+    for a, b in sorted(ivs):
+        if merged and a <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    return [(a, b) for a, b in merged]
+
+
+def gtid_set_covers(
+    executed: dict[str, list[tuple[int, int]]],
+    sub: dict[str, list[tuple[int, int]]],
+) -> bool:
+    """True iff every transaction in ``sub`` is in ``executed``."""
+    for sid, ivs in sub.items():
+        have = _merge_intervals(executed.get(sid, []))
+        for a, b in ivs:
+            if not any(ha <= a and b <= hb for ha, hb in have):
+                return False
+    return True
+
+
+def prune_binlog_files(
+    paths: list[str],
+    executed: dict[str, list[tuple[int, int]]] | str,
+) -> tuple[list[str], list[str]]:
+    """GTID-based backfill pruning (``mysqlbinlog --exclude-gtids``'
+    whole-file logic; the reference has no analog — its cursor is a
+    single (file, position), state/AgentState.java:14-17): file *i*
+    contains exactly the transactions in PREV(i+1) − PREV(i), so file
+    *i* can be SKIPPED — never opened beyond its head — iff the NEXT
+    file's PREVIOUS_GTIDS is covered by the executed set. The last file
+    has no successor head to bound it and is always kept, as is any file
+    around a non-GTID head (conservative). O(files) head reads driver-
+    side, a few hundred bytes each; on a year-long archive a resume
+    touches only the tail it actually needs.
+
+    Returns ``(skipped, kept)`` in file order."""
+    if isinstance(executed, str):
+        executed = parse_gtid_set_string(executed)
+    ordered = sorted(paths, key=file_number)
+    heads = [read_file_head(p) for p in ordered]
+    skipped, kept = [], []
+    for i, p in enumerate(ordered):
+        nxt = heads[i + 1]["previous_gtids"] if i + 1 < len(ordered) else None
+        if nxt is not None and gtid_set_covers(executed, nxt):
+            skipped.append(p)
+        else:
+            kept.append(p)
+    return skipped, kept
+
+
+def encode_previous_gtids(
+    intervals: dict[str, list[tuple[int, int]]]
+) -> bytes:
+    """Write-side inverse of ``parse_previous_gtids`` (fixtures/export):
+    inclusive intervals → wire body (end-exclusive)."""
+    out = len(intervals).to_bytes(8, "little")
+    for sid in sorted(intervals):
+        out += bytes.fromhex(sid.replace("-", ""))
+        ivs = intervals[sid]
+        out += len(ivs).to_bytes(8, "little")
+        for a, b in ivs:
+            out += a.to_bytes(8, "little") + (b + 1).to_bytes(8, "little")
+    return out
+
+
 # --------------------------------------------------------------- write side
 def encode_binlog_file(
     events,

@@ -245,3 +245,76 @@ def test_any_single_bitflip_caught_by_crc_or_framing(flip, bodies):
     # the CRC? no: CRC covers header+body of every event incl. the FDE —
     # reaching here means the walk succeeded, which must not happen
     raise AssertionError(f"bit flip at {flip} escaped verification: {got}")
+
+
+# ------------------------------------------------------ GTID file pruning
+from mysql_secure_agent_spark.sources.binlog_file import (
+    encode_previous_gtids,
+    gtid_set_covers,
+    parse_gtid_set_string,
+    prune_binlog_files,
+    read_file_head,
+)
+from mysql_secure_agent_spark.sources.binlog_packets import (
+    PREVIOUS_GTIDS_EVENT,
+    parse_previous_gtids,
+)
+
+SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def _gtid_file(tmp_path, no, prev_upto, ids):
+    """File `no`: PREVIOUS_GTIDS says [1, prev_upto] already executed."""
+    prev = {SID: [(1, prev_upto)]} if prev_upto else {}
+    evs = [(PREVIOUS_GTIDS_EVENT, encode_previous_gtids(prev))] + _events(ids)
+    p = tmp_path / f"mysql-bin.{no:06d}"
+    p.write_bytes(encode_binlog_file(evs, next_file=f"mysql-bin.{no+1:06d}"))
+    return str(p)
+
+
+def test_previous_gtids_roundtrip_and_head_read(tmp_path):
+    ivs = {SID: [(1, 5), (7, 7)]}
+    assert parse_previous_gtids(encode_previous_gtids(ivs)).intervals == ivs
+    p = _gtid_file(tmp_path, 1, 5, [1])
+    head = read_file_head(p)
+    assert head["previous_gtids"] == {SID: [(1, 5)]}
+    assert head["checksum_length"] == 4
+
+
+def test_gtid_set_covers():
+    ex = parse_gtid_set_string(f"{SID}:1-5:7-9")
+    assert gtid_set_covers(ex, {SID: [(1, 5)]})
+    assert gtid_set_covers(ex, {SID: [(2, 4), (8, 9)]})
+    assert not gtid_set_covers(ex, {SID: [(5, 7)]})  # 6 missing
+    assert not gtid_set_covers(ex, {"other-sid": [(1, 1)]})
+    # adjacent intervals merge: 1-3 + 4-5 covers 2-5
+    assert gtid_set_covers({SID: [(1, 3), (4, 5)]}, {SID: [(2, 5)]})
+
+
+def test_prune_skips_fully_executed_files(tmp_path):
+    # file i holds txns (PREV(i), PREV(i+1)]: 1-10, 11-20, 21-30
+    paths = [
+        _gtid_file(tmp_path, 1, 0, [1]),
+        _gtid_file(tmp_path, 2, 10, [2]),
+        _gtid_file(tmp_path, 3, 20, [3]),
+    ]
+    skipped, kept = prune_binlog_files(paths, f"{SID}:1-10")
+    assert [file_number(p) for p in skipped] == [1]
+    assert [file_number(p) for p in kept] == [2, 3]
+    # everything executed: only the unbounded last file survives
+    skipped, kept = prune_binlog_files(paths, f"{SID}:1-30")
+    assert [file_number(p) for p in skipped] == [1, 2]
+    assert [file_number(p) for p in kept] == [3]
+    # nothing executed: keep all
+    skipped, kept = prune_binlog_files(paths, "")
+    assert skipped == [] and len(kept) == 3
+
+
+def test_prune_conservative_without_gtid_heads(tmp_path):
+    # non-GTID files (no PREVIOUS_GTIDS): never skipped
+    p1 = tmp_path / "mysql-bin.000001"
+    p1.write_bytes(encode_binlog_file(_events([1])))
+    p2 = tmp_path / "mysql-bin.000002"
+    p2.write_bytes(encode_binlog_file(_events([2])))
+    skipped, kept = prune_binlog_files([str(p1), str(p2)], f"{SID}:1-99")
+    assert skipped == [] and len(kept) == 2

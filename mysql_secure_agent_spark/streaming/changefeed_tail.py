@@ -115,3 +115,37 @@ class ChangefeedTailer:
             return dest.merge(spark, df, batch_id)
 
         return handle
+
+    def replicate_to_binlog(
+        self,
+        out_dir: str,
+        schema_name: str,
+        table_name: str,
+        specs,
+    ) -> Callable[[DataFrame, str, tuple], Any]:
+        """Handler that exports each window as ONE binlog file — the lake
+        acting as a binlog SERVER for downstream MySQL-ecosystem consumers
+        (this repo's own ``read_binlog_files``/``BinlogDirectoryTail``
+        included). File number = the window's head version, so file order
+        is commit order and a crash between export and cursor save simply
+        re-renders the SAME window to the SAME file name with byte-
+        identical content (the encode is deterministic) — at-least-once
+        delivery, idempotent files. Ordering: windows are version-ordered
+        and each window carries per-key NET images, so a key's images
+        across files are in commit order — file-position lsns are per-key
+        monotone and last-image-wins reconciliation is correct on either
+        the file-position or a payload lsn."""
+        from ..sinks.binlog_export import write_binlog_changelog
+
+        def handle(df: DataFrame, batch_id: str, window: tuple[int, int]):
+            return write_binlog_changelog(
+                df,
+                out_dir,
+                schema_name,
+                table_name,
+                specs,
+                n_files=1,
+                base_file_no=window[1],
+            )
+
+        return handle

@@ -4,6 +4,7 @@ regrouping idempotence, and cross-file lsn ordering — with the export
 sink as the file producer (full loop: changelog → binlog files → tail →
 lake)."""
 
+import os
 import shutil
 
 import pyspark.sql.types as T
@@ -140,3 +141,41 @@ def test_cross_file_order_from_positions(spark, tmp_path):
     write_binlog_changelog(f2, logs, "s", "t", SPECS, n_files=1, base_file_no=2)
     BinlogDirectoryTail(tbl, logs, "s", "t").run(spark, str(tmp_path / "ck"))
     assert tbl.read(spark).filter(F.col("id") == 5).count() == 0
+
+
+def test_changefeed_replicates_to_binlog_files(spark, tmp_path):
+    """Full replication loop: source lake → changefeed tailer → binlog
+    files → directory tail → replica lake; plus idempotent re-render of
+    a lost-cursor window (byte-identical file)."""
+    from mysql_secure_agent_spark.streaming.changefeed_tail import (
+        ChangefeedTailer,
+    )
+
+    src = LakeTable.create(str(tmp_path / "src"), SCHEMA, ["id"], n_buckets=4)
+    out = str(tmp_path / "binlogs")
+    cursor = str(tmp_path / "cursor.json")
+    tailer = ChangefeedTailer(src, cursor)
+    handler = tailer.replicate_to_binlog(out, "s", "t", SPECS)
+
+    src.merge(spark, _cl(spark, range(0, 15)), "b1")
+    tailer.run_to_idle(spark, handler)
+    src.merge(spark, _cl(spark, range(15, 30)), "b2")
+    tailer.run_to_idle(spark, handler)
+    files = sorted(os.listdir(out))
+    assert len(files) == 2 and all(f.startswith("mysql-bin.") for f in files)
+
+    # lost cursor → the window re-renders to the SAME file, byte-identical
+    first = os.path.join(out, files[0])
+    before = open(first, "rb").read()
+    os.remove(cursor)
+    tailer.run_to_idle(spark, handler)
+    assert open(first, "rb").read() == before
+
+    # consume the exported stream with the directory tail → replica == source
+    import os as _os
+
+    replica = LakeTable.create(str(tmp_path / "rep"), SCHEMA, ["id"], n_buckets=4)
+    BinlogDirectoryTail(replica, out, "s", "t").run(spark, str(tmp_path / "ck"))
+    a = src.read(spark).select("id", "slot", "name", "score")
+    b = replica.read(spark).select("id", "slot", "name", "score")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -200,3 +200,18 @@ def _deep_check(table: LakeTable, spark, head) -> list[str]:
         .collect()
     )
     return [r.err for r in out]
+
+
+if __name__ == "__main__":  # python -m mysql_secure_agent_spark.lake.fsck <root> [--deep]
+    import sys
+
+    root = sys.argv[1]
+    deep = "--deep" in sys.argv[2:]
+    spark = None
+    if deep:
+        from ..session import get_spark
+
+        spark = get_spark()
+    report = verify(LakeTable(root), spark=spark, deep=deep)
+    print(json.dumps(report, indent=2))
+    sys.exit(0 if report["ok"] else 1)

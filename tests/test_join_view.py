@@ -175,3 +175,59 @@ def test_create_rejects_colliding_columns(spark, tmp_path):
     right = LakeTable.create(str(tmp_path / "r"), dim, ["user_id"])
     with pytest.raises(ValueError, match="collide"):
         JoinView.create(str(tmp_path / "v"), left, right, fk="user_id")
+
+
+def test_join_view_over_streaming_pipeline(spark, tmp_path):
+    """Composition: the fact table is fed by the real streaming pipeline
+    (CdcPipeline over a file feed), the view refreshes after each drain —
+    the deployment shape a production enrichment view runs in."""
+    import pyspark.sql.types as T2
+
+    from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+    from mysql_secure_agent_spark.sources.changelog import FeedSpec, write_feed
+    from mysql_secure_agent_spark.streaming import CdcPipeline
+
+    fact = LakeTable.create(
+        str(tmp_path / "fact"), TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=8
+    )
+    dim_schema = T2.StructType(
+        [
+            T2.StructField("role", T2.StringType(), False),
+            T2.StructField("role_rank", T2.IntegerType(), True),
+        ]
+    )
+    dim = LakeTable.create(str(tmp_path / "dim"), dim_schema, ["role"], n_buckets=2)
+    dim.merge(
+        spark,
+        spark.createDataFrame(
+            [("U", r, i, i) for i, r in enumerate(["system", "user", "assistant", "tool"])],
+            "op string, role string, role_rank int, source_lsn long",
+        ),
+        "dim-1",
+    )
+    view = JoinView.create(str(tmp_path / "view"), fact, dim, fk="role")
+
+    spec = FeedSpec(n_events=3000, n_convs=80, seed=7)
+    write_feed(spec, str(tmp_path / "feed"), n_files=4, overwrite=True)
+    CdcPipeline(fact, str(tmp_path / "feed")).run_stream(
+        spark, str(tmp_path / "ck")
+    )
+    view.refresh(spark)
+
+    got = view.view.read(spark)
+    exp = fact.read(spark).join(dim.read(spark), "role", "left")
+    cols = sorted(got.columns)
+    a, b = got.select(*cols), exp.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # dim update fans out through the refreshed view
+    dim.merge(
+        spark,
+        spark.createDataFrame(
+            [("U", "user", 99, 100)],
+            "op string, role string, role_rank int, source_lsn long",
+        ),
+        "dim-2",
+    )
+    view.refresh(spark)
+    rows = view.view.read(spark).filter(F.col("role") == "user").collect()
+    assert rows and all(r.role_rank == 99 for r in rows)

@@ -2468,6 +2468,39 @@ class LakeTable:
                 os.rmdir(dirpath)
         return removed
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        *,
+        maintainers: tuple = (),
+        max_delta_bytes: int = 1 << 30,
+        max_deltas: int = 16,
+        keep_last: int = 8,
+        run_vacuum: bool = True,
+    ) -> dict[str, Any]:
+        """One nightly-maintenance call, in the order the dependencies
+        demand: (1) refresh every dependent ``maintainer`` (anything with
+        ``.refresh(spark)`` — secondary indexes, incremental aggregates,
+        join views) WHILE the changefeed history they read is still
+        intact; (2) size-policy compaction (which collapses that history);
+        (3) snapshot expiry (raises the time-travel floor); (4) orphan
+        vacuum (reclaims what expiry unreferenced). Running refreshes
+        first is the point — after compaction every incremental maintainer
+        would be forced through its full-rebuild recovery path. The
+        reference's single loop interleaves flushes with its 1 GiB/15 min
+        policy (``BucketOutput.java:29-30``); here maintenance is a
+        separate, idempotent pass safe to run on any schedule."""
+        out: dict[str, Any] = {"maintainers": []}
+        for m in maintainers:
+            out["maintainers"].append(m.refresh(spark))
+        out["compaction"] = self.compact_by_policy(
+            spark, max_delta_bytes=max_delta_bytes, max_deltas=max_deltas
+        )
+        out["expiry"] = self.expire_versions(keep_last=keep_last)
+        if run_vacuum:
+            out["vacuumed_files"] = self.vacuum()
+        return out
+
     def vacuum(self) -> int:
         """Data-only orphan sweep: delete files under data/ that no
         RETAINED version references — crashed-attempt staging dirs, files

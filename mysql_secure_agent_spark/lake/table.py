@@ -2468,6 +2468,14 @@ class LakeTable:
                 os.rmdir(dirpath)
         return removed
 
+    def fsck(self, spark: SparkSession | None = None, deep: bool = False):
+        """Integrity audit — see ``lake/fsck.py`` (structural tier is
+        driver-only; ``deep=True`` adds the distributed footer/bloom
+        evidence pass and needs ``spark``)."""
+        from .fsck import verify
+
+        return verify(self, spark=spark, deep=deep)
+
     def maintain(
         self,
         spark: SparkSession,

@@ -114,3 +114,9 @@ def test_deep_catches_bloom_false_negative_and_lsn_drift(spark, tmp_path):
     r = verify(tbl, spark=spark, deep=True)
     assert not r["ok"]
     assert any("FALSE NEGATIVE" in e for e in r["errors"]), r["errors"]
+
+
+def test_fsck_method_delegate(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    assert tbl.fsck()["ok"]
+    assert tbl.fsck(spark=spark, deep=True)["ok"]

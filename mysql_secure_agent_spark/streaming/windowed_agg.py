@@ -29,6 +29,8 @@ __all__ = [
     "windowed_distinct_registers",
     "windowed_distinct_registers_stream",
     "windowed_distinct",
+    "windowed_cms_registers",
+    "windowed_cms_registers_stream",
 ]
 
 
@@ -144,6 +146,67 @@ def windowed_distinct_registers_stream(
         value_col=value_col,
         p=p,
         hash_fn=hash_fn,
+    )
+
+
+def windowed_cms_registers(
+    df: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "user_id",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Heavy-hitter (count-min) counters per (tumbling window, keys) — the
+    streaming "who is hot this hour" sketch. Same shape argument as the
+    HLL twin above: the counters are a plain SUM aggregation, so streaming
+    accepts it natively and open-window state is capped at d·w counter
+    rows per key group no matter how many distinct values flow; append
+    mode emits final counters at watermark close, and
+    ``operators.sketches.cms_estimate`` point-queries the sink (with
+    window columns in ``group_cols``). Counter merge across restarts,
+    shards, and late batches is the sum itself."""
+    from ..operators.sketches import cms_rows
+
+    keys = key_cols if key_cols is not None else ["event_type"]
+    regs = cms_rows(
+        df.select(F.window(F.col(ts_col), window_duration).alias("w"), *keys,
+                  value_col),
+        ["w", *keys],
+        value_col,
+        d=d,
+        w=w,
+    )
+    return regs.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        "cm_row",
+        "cm_idx",
+        "cnt",
+    )
+
+
+def windowed_cms_registers_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "user_id",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Streaming twin: identical counters over a readStream DataFrame."""
+    return windowed_cms_registers(
+        events.withWatermark(ts_col, watermark_delay),
+        window_duration=window_duration,
+        ts_col=ts_col,
+        key_cols=key_cols,
+        value_col=value_col,
+        d=d,
+        w=w,
     )
 
 

@@ -318,3 +318,43 @@ def test_prune_conservative_without_gtid_heads(tmp_path):
     p2.write_bytes(encode_binlog_file(_events([2])))
     skipped, kept = prune_binlog_files([str(p1), str(p2)], f"{SID}:1-99")
     assert skipped == [] and len(kept) == 2
+
+
+def test_pruned_backfill_composes_with_distributed_read(spark, tmp_path):
+    """Archive resume: prune fully-executed files by GTID head, decode only
+    the kept tail distributed, merge — final state equals the full replay
+    (the skipped files' rows were already applied; last-image-wins absorbs
+    the boundary file's overlap)."""
+    d = tmp_path / "archive"
+    d.mkdir()
+    # three files of writes: ids 1-3, 4-6, 7-9; PREV chains 0 / 3 / 6 txns
+    for no, (prev, ids) in enumerate(
+        [(0, [1, 2, 3]), (3, [4, 5, 6]), (6, [7, 8, 9])], start=1
+    ):
+        pg = {SID: [(1, prev)]} if prev else {}
+        evs = [(PREVIOUS_GTIDS_EVENT, encode_previous_gtids(pg))] + _events(ids)
+        (d / f"mysql-bin.{no:06d}").write_bytes(
+            encode_binlog_file(evs, next_file=f"mysql-bin.{no+1:06d}")
+        )
+    paths = [str(d / f"mysql-bin.{i:06d}") for i in (1, 2, 3)]
+    skipped, kept = prune_binlog_files(paths, f"{SID}:1-3")
+    assert [file_number(p) for p in skipped] == [1]
+
+    import pandas as pd
+
+    from mysql_secure_agent_spark.sources.binlog_file import ROTATE_EVERY
+
+    got = (
+        read_binlog_files(
+            spark,
+            kept,
+            "s",
+            "t",
+            COLS,
+            "op string, id int, name string, amount decimal(8,2), day date, "
+            "source_lsn long",
+        )
+        .orderBy("source_lsn")
+        .toPandas()
+    )
+    assert list(got["id"]) == [4, 5, 6, 7, 8, 9]  # file 1 never decoded

@@ -119,3 +119,48 @@ def test_streaming_state_is_bounded_by_m(spark):
         regs, ["window_start", "window_end", "event_type"], p=8
     ).first()
     assert abs(est.approx - 50_000) / 50_000 < 0.2  # p=8 → ~6.5% σ
+
+
+def test_stream_cms_matches_batch_on_closed_windows(spark, tmp_path):
+    """Heavy-hitter twin: streamed CMS counters on closed windows equal
+    the batch sketch exactly, state bounded by d·w per window group."""
+    from mysql_secure_agent_spark.operators.sketches import cms_estimate
+    from mysql_secure_agent_spark.streaming.windowed_agg import (
+        windowed_cms_registers,
+        windowed_cms_registers_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _write_segments(src, [_batch1(), _batch2(), _batch3()])
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_cms_registers_stream(stream, watermark_delay="2 hours")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(str(tmp_path / "out"))
+    batch = windowed_cms_registers(spark.createDataFrame(_batch1()))
+    closed = batch  # hours 0 and 1 are exactly batch1's windows
+    assert sink.exceptAll(closed).count() == 0
+    assert closed.exceptAll(sink).count() == 0
+    # state bound: counters per (window, key) never exceed d*w
+    per = sink.groupBy("window_start", "event_type").count().collect()
+    assert all(r["count"] <= 4 * 1024 for r in per)
+    # point query through the shared estimator: user 3 clicked twice in hour 0
+    probes = spark.createDataFrame(
+        [(BASE.to_pydatetime(), "click", 3)],
+        "window_start timestamp, event_type string, user_id long",
+    )
+    est = cms_estimate(
+        sink.drop("window_end"), ["window_start", "event_type"], probes, "user_id"
+    ).first()
+    assert est.cms_n >= 2

@@ -301,6 +301,72 @@ def q_cdc_minimal_image(spark, sf_dir):
     )
 
 
+def q_cdc_time_slice_read(spark, sf_dir):
+    """Hidden time partitioning over the merge-on-read lake: the table
+    declares stats_cols=["ts"], the feed lands in three lsn-ordered
+    micro-batches (ts correlates with lsn, so each delta file carries a
+    narrow ts range in its manifest entry), and the query is a time-slice
+    read — final images with ts in a fixed mid-month window — via
+    LakeTable.read_where's two-phase plan (candidate keys from
+    stat-intersecting files, exact last-image reconciliation of only those
+    keys, final re-filter). The listing-level pruning is asserted in-query:
+    the slice must open strictly fewer files than the table holds. Value
+    columns are mutable across a key's images, so a one-phase stats-pruned
+    read would resurrect superseded rows — the oracle (full-replay final
+    state, then the ts filter) fails if phase 2 is skipped or unsound.
+
+    Beyond-reference surface: the reference is binlog-in/JSONL-out with no
+    consumer reads; this is the Iceberg planFiles/hidden-partitioning
+    analog the transcript lake's time-range consumers need at 10^10 rows.
+    """
+    import datetime as dt
+
+    from mysql_secure_agent_spark.lake.table import LakeTable, _canon_stat_bound
+
+    cl = _events_changelog(spark, sf_dir)
+    hi = cl.agg(F.max("source_lsn")).first()[0] or 0
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_slice_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    tbl = LakeTable.create(
+        root, schema, ["user_id", "slot"], n_buckets=8, stats_cols=["ts"]
+    )
+    for i in range(3):
+        part = cl.filter(
+            (F.col("source_lsn") > hi * i // 3)
+            & (F.col("source_lsn") <= hi * (i + 1) // 3)
+        )
+        tbl.merge(spark, part, f"slice-b{i}")
+    lo_ts = dt.datetime(2024, 1, 10)
+    hi_ts = dt.datetime(2024, 1, 15)
+    commit = tbl.commit_at()
+    total = sum(len(es) for es in commit.files.values())
+    opened = len(
+        tbl.candidate_paths(
+            commit,
+            key_range={"ts": (_canon_stat_bound(lo_ts), _canon_stat_bound(hi_ts))},
+        )
+    )
+    if not 0 < opened < total:
+        raise AssertionError(
+            f"time-slice pruning did not bite: opened {opened} of {total}"
+        )
+    return tbl.read_where(spark, {"ts": (lo_ts, hi_ts)}).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros(F.col("ts")).alias("last_ts_us"),
+    )
+
+
 def q_cdc_rebucket_midstream(spark, sf_dir):
     """Online bucket-count migration mid-ingest: half the feed lands in an
     8-bucket layout, the table is rebucketed to 32 in one atomic commit,
@@ -3687,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
+        "cdc_time_slice_read": q_cdc_time_slice_read,
         "cdc_expire_versions": q_cdc_expire_versions,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_minimal_image": q_cdc_minimal_image,
@@ -4172,6 +4239,19 @@ SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
+""",
+        # final-image time slice: the two-phase read_where must equal the
+        # full-replay state filtered AFTER reconciliation (an old in-range
+        # image of a since-updated or deleted key must not appear)
+        "cdc_time_slice_read": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value,
+       epoch_us(ts) AS last_ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
 """,
         # primary died at ~70%, promoted replica re-served 40-100%, the
         # watermark pruned the overlap: final state == plain full replay

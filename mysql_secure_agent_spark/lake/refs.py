@@ -238,6 +238,7 @@ def fast_forward(table: LakeTable, name: str) -> dict[str, Any]:
                 changefeed_floor=bh.changefeed_floor,
                 dropped_cols=list(bh.dropped_cols),
                 renamed_cols=dict(bh.renamed_cols),
+                stats_cols=list(bh.stats_cols),
                 ddl_hwm=bh.ddl_hwm,
                 parent=head.version,
                 summary={
@@ -319,6 +320,7 @@ def merge_branch(table: LakeTable, name: str) -> dict[str, Any]:
                 changefeed_floor=head.changefeed_floor,
                 dropped_cols=list(head.dropped_cols),
                 renamed_cols=dict(head.renamed_cols),
+                stats_cols=list(head.stats_cols),
                 ddl_hwm=head.ddl_hwm,
                 parent=head.version,
                 summary={

@@ -58,6 +58,17 @@ SYS_DELETED = "_deleted"
 SYS_LSN = "source_lsn"
 
 
+def _require_ts_micros(spark: SparkSession) -> None:
+    """Lake data files always carry int64-micros timestamps (the Iceberg/
+    modern-parquet physical type). Spark's legacy INT96 default writes NO
+    column statistics, which would silently blind both the manifests'
+    stats_cols pruning (read_where) and executor-side row-group skipping on
+    time predicates — set at every lake write chokepoint so the guarantee
+    holds under sessions the engine didn't build (driver harnesses,
+    spark-submit defaults)."""
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+
 def _type_from_ddl(ddl: str) -> T.DataType:
     return T._parse_datatype_string(ddl)  # public-ish helper used by schema= strings
 
@@ -89,10 +100,36 @@ def _footer_stats(paths: list[str]) -> tuple[int, int, int | None, int | None]:
     return rows, deletes, lsn_min, lsn_max
 
 
+def _canon_stat_bound(v: Any) -> Any:
+    """JSON-safe, ORDER-PRESERVING canonical form for a footer stat bound.
+    Temporal bounds become fixed-width strings (lexicographic == chronologic:
+    every rendered value has identical width, zero-padded fields), so they
+    survive the JSON manifest and compare correctly against query bounds
+    canonicalized through this same function. int/float/str pass through;
+    anything else returns None (the column stays un-prunable, conservative).
+    Naive timestamps are rendered as-is — parquet stores timestamp values in
+    a single epoch; both the stat and the query bound pass through here, so
+    the comparison is internally consistent without a tz decision."""
+    import datetime as _dt
+
+    if isinstance(v, bool):  # bool is an int subclass; no ordering value
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.strftime("%Y-%m-%dT%H:%M:%S") + f".{v.microsecond:06d}"
+    if isinstance(v, _dt.date):
+        return v.strftime("%Y-%m-%d")
+    return None
+
+
 def _file_key_stats(path: str, cols: list[str]) -> dict[str, list[Any]]:
     """Per-file min/max for the given columns from the parquet FOOTER only
     (no data pages read). Returns only columns with complete stats in every
-    row group and JSON-representable bounds (int/float/str) — anything else
+    row group and JSON-representable bounds (int/float/str, plus temporal
+    types via ``_canon_stat_bound``'s fixed-width rendering) — anything else
     is simply omitted and the file stays un-prunable (conservative).
 
     Parquet writers may truncate string bounds, but the spec's truncation
@@ -117,10 +154,8 @@ def _file_key_stats(path: str, cols: list[str]) -> dict[str, list[Any]]:
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            lo, hi = st.min, st.max
-            if not isinstance(lo, (int, float, str)) or not isinstance(
-                hi, (int, float, str)
-            ):
+            lo, hi = _canon_stat_bound(st.min), _canon_stat_bound(st.max)
+            if lo is None or hi is None:
                 ok = False
                 break
             mn = lo if mn is None else min(mn, lo)
@@ -252,6 +287,13 @@ class Commit:
     # Full-rewrite operations (purge/modify/rebucket) materialize the
     # logical names and clear this map.
     renamed_cols: dict[str, list[str]] = field(default_factory=dict)
+    # VALUE columns whose per-file min/max are recorded in manifests — on
+    # micro-batch deltas too, where key stats are useless (arrival order
+    # spans the key domain) but a time-like column's range is narrow. These
+    # stats feed read_where()'s two-phase candidate pruning; they may NOT
+    # prune read(key_range=...) reconciliation directly (a value column is
+    # mutable across a key's images — see read()'s docstring).
+    stats_cols: list[str] = field(default_factory=list)
     # Highest DDL-event lsn applied to this table. DDL idempotence cannot be
     # judged from schema state alone: ADD(c) then DROP(c) leaves the schema
     # exactly as if ADD were never applied, so a state-only "pending" check
@@ -282,6 +324,7 @@ class Commit:
                 "changefeed_floor": self.changefeed_floor,
                 "dropped_cols": self.dropped_cols,
                 "renamed_cols": self.renamed_cols,
+                "stats_cols": self.stats_cols,
                 "ddl_hwm": self.ddl_hwm,
                 "parent": self.parent,
                 "summary": self.summary,
@@ -312,6 +355,7 @@ class Commit:
             changefeed_floor=d.get("changefeed_floor", -1),
             dropped_cols=d.get("dropped_cols", []),
             renamed_cols=d.get("renamed_cols", {}),
+            stats_cols=d.get("stats_cols", []),
             ddl_hwm=d.get("ddl_hwm", -1),
             parent=d.get("parent"),
             summary=d.get("summary", {}),
@@ -383,6 +427,7 @@ class LakeTable:
         bucket_cols: list[str] | None = None,
         n_buckets: int = 16,
         overwrite: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         if os.path.exists(os.path.join(root, "_commits")):
             if not overwrite:
@@ -397,6 +442,10 @@ class LakeTable:
         # key_cols keeps the merge single-shuffle (see merge()). Pass
         # bucket_cols=["conv_id"] instead to co-locate whole conversations
         # (conversation-lookup pruning at the cost of hot-conv write skew).
+        names = {f.name for f in schema.fields}
+        bad = sorted(set(stats_cols or []) - names)
+        if bad:
+            raise ValueError(f"stats_cols {bad} not in schema")
         commit = Commit(
             version=0,
             schema=[(f.name, f.dataType.simpleString()) for f in schema.fields],
@@ -404,6 +453,7 @@ class LakeTable:
             bucket_cols=list(bucket_cols or key_cols),
             n_buckets=n_buckets,
             files={},
+            stats_cols=list(stats_cols or []),
             summary={"operation": "create"},
         )
         t._write_commit(commit)
@@ -741,6 +791,134 @@ class LakeTable:
         return self._reconciled_state(
             spark, commit, buckets, strategy, key_range, key_probe
         )
+
+    def set_stats_cols(self, cols: list[str]) -> int:
+        """Metadata-only commit declaring VALUE columns whose per-file
+        min/max get recorded in every future manifest entry (deltas
+        included) — the hidden-partitioning analog for ``read_where``.
+        Files written before this commit carry no stats and stay
+        un-prunable (conservative); the next ``compact()`` rewrites them
+        with stats."""
+        with self._commit_lock:
+            commit = self.commit_at(resolve=False)
+            names = {n for n, _ in commit.schema}
+            bad = sorted(set(cols) - names)
+            if bad:
+                raise ValueError(f"stats_cols {bad} not in schema")
+            if list(cols) == commit.stats_cols:
+                return commit.version  # idempotent
+            version = commit.version + 1
+            new_commit = dataclasses.replace(
+                commit,
+                version=version,
+                files={},
+                manifests=self._extend_manifests(commit, version, {}),
+                applied_batches=dict(commit.applied_batches),
+                stats_cols=list(cols),
+                parent=commit.version,
+                summary={"operation": "set_stats_cols", "columns": list(cols)},
+            )
+            self._write_commit(new_commit)
+            return new_commit.version
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple[Any, Any]],
+        version: int | None = None,
+        strategy: str = "max_by",
+    ) -> DataFrame:
+        """Reconciled current state restricted to rows whose FINAL image
+        satisfies ``ranges`` (``{col: (lo, hi)}``, inclusive, None =
+        unbounded side) — the time-slice read of the transcript lake
+        (``WHERE ts BETWEEN ...``), sound for VALUE columns where
+        ``read(key_range=...)`` is not.
+
+        Value-column pruning cannot filter reconciliation directly: a key's
+        old in-range image would resurrect when its latest image moved out
+        of range. The sound plan is two-phase (the Iceberg-CDC candidate
+        trick):
+
+          1. **candidate keys** — scan only files whose recorded stats
+             intersect the range (listing-level; files without stats are
+             kept) with the row predicate pushed into the parquet scan, and
+             project the distinct key tuples. A key whose final image is
+             in-range necessarily has that image in an intersecting file,
+             so phase 1 cannot miss a qualifying key.
+          2. **exact reconciliation** — read ONLY the candidate keys'
+             buckets, LEFT SEMI join to the candidates (AQE broadcasts the
+             candidate set when small), reconcile last-image-wins, drop
+             tombstones, and re-apply the predicate to the final images —
+             keys that were superseded out of range or deleted fall out.
+
+        Scale shape at 10^10 events: the feed arrives roughly time-ordered,
+        so delta files carry narrow ``ts`` ranges and a time slice opens
+        O(slice) files in phase 1, then O(candidate-bucket) files in phase
+        2 — never a full-table scan. ``stats_cols`` must cover the range
+        columns for pruning to bite (correctness never depends on it).
+        """
+        commit = self.commit_at(version)
+        names = {n for n, _ in commit.schema}
+        bad = sorted(set(ranges) - names)
+        if bad:
+            raise ValueError(f"range columns {bad} not in schema {sorted(names)}")
+        cols = [n for n, _ in commit.schema]
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField(n, _type_from_ddl(dt), True) for n, dt in commit.schema]
+            ),
+        )
+
+        def _apply(df: DataFrame) -> DataFrame:
+            for c, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
+            return df
+
+        # stats in manifests are canonicalized (temporals → fixed-width
+        # strings); the listing-level intersect test must compare bounds in
+        # the SAME space. A bound that doesn't canonicalize disables pruning
+        # for that column (None side = unbounded).
+        canon = {
+            c: (_canon_stat_bound(lo), _canon_stat_bound(hi))
+            for c, (lo, hi) in ranges.items()
+        }
+        # _read_files (not a bare parquet read): it resolves RENAME COLUMN
+        # priors, so a renamed range column still reads its old files'
+        # values — the listing-level intersect test stays conservative for
+        # them (their stats sit under the prior physical name)
+        raw = self._read_files(spark, commit, key_range=canon)
+        if raw is None:
+            return empty
+        cand = _apply(raw).select(*commit.key_cols).distinct()
+        # small by construction (distinct keys of the slice); pin it so the
+        # bucket-collect action and the phase-2 semi-join don't recompute
+        # the phase-1 scan twice
+        cand = cand.localCheckpoint(eager=True)
+        buckets = None
+        if set(commit.bucket_cols) <= set(commit.key_cols):
+            buckets = [
+                r[0]
+                for r in cand.select(self._bucket_expr(commit).alias("_b"))
+                .distinct()
+                .collect()
+            ]
+            if not buckets:
+                return empty
+        key_rng = {c: v for c, v in canon.items() if c in set(commit.key_cols)}
+        base = self._read_files(
+            spark, commit, buckets=buckets, key_range=key_rng or None
+        )
+        if base is None:
+            return empty
+        joined = base.join(cand, on=list(commit.key_cols), how="leftsemi")
+        rec = last_image_wins(
+            joined, key_cols=commit.key_cols, order_col=SYS_LSN, strategy=strategy
+        )
+        return _apply(rec.filter(~F.col(SYS_DELETED))).select(*cols)
 
     def _reconciled_state(
         self,
@@ -1096,11 +1274,17 @@ class LakeTable:
         # No repartition here: merge() already clustered the batch on
         # bucket_cols (single fused exchange), so partition id == _bucket and
         # partitionBy writes exactly one file per bucket per commit.
+        _require_ts_micros(spark)
         with_bucket.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
         types = dict(commit.schema)
         delta = self._walk_written(
             out_dir, rel_dir, "delta",
+            # VALUE-column stats on deltas (key stats would be useless —
+            # micro-batch arrival order spans the key domain, but a
+            # time-like stats_col is narrow per batch): read_where()'s
+            # candidate phase prunes these files at the listing level
+            key_stats_cols=list(commit.stats_cols) or None,
             key_bloom_cols=[(c, types[c]) for c in commit.bucket_cols],
         )
         touched = sorted(int(b) for b in delta)
@@ -1189,6 +1373,7 @@ class LakeTable:
                     applied_hwm=head.applied_hwm,
                     changefeed_floor=head.changefeed_floor,
                     dropped_cols=list(head.dropped_cols),
+            stats_cols=list(head.stats_cols),
                     renamed_cols=dict(head.renamed_cols),
                     ddl_hwm=head.ddl_hwm,
                     parent=head.version,
@@ -1244,6 +1429,7 @@ class LakeTable:
                 applied_hwm=hwm,
                 changefeed_floor=head.changefeed_floor,
                 dropped_cols=list(head.dropped_cols),
+            stats_cols=list(head.stats_cols),
                 renamed_cols=dict(head.renamed_cols),
                 ddl_hwm=head.ddl_hwm,
                 parent=head.version,
@@ -1467,6 +1653,7 @@ class LakeTable:
                 applied_hwm=hwm,
                 changefeed_floor=head.changefeed_floor,
                 dropped_cols=list(head.dropped_cols),
+            stats_cols=list(head.stats_cols),
                 renamed_cols=dict(head.renamed_cols),
                 ddl_hwm=head.ddl_hwm,
                 parent=head.version,
@@ -1646,6 +1833,7 @@ class LakeTable:
         version = commit.version + 1
         rel_dir = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.root, rel_dir)
+        _require_ts_micros(spark)
         writer = reconciled.write.partitionBy("_bucket")
         if target_file_rows is not None:
             writer = writer.option("maxRecordsPerFile", int(target_file_rows))
@@ -1658,7 +1846,8 @@ class LakeTable:
         }
         for b, es in self._walk_written(
             out_dir, rel_dir, "base",
-            footer_lsn_stats=True, key_stats_cols=commit.key_cols,
+            footer_lsn_stats=True,
+            key_stats_cols=list(commit.key_cols) + list(commit.stats_cols),
         ).items():
             files.setdefault(b, []).extend(es)
         # compaction rewrites the referenced file set → reset the manifest
@@ -1676,6 +1865,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=floor,
             dropped_cols=list(commit.dropped_cols),
+            stats_cols=list(commit.stats_cols),
             renamed_cols=dict(commit.renamed_cols),
             ddl_hwm=commit.ddl_hwm,
             parent=commit.version,
@@ -1752,6 +1942,7 @@ class LakeTable:
                 applied_hwm=hwm,
                 changefeed_floor=floor,
                 dropped_cols=list(commit.dropped_cols),
+            stats_cols=list(commit.stats_cols),
                 renamed_cols=dict(commit.renamed_cols),
                 ddl_hwm=max(
                     commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)
@@ -1831,10 +2022,12 @@ class LakeTable:
                 .sortWithinPartitions(*commit.key_cols)
                 .withColumn("_bucket", new_bucket)
             )
+            _require_ts_micros(spark)
             reconciled.write.partitionBy("_bucket").parquet(out_dir)
             for b, es in self._walk_written(
                 out_dir, rel_dir, "base",
-                footer_lsn_stats=True, key_stats_cols=commit.key_cols,
+                footer_lsn_stats=True,
+            key_stats_cols=list(commit.key_cols) + list(commit.stats_cols),
             ).items():
                 files.setdefault(b, []).extend(es)
 
@@ -1851,6 +2044,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=floor,
             dropped_cols=list(commit.dropped_cols),
+            stats_cols=list(commit.stats_cols),
             renamed_cols={},  # full rewrite materialized the logical names
             ddl_hwm=commit.ddl_hwm,
             parent=commit.version,
@@ -1911,6 +2105,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=commit.changefeed_floor,
             dropped_cols=list(commit.dropped_cols),
+            stats_cols=list(commit.stats_cols),
             renamed_cols=dict(commit.renamed_cols),
             ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
@@ -1960,6 +2155,7 @@ class LakeTable:
             renamed_cols={
                 k: v for k, v in commit.renamed_cols.items() if k != name
             },
+            stats_cols=[c for c in commit.stats_cols if c != name],
             ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
             summary={"operation": "drop_column", "column": name},
@@ -2040,6 +2236,10 @@ class LakeTable:
             # reserve the old physical name against re-ADD resurrection
             dropped_cols=sorted(set(commit.dropped_cols) | {old}),
             renamed_cols=renamed,
+            # future files record stats under the new logical name; old
+            # files' stats sit under the prior physical name and simply stop
+            # pruning (conservative — a rename is never a rewrite)
+            stats_cols=[new if c == old else c for c in commit.stats_cols],
             ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
             summary={"operation": "rename_column", "from": old, "to": new},
@@ -2065,6 +2265,7 @@ class LakeTable:
             ).withColumn("_bucket", self._bucket_expr(commit))
             rel_dir = os.path.join("data", f"v{version:08d}")
             out_dir = os.path.join(self.root, rel_dir)
+            _require_ts_micros(spark)
             rewritten.write.partitionBy("_bucket").parquet(out_dir)
             files = self._walk_written(out_dir, rel_dir, "delta")
         new_commit = Commit(
@@ -2081,6 +2282,7 @@ class LakeTable:
             changefeed_floor=commit.changefeed_floor,
             dropped_cols=[],
             renamed_cols={},  # full rewrite materialized the logical names
+            stats_cols=list(commit.stats_cols),
             ddl_hwm=commit.ddl_hwm,
             parent=commit.version,
             summary={"operation": "purge_dropped", "columns": commit.dropped_cols},
@@ -2116,6 +2318,7 @@ class LakeTable:
             )
             rel_dir = os.path.join("data", f"v{version:08d}")
             out_dir = os.path.join(self.root, rel_dir)
+            _require_ts_micros(spark)
             casted.write.partitionBy("_bucket").parquet(out_dir)
             files = self._walk_written(out_dir, rel_dir, "delta")
         new_commit = Commit(
@@ -2131,6 +2334,7 @@ class LakeTable:
             applied_hwm=commit.applied_hwm,
             changefeed_floor=commit.changefeed_floor,
             dropped_cols=list(commit.dropped_cols),
+            stats_cols=list(commit.stats_cols),
             renamed_cols={},  # full rewrite materialized the logical names
             ddl_hwm=max(commit.ddl_hwm, -1 if ddl_lsn is None else int(ddl_lsn)),
             parent=commit.version,
@@ -2237,6 +2441,7 @@ class LakeTable:
             applied_hwm=target.applied_hwm,
             changefeed_floor=target.changefeed_floor,
             dropped_cols=list(target.dropped_cols),
+            stats_cols=list(target.stats_cols),
             renamed_cols=dict(target.renamed_cols),
             ddl_hwm=target.ddl_hwm,
             parent=current.version,

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # int64-micros timestamps (the Iceberg/parquet-modern physical
+        # type) instead of Spark's legacy INT96 default: INT96 columns
+        # carry no usable min/max statistics, which would blind both the
+        # manifests' listing-level ts pruning (LakeTable.stats_cols /
+        # read_where) and executor-side row-group skipping on time filters
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # binlog order is a correctness contract; keep deterministic floats
         .config("spark.sql.legacy.allowUntypedScalaUDF", "false")
         # fork python workers from a daemon that has pandas/pyarrow preloaded

@@ -367,6 +367,82 @@ def q_cdc_time_slice_read(spark, sf_dir):
     )
 
 
+def q_cdc_table_checksum(spark, sf_dir):
+    """Replica drift verification (pt-table-checksum semantics): replay the
+    feed into the lake, then compute order-insensitive per-chunk checksums
+    of the reconciled state — chunk = portable 60-bit md5 key-hash mod 64,
+    checksum = bit_xor of full-row hashes + count. ONE pass over the
+    table, a 64-row result; the math is engine-portable (md5 + hex prefix
+    + xor), which the oracle gates bit-for-bit by computing the SAME
+    chunk table in DuckDB over the relational replay. The float column is
+    canonicalized to integer micros (floor(value*1e6)) inside both
+    engines — IEEE multiply + floor is deterministic where double→string
+    rendering is not.
+
+    In-query drift drill: verify_against its own state must be clean, and
+    a single tampered key must localize to exactly one changed row.
+
+    Beyond-reference surface: the reference has no way to prove the
+    destination equals the source after months of CDC; this is the
+    ecosystem's standard answer, distributed."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.operators.validate import checksum_chunks
+
+    cl = _events_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_cksum_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl, "cksum-batch")
+
+    canon = tbl.read(spark).select(
+        "user_id",
+        "slot",
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("value_us"),
+    )
+    # self-check: the drift drill must be clean against its own state and
+    # must localize a single tampered key to exactly one 'changed' row
+    victim = canon.orderBy("user_id", "slot").first()
+    probe = canon.withColumn(
+        "event_type",
+        F.when(
+            (F.col("user_id") == victim["user_id"])
+            & (F.col("slot") == victim["slot"]),
+            F.lit("__tampered__"),
+        ).otherwise(F.col("event_type")),
+    )
+    from mysql_secure_agent_spark.operators.validate import diff_chunks, diff_keys
+
+    clean = tbl.verify_against(spark, tbl.read(spark))
+    if not clean["match"]:
+        raise AssertionError(f"self-checksum drifted: {clean['drifted_chunks']}")
+    keys, vals = ["user_id", "slot"], ["event_type", "value_us"]
+    chunks = [
+        r["chunk"]
+        for r in diff_chunks(
+            checksum_chunks(canon, keys, vals), checksum_chunks(probe, keys, vals)
+        ).collect()
+    ]
+    if not chunks:
+        raise AssertionError("tampered replica passed verification")
+    statuses = [
+        r["status"] for r in diff_keys(canon, probe, keys, chunks, vals).collect()
+    ]
+    if statuses != ["changed"]:
+        raise AssertionError(f"drill did not localize the one tamper: {statuses}")
+
+    return checksum_chunks(
+        canon, ["user_id", "slot"], ["event_type", "value_us"], n_chunks=64
+    )
+
+
 def q_cdc_rebucket_midstream(spark, sf_dir):
     """Online bucket-count migration mid-ingest: half the feed lands in an
     8-bucket layout, the table is rebucketed to 32 in one atomic commit,
@@ -3754,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_time_slice_read": q_cdc_time_slice_read,
+        "cdc_table_checksum": q_cdc_table_checksum,
         "cdc_expire_versions": q_cdc_expire_versions,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_minimal_image": q_cdc_minimal_image,
@@ -4239,6 +4316,38 @@ SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
+""",
+        # pt-table-checksum chunk table over the replayed final state: the
+        # engine's distributed checksum math (md5-prefix row hash, key-hash
+        # chunking, bit_xor fold, float→integer-micros canonicalization)
+        # reproduced in portable SQL — any value/row divergence flips a
+        # chunk's xor or count
+        "cdc_table_checksum": _CHANGELOG_CTE
+        + """
+, last AS (
+  SELECT user_id, slot, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                     ORDER BY source_lsn DESC) AS rn FROM cl)
+  WHERE rn = 1 AND op <> 'D'
+), canon AS (
+  SELECT user_id, slot, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_us
+  FROM last
+), hashed AS (
+  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(user_id AS VARCHAR), chr(0)),
+             coalesce(CAST(slot AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT)
+           % 64 AS chunk,
+         CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(user_id AS VARCHAR), chr(0)),
+             coalesce(CAST(slot AS VARCHAR), chr(0)),
+             coalesce(event_type, chr(0)),
+             coalesce(CAST(value_us AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT)
+           AS rh
+  FROM canon
+)
+SELECT chunk, COUNT(*) AS n_rows, bit_xor(rh) AS xor_hash
+FROM hashed GROUP BY chunk
 """,
         # final-image time slice: the two-phase read_where must equal the
         # full-replay state filtered AFTER reconciliation (an old in-range

@@ -2673,6 +2673,49 @@ class LakeTable:
                 os.rmdir(dirpath)
         return removed
 
+    def verify_against(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        value_cols: list[str] | None = None,
+        n_chunks: int = 64,
+    ) -> dict[str, Any]:
+        """Source/replica drift check (pt-table-checksum semantics over the
+        reconciled state): order-insensitive per-chunk checksums on both
+        sides — ONE pass each, an n_chunks-row comparison on the driver —
+        then, only if chunks drifted, a row-level diff restricted to the
+        drifted chunks (``operators.validate.diff_keys``). Returns
+        ``{"match", "drifted_chunks", "diff"}`` where ``diff`` is a lazy
+        DataFrame (None when clean). ``source`` must carry the table's key
+        columns; ``value_cols`` defaults to all shared non-key columns —
+        pre-canonicalize floats if the source renders them differently."""
+        from ..operators.validate import checksum_chunks, diff_chunks, diff_keys
+
+        commit = self.commit_at(resolve=False)
+        keys = list(commit.key_cols)
+        missing = [c for c in keys if c not in source.columns]
+        if missing:
+            raise ValueError(f"source lacks key columns {missing}")
+        mine = self.read(spark)
+        if value_cols is None:
+            value_cols = [
+                c for c in mine.columns if c not in set(keys) and c in source.columns
+            ]
+        drift = diff_chunks(
+            checksum_chunks(mine, keys, value_cols, n_chunks),
+            checksum_chunks(source, keys, value_cols, n_chunks),
+        ).collect()
+        chunks = sorted(r["chunk"] for r in drift)
+        return {
+            "match": not chunks,
+            "drifted_chunks": chunks,
+            "diff": (
+                diff_keys(mine, source, keys, chunks, value_cols, n_chunks)
+                if chunks
+                else None
+            ),
+        }
+
     def fsck(self, spark: SparkSession | None = None, deep: bool = False):
         """Integrity audit — see ``lake/fsck.py`` (structural tier is
         driver-only; ``deep=True`` adds the distributed footer/bloom

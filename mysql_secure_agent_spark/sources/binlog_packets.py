@@ -477,6 +477,88 @@ def _parse_optional_metadata(r: BinlogReader, tm: TableMap) -> None:
         # skipped by length
 
 
+# ----------------------------------------------------------------- charsets
+# MySQL collation id → character set name, from the public SHOW COLLATION
+# table (8.0 docs / information_schema.collations). Only ids a binlog can
+# actually carry in TABLE_MAP optional metadata (DEFAULT_CHARSET /
+# COLUMN_CHARSET, WL#4618); unknown ids fall back to utf-8-with-replacement
+# — the pre-metadata behavior. The reference decodes with the column
+# charset via Java's String(bytes, charset); without this map a latin1
+# 0xE9 ('é') becomes U+FFFD and a VARBINARY column is silently mangled
+# through a lossy utf-8 pass.
+_COLLATION_CHARSET: dict[int, str] = {
+    1: "big5", 2: "latin2", 4: "cp850", 5: "latin1", 7: "koi8r", 8: "latin1",
+    9: "latin2", 11: "ascii", 12: "ujis", 13: "sjis", 14: "cp1251",
+    15: "latin1", 16: "hebrew", 18: "tis620", 19: "euckr", 20: "latin7",
+    21: "latin2", 22: "koi8u", 23: "cp1251", 24: "gb2312", 25: "greek",
+    26: "cp1250", 27: "latin2", 28: "gbk", 29: "cp1257", 30: "latin5",
+    31: "latin1", 33: "utf8mb3", 34: "cp1250", 35: "ucs2", 36: "cp866",
+    38: "macce", 39: "macroman", 40: "cp852", 41: "latin7", 42: "latin7",
+    43: "macce", 44: "cp1250", 45: "utf8mb4", 46: "utf8mb4", 47: "latin1",
+    48: "latin1", 49: "latin1", 50: "cp1251", 51: "cp1251", 52: "cp1251",
+    53: "macroman", 54: "utf16", 55: "utf16", 56: "utf16le", 57: "cp1256",
+    58: "cp1257", 59: "cp1257", 60: "utf32", 61: "utf32", 62: "utf16le",
+    63: "binary", 65: "ascii", 66: "cp1250", 67: "cp1256", 68: "cp866",
+    70: "greek", 71: "hebrew", 74: "koi8r", 75: "koi8u", 77: "latin2",
+    78: "latin5", 79: "latin7", 80: "cp850", 81: "cp852", 83: "utf8mb3",
+    84: "big5", 85: "euckr", 86: "gb2312", 87: "gbk", 88: "sjis",
+    89: "tis620", 90: "ucs2", 91: "ujis", 94: "latin1", 95: "cp932",
+    96: "cp932", 97: "eucjpms", 98: "eucjpms", 99: "cp1250",
+    **{i: "utf16" for i in range(101, 125)},
+    **{i: "ucs2" for i in range(128, 152)},
+    **{i: "utf32" for i in range(160, 184)},
+    **{i: "utf8mb3" for i in range(192, 224)},
+    **{i: "utf8mb4" for i in range(224, 248)},
+    248: "gb18030", 249: "gb18030", 250: "gb18030",
+    # 8.0.30+/9.x uca1400 collations are all utf8mb4
+    **{i: "utf8mb4" for i in range(255, 324)},
+}
+
+# MySQL charset name → Python codec. MySQL's 'latin1' is cp1252 West
+# European with the five cp1252 holes (0x81 0x8D 0x8F 0x90 0x9D) kept as
+# C1 controls — decode ISO-8859-1 (total) then remap the 27 cp1252
+# printable points, so every byte decodes and round-trips MySQL's table.
+_CHARSET_PY: dict[str, str] = {
+    "ascii": "ascii", "big5": "big5", "cp1250": "cp1250", "cp1251": "cp1251",
+    "cp1256": "cp1256", "cp1257": "cp1257", "cp850": "cp850",
+    "cp852": "cp852", "cp866": "cp866", "cp932": "cp932",
+    "euckr": "euc_kr", "eucjpms": "euc_jp", "gb18030": "gb18030",
+    "gb2312": "gb2312", "gbk": "gbk", "greek": "iso8859-7",
+    "hebrew": "iso8859-8", "koi8r": "koi8-r", "koi8u": "koi8-u",
+    "latin2": "iso8859-2", "latin5": "iso8859-9", "latin7": "iso8859-13",
+    "macce": "mac_latin2", "macroman": "mac_roman", "sjis": "shift_jis",
+    "tis620": "tis-620", "ucs2": "utf-16-be", "ujis": "euc_jp",
+    "utf16": "utf-16-be", "utf16le": "utf-16-le", "utf32": "utf-32-be",
+    "utf8mb3": "utf-8", "utf8mb4": "utf-8",
+}
+
+_LATIN1_C1 = {
+    i: ord(bytes([i]).decode("cp1252"))
+    for i in range(0x80, 0xA0)
+    if i not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+}
+
+
+def decode_mysql_string(raw: bytes, charset_id: int | None):
+    """Column-charset-aware string decode. ``charset_id`` comes from
+    TABLE_MAP optional metadata (None when the server logs
+    binlog_row_metadata=MINIMAL — then utf-8-with-replacement, the only
+    safe guess and this module's historical behavior). The ``binary``
+    pseudo-charset (63 — BINARY/VARBINARY/BLOB columns) returns the raw
+    bytes: a lossy text pass over binary data is silent corruption."""
+    if charset_id is None:
+        return raw.decode("utf-8", errors="replace")
+    cs = _COLLATION_CHARSET.get(charset_id)
+    if cs == "binary":
+        return bytes(raw)
+    if cs == "latin1":
+        return raw.decode("latin-1").translate(_LATIN1_C1)
+    py = _CHARSET_PY.get(cs) if cs else None
+    if py is None:  # charset with no python codec (dec8/swe7/armscii8/...)
+        return raw.decode("utf-8", errors="replace")
+    return raw.decode(py, errors="replace")
+
+
 # ------------------------------------------------------------- value decoders
 def _sx(v: int, bits: int) -> int:
     return v - (1 << bits) if v >= 1 << (bits - 1) else v
@@ -526,7 +608,12 @@ def _decimal(r: BinlogReader, meta: int) -> Decimal:
 
 
 def _parse_value(
-    r: BinlogReader, type_code: int, meta: int, length: int, unsigned: bool = False
+    r: BinlogReader,
+    type_code: int,
+    meta: int,
+    length: int,
+    unsigned: bool = False,
+    charset: int | None = None,
 ):
     t = type_code
     if t == 0x01:
@@ -607,13 +694,18 @@ def _parse_value(
         )
     if t in (0x0F, 0xFD):  # VARCHAR / VAR_STRING: prefix width from meta
         n = r.u_le(1) if meta < 256 else r.u_le(2)
-        return r.read(n).decode("utf-8", errors="replace")
+        return decode_mysql_string(r.read(n), charset)
     if t == 0xFE:  # STRING (post-disambiguation): 1/2B prefix from length
         n = r.u_le(1) if length < 256 else r.u_le(2)
-        return r.read(n).decode("utf-8", errors="replace")
-    if t == 0xFC:  # BLOB family: meta-byte length prefix
+        return decode_mysql_string(r.read(n), charset)
+    if t == 0xFC:  # BLOB family: meta-byte length prefix. A recorded
+        # NON-binary charset marks a TEXT column (TABLE_MAP metadata lists
+        # character columns only) → decode; BLOB / no metadata stay bytes
         n = r.u_le(meta)
-        return r.read(n)
+        raw = r.read(n)
+        if charset is not None and _COLLATION_CHARSET.get(charset) != "binary":
+            return decode_mysql_string(raw, charset)
+        return raw
     if t == 0xF5:  # JSON: blob of binary JSON → text
         n = r.u_le(meta)
         return parse_json_binary(r.read(n))
@@ -746,7 +838,8 @@ def _parse_row(
                         type_code = high
                     length = low
         unsigned = tmap.signedness is not None and not tmap.signedness[col]
-        out.append(_parse_value(r, type_code, meta, length, unsigned))
+        charset = tmap.charsets[col] if tmap.charsets is not None else None
+        out.append(_parse_value(r, type_code, meta, length, unsigned, charset))
     return out
 
 
@@ -1056,11 +1149,21 @@ def parse_event_body(
     r = BinlogReader(buf)
     tid = _table_id(r)
     extra = r.u_le(2)
+    if extra < 2:  # the field counts itself — anything lower is a torn/
+        # corrupt frame, and skipping backwards would desync the row loop
+        # into reading garbage column counts (unbounded memory, not an
+        # error message)
+        raise ValueError(f"rows event extra_data_len {extra} < 2")
     r.skip(extra - 2)
     n_cols = r.packed_int()
     tmap = table_maps.get(tid)
     if tmap is None:
         raise ValueError(f"no TABLE_MAP for table id {tid}")
+    if n_cols != len(tmap.column_types):
+        raise ValueError(
+            f"rows event declares {n_cols} columns but TABLE_MAP {tid} has "
+            f"{len(tmap.column_types)} — desynced or corrupt stream"
+        )
     kind = {
         EXT_WRITE_ROWS: "insert",
         EXT_UPDATE_ROWS: "update",

@@ -115,3 +115,111 @@ def test_signedness_drives_integer_decode():
     parse_event_body(narrow, TABLE_MAP_EVENT, maps)
     ev = parse_event_body(rows_body, EXT_WRITE_ROWS, maps)
     assert ev.new_rows[0] == [-1, -1]
+
+
+# ----------------------------------------------------------- column charsets
+def _char_table(charset_tlv: bytes, col_type: int = 0x0F, meta: bytes = None) -> bytes:
+    """One-column fixture: a single character column of ``col_type``
+    (default VARCHAR(20)) with the given charset TLV appended."""
+    if meta is None:
+        meta = (20).to_bytes(2, "little")  # VARCHAR max length
+    body = (
+        (9).to_bytes(6, "little") + b"\x00\x00"
+        + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+        + bytes([1]) + bytes([col_type]) + _p(len(meta)) + meta + bytes([0x01])
+    )
+    return body + charset_tlv
+
+
+def _one_row(value_bytes: bytes, prefix: bytes = None) -> bytes:
+    if prefix is None:
+        prefix = bytes([len(value_bytes)])  # 1-byte VARCHAR length
+    return (
+        (9).to_bytes(6, "little") + b"\x00\x00"
+        + (2).to_bytes(2, "little") + bytes([1]) + bytes([0x01])
+        + bytes([0x00]) + prefix + value_bytes
+    )
+
+
+def test_decode_mysql_string_charsets():
+    from mysql_secure_agent_spark.sources.binlog_packets import decode_mysql_string
+
+    # MySQL latin1 = cp1252 glyphs with the five holes kept as C1 controls
+    assert decode_mysql_string(b"caf\xe9", 8) == "café"
+    assert decode_mysql_string(b"\x80", 8) == "€"
+    assert decode_mysql_string(b"\x81", 8) == "\x81"
+    assert decode_mysql_string("héllo".encode(), 45) == "héllo"  # utf8mb4
+    assert decode_mysql_string(b"\x00\xff\x01", 63) == b"\x00\xff\x01"  # binary
+    assert decode_mysql_string("Ж".encode("utf-16-be"), 35) == "Ж"  # ucs2
+    assert decode_mysql_string("Ж".encode("cp1251"), 51) == "Ж"
+    assert decode_mysql_string(b"abc", 9999) == "abc"  # unknown id: utf-8
+    assert decode_mysql_string(b"caf\xe9", None) == "caf�"  # no metadata
+
+
+def test_latin1_varchar_row_decode():
+    maps = {}
+    parse_event_body(
+        _char_table(_tlv(2, _p(8))), TABLE_MAP_EVENT, maps
+    )  # DEFAULT_CHARSET latin1
+    ev = parse_event_body(_one_row(b"caf\xe9"), EXT_WRITE_ROWS, maps)
+    assert ev.new_rows[0] == ["café"]
+
+
+def test_varbinary_row_decode_returns_bytes():
+    maps = {}
+    parse_event_body(_char_table(_tlv(3, _p(63))), TABLE_MAP_EVENT, maps)
+    ev = parse_event_body(_one_row(b"\x00\xfe\xff"), EXT_WRITE_ROWS, maps)
+    assert ev.new_rows[0] == [b"\x00\xfe\xff"]
+
+
+def test_text_column_decodes_via_charset():
+    # TEXT = BLOB type (0xFC) WITH a recorded character charset → str;
+    # the same wire bytes with binary/no charset stay bytes
+    maps = {}
+    parse_event_body(
+        _char_table(_tlv(2, _p(8)), col_type=0xFC, meta=bytes([1])),
+        TABLE_MAP_EVENT,
+        maps,
+    )
+    ev = parse_event_body(_one_row(b"caf\xe9"), EXT_WRITE_ROWS, maps)
+    assert ev.new_rows[0] == ["café"]
+
+    maps = {}
+    parse_event_body(
+        _char_table(b"", col_type=0xFC, meta=bytes([1])), TABLE_MAP_EVENT, maps
+    )
+    ev = parse_event_body(_one_row(b"caf\xe9"), EXT_WRITE_ROWS, maps)
+    assert ev.new_rows[0] == [b"caf\xe9"]
+
+
+def test_no_metadata_varchar_keeps_utf8_fallback():
+    maps = {}
+    parse_event_body(_char_table(b""), TABLE_MAP_EVENT, maps)
+    ev = parse_event_body(_one_row("héllo".encode()), EXT_WRITE_ROWS, maps)
+    assert ev.new_rows[0] == ["héllo"]
+
+
+def test_malformed_extra_len_raises_not_desyncs():
+    # extra_data_len counts itself (min 2); a lower value must raise loudly
+    # instead of rewinding the cursor into a garbage column count
+    maps = {}
+    parse_event_body(_char_table(b""), TABLE_MAP_EVENT, maps)
+    bad = (
+        (9).to_bytes(6, "little") + b"\x00\x00"
+        + (1).to_bytes(2, "little") + bytes([1]) + bytes([0x01])
+        + bytes([0x00]) + bytes([3]) + b"abc"
+    )
+    with pytest.raises(ValueError, match="extra_data_len"):
+        parse_event_body(bad, EXT_WRITE_ROWS, maps)
+
+
+def test_column_count_mismatch_raises():
+    maps = {}
+    parse_event_body(_char_table(b""), TABLE_MAP_EVENT, maps)
+    bad = (
+        (9).to_bytes(6, "little") + b"\x00\x00"
+        + (2).to_bytes(2, "little") + bytes([4]) + bytes([0x0F])
+        + bytes([0x00]) + bytes([3]) + b"abc"
+    )
+    with pytest.raises(ValueError, match="desynced or corrupt"):
+        parse_event_body(bad, EXT_WRITE_ROWS, maps)

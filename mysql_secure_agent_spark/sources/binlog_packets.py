@@ -1304,6 +1304,7 @@ def packets_to_changelog(
     column_names: list[str],
     checksum_length: int = 0,
     emit_presence: bool = False,
+    emit_stmt: bool = False,
     on_incident: str = "raise",
 ):
     """Replay a (type_code, payload) packet stream into changelog rows for
@@ -1320,8 +1321,14 @@ def packets_to_changelog(
     actually carried (binlog_row_image=MINIMAL sends only changed columns +
     PK) — a column that is absent is distinct from present-but-NULL, and
     downstream partial-image folding (``operators.partial_image``) needs the
-    mask to avoid nulling unchanged columns on merge. Sequential per stream
-    (wire parity layer); the engine's bulk path is the columnar payload feed.
+    mask to avoid nulling unchanged columns on merge. With
+    ``emit_stmt=True`` an extra ``_stmt`` column carries the originating
+    SQL statement from the preceding ROWS_QUERY event
+    (binlog_rows_query_log_events=ON) — per-row statement lineage for
+    audit/debug; NULL when the statement wasn't rows-query-logged. The
+    reference discards ROWS_QUERY with every other unlisted type
+    (``BinlogClient.java:191-195``). Sequential per stream (wire parity
+    layer); the engine's bulk path is the columnar payload feed.
     """
     rows, _ = packets_to_changelog_and_ddl(
         packets,
@@ -1330,6 +1337,7 @@ def packets_to_changelog(
         column_names,
         checksum_length=checksum_length,
         emit_presence=emit_presence,
+        emit_stmt=emit_stmt,
         track_ddl=False,
         on_incident=on_incident,
     )
@@ -1351,6 +1359,7 @@ def packets_to_changelog_and_ddl(
     column_names: list[str],
     checksum_length: int = 0,
     emit_presence: bool = False,
+    emit_stmt: bool = False,
     track_ddl: bool = True,
     strict_ddl: bool = True,
     on_incident: str = "raise",
@@ -1405,9 +1414,20 @@ def packets_to_changelog_and_ddl(
     xa_open: tuple | None = None  # xid of the txn currently buffering
     xa_buf: list[dict] = []
     xa_prepared: dict[tuple, list[dict]] = {}  # in-doubt: awaiting terminal
+    # statement lineage (binlog_rows_query_log_events=ON): the ROWS_QUERY
+    # event precedes its statement's TABLE_MAP+rows; scope ends at the next
+    # statement's ROWS_QUERY or the next transaction's GTID — a statement
+    # logged WITHOUT rows-query must not inherit the previous one's text
+    cur_stmt: str | None = None
 
     def _handle(ev) -> None:
-        nonlocal xa_open, xa_buf
+        nonlocal xa_open, xa_buf, cur_stmt
+        if isinstance(ev, RowsQuery):
+            cur_stmt = ev.query
+            return
+        if isinstance(ev, Gtid):
+            cur_stmt = None  # new transaction: lineage never crosses it
+            return
         if isinstance(ev, Incident):
             if on_incident == "raise":
                 raise BinlogGapError(
@@ -1500,8 +1520,15 @@ def packets_to_changelog_and_ddl(
             return
         if isinstance(ev, RowsEvent):
             sink = xa_buf if xa_open is not None else out
+            start = len(sink)
             _emit_rows_event(ev, schema_name, table_name, cols,
                              emit_presence, lsn, sink)
+            if emit_stmt:
+                # stamped at emission (not at DataFrame assembly): an XA
+                # branch's rows must carry the statement that produced them,
+                # not whatever is current when the terminal releases them
+                for rec in sink[start:]:
+                    rec["_stmt"] = cur_stmt
         # Stop / None (TABLE_MAP, XID, ROTATE, GTID, heartbeat): no emission
 
     for pkt in packets:
@@ -1537,6 +1564,8 @@ def packets_to_changelog_and_ddl(
     row_cols += patch_cols
     if emit_presence:
         row_cols.append("_present")
+    if emit_stmt:
+        row_cols.append("_stmt")
     ddl = pd.DataFrame(
         ddl_rows,
         columns=["source_lsn", "action", "column_name", "column_type", "new_name"],

@@ -574,3 +574,50 @@ def test_vector_column_decodes_float32_array():
     bad = body[:-len(packed) - 4] + (3).to_bytes(4, "little") + packed[:3]
     with pytest.raises(ValueError, match="float32"):
         parse_event_body(bad, EXT_WRITE_ROWS, maps)
+
+
+def test_stmt_lineage_attaches_and_scopes():
+    """emit_stmt: rows carry the preceding ROWS_QUERY text; the next
+    transaction's GTID clears it so a non-logged statement gets NULL, and
+    a fresh ROWS_QUERY replaces the previous statement's text."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        EXT_DELETE_ROWS,
+        GTID_EVENT,
+        ROWS_QUERY_EVENT,
+        packets_to_changelog,
+    )
+
+    def rq(sql: str) -> bytes:
+        return bytes([min(len(sql), 255)]) + sql.encode()
+
+    gtid = bytes([1]) + b"\x00" * 16 + (7).to_bytes(8, "little")
+    s1 = "INSERT INTO s.t VALUES (...)"
+    s2 = "UPDATE s.t SET name='y'"
+    packets = [
+        (TABLE_MAP_EVENT, _synthetic_table_map()),
+        (GTID_EVENT, gtid),
+        (ROWS_QUERY_EVENT, rq(s1)),
+        (EXT_WRITE_ROWS, _rows_body([
+            _row(1, "a", Decimal("1.00"), dt.date(2026, 1, 1)),
+        ])),
+        (ROWS_QUERY_EVENT, rq(s2)),
+        (EXT_UPDATE_ROWS, _rows_body([
+            _row(1, "a", Decimal("1.00"), dt.date(2026, 1, 1)),
+            _row(1, "y", Decimal("2.00"), dt.date(2026, 1, 2)),
+        ], n_images=2)),
+        (GTID_EVENT, gtid),  # next txn: statement not rows-query-logged
+        (EXT_DELETE_ROWS, _rows_body([
+            _row(1, "y", Decimal("2.00"), dt.date(2026, 1, 2)),
+        ])),
+    ]
+    cl = packets_to_changelog(
+        packets, "s", "t", ["id", "name", "amt", "d"], emit_stmt=True
+    )
+    assert cl["op"].tolist() == ["I", "U", "D"]
+    assert cl["_stmt"].tolist() == [s1, s2, None]
+    # default off: no _stmt column
+    cl2 = packets_to_changelog(packets, "s", "t", ["id", "name", "amt", "d"])
+    assert "_stmt" not in cl2.columns

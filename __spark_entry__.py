@@ -3006,6 +3006,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.12)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directional containment near-dup (|A∩B|/|A|): catches the
+    small-doc-inside-big-doc duplication Jaccard's symmetric denominator
+    hides (quoted replies, boilerplate, embedded READMEs). Same df-capped
+    posting join as the Jaccard family; ordered (a contained-in b) pairs."""
+    from mysql_secure_agent_spark.operators.text_dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, min_shingles=3
+    )
+
+
 def q_dedup_lsh_verified(spark, sf_dir):
     """Two-phase near-dup: LSH banding candidates → exact Jaccard verify
     (the production-scale dedup path; hot-shingle df-cap on)."""
@@ -3897,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_enrich": q_join_enrich,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_cluster_keep": q_dedup_cluster_keep,
         "train_corpus_prep": q_train_corpus_prep,
         "train_corpus_prep_sharded": q_train_corpus_prep_sharded,
@@ -5112,6 +5125,22 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)
 """,
         "dedup_ngram_jaccard": jaccard_sql,
+        # directional containment over the same df-capped shingle universe
+        "dedup_containment": f"""
+WITH base AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
+sh0 AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM base),
+hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS common
+  FROM sh l JOIN sh r ON l.sh = r.sh
+  WHERE l.id <> r.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(common / sa.sz, 6) AS containment
+FROM pairs JOIN sizes sa ON sa.id = id_a
+WHERE sa.sz >= 3 AND common / sa.sz >= 0.5
+""",
         "dedup_cluster_keep": cluster_sql,
         "train_corpus_prep": corpus_prep_sql,
         "train_corpus_prep_sharded": corpus_prep_sharded_sql,

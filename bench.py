@@ -87,6 +87,7 @@ HEADLINE = [
     "join_enrich",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_containment",
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "ann_cosine_topk",

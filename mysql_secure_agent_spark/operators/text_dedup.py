@@ -178,6 +178,59 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    min_shingles: int = 3,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """DIRECTIONAL near-dup pairs: containment(a→b) = |A∩B| / |A| ≥
+    threshold — doc a's shingles nearly all appear in doc b. The asymmetric
+    relation Jaccard misses: a quoted email inside a long reply chain, a
+    boilerplate header inside every page, a README embedded in a crawl
+    dump — |A∩B|/|A∪B| is tiny when |B| ≫ |A| but the small doc is still a
+    duplicate worth dropping (Broder's containment measure, the standard
+    companion to resemblance).
+
+    Plan: the SAME df-capped posting-list join as ``ngram_jaccard_pairs``
+    (explode → hot-shingle drop → self-join on shingle → per-pair common
+    count), divided by |A| only; emits ordered (id_a ⊆ id_b) pairs — both
+    directions can appear when two docs mutually contain each other.
+    ``min_shingles`` floors |A| (a 1-shingle doc is "contained" everywhere
+    — noise, not duplication). Same scale valve: the hot-shingle cap
+    bounds the posting join at 10^9 docs; numerator and denominator are
+    both post-drop, so the ratio stays a true containment over the reduced
+    shingle universe.
+
+    The reference has no corpus operators (binlog agent); this serves the
+    training-data pipeline over the transcript lake's document side.
+    """
+    sh = _shingle_postings(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, max_shingle_df)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col("l.id") != F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .filter(F.col("sz_a") >= min_shingles)
+        .withColumn("containment", F.col("common") / F.col("sz_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------- minhash lsh
 def minhash_signature(
     df: DataFrame,

@@ -280,3 +280,40 @@ def test_repartition_by_size(spark):
     out = repartition_by_size(df, target_partition_bytes=10_000)
     assert out.count() == 50
     assert out.rdd.getNumPartitions() >= 4
+
+
+def test_containment_directional(spark):
+    """A small doc fully inside a big doc: containment(a→b) ≈ 1 while
+    Jaccard is far below any dedup threshold; the reverse direction and
+    unrelated docs stay out; a sub-min_shingles doc never pairs."""
+    from mysql_secure_agent_spark.operators.text_dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    tiny = "just two"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different text here entirely"),
+         (4, tiny)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
+    # the symmetric measure misses it at any realistic threshold
+    jac = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=None).collect()
+    assert all({r["id_a"], r["id_b"]} != {1, 2} for r in jac)
+
+
+def test_containment_mutual_direction(spark):
+    """Two identical docs contain each other: both ordered pairs emit."""
+    from mysql_secure_agent_spark.operators.text_dedup import containment_pairs
+
+    t = "one two three four five six seven"
+    docs = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in containment_pairs(docs).collect()}
+    assert got == {(1, 2), (2, 1)}

@@ -1762,6 +1762,7 @@ class LakeTable:
         min_deltas: int = 1,
         sort_within_buckets: bool = True,
         target_file_rows: int | None = None,
+        sort_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Rewrite buckets with >= min_deltas delta files into a reconciled
         base file; tombstones are dropped (full-bucket rewrite ⇒ nothing older
@@ -1781,7 +1782,15 @@ class LakeTable:
         become tight listing-level bounds: ``read(key_range=...)`` then skips
         whole files without opening a footer (Iceberg's sorted-rewrite +
         planFiles shape). Stats collection is footer-metadata-only, O(files
-        written), paid once at compaction."""
+        written), paid once at compaction.
+
+        ``sort_cols`` overrides the sort order (Iceberg's replaceSortOrder):
+        a table whose dominant read is a time slice compacts with
+        ``sort_cols=["ts"]`` so split files cover contiguous TIME intervals
+        and ``read_where``'s candidate phase prunes compacted bases as
+        tightly as the time-ordered deltas it replaced — compaction
+        otherwise smears each bucket's full ts range across every file and
+        DESTROYS the very stats locality the deltas had."""
         t0 = time.time()
         commit = self.commit_at()
         counts = {
@@ -1827,9 +1836,24 @@ class LakeTable:
             )
             .filter(~F.col(SYS_DELETED))
         )
-        if sort_within_buckets:
-            reconciled = reconciled.sortWithinPartitions(*commit.key_cols)
+        # Sort AFTER adding _bucket, with _bucket as the LEADING key: the
+        # parquet writer requires its output ordered by the partition
+        # column and will otherwise insert its own NON-STABLE sort on
+        # _bucket alone, silently scrambling the within-bucket order this
+        # sort just produced (each repartitioned task holds one bucket, so
+        # the leading key costs nothing — it only makes the writer see its
+        # required ordering as already satisfied).
         reconciled = reconciled.withColumn("_bucket", self._bucket_expr(commit))
+        if sort_cols is not None:
+            names = {n for n, _ in commit.schema}
+            bad = sorted(set(sort_cols) - names)
+            if bad:
+                raise ValueError(f"sort_cols {bad} not in schema")
+            reconciled = reconciled.sortWithinPartitions("_bucket", *sort_cols)
+        elif sort_within_buckets:
+            reconciled = reconciled.sortWithinPartitions(
+                "_bucket", *commit.key_cols
+            )
         version = commit.version + 1
         rel_dir = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.root, rel_dir)

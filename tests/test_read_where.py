@@ -206,3 +206,34 @@ def test_int_stats_col_prunes(spark, tmp_path):
     assert got == {3: 1000, 1: 2000}
     # key 1's old image (n=10) must not satisfy a low slice anymore
     assert {r["k"] for r in tbl.read_where(spark, {"n": (None, 100)}).collect()} == {2}
+
+
+def test_compact_sort_cols_time_clusters_base_files(spark, tmp_path):
+    """compact(sort_cols=['ts'], target_file_rows=...) splits each bucket
+    into contiguous TIME intervals, so a time slice prunes compacted base
+    files at the listing level — key-sorted compaction would smear each
+    bucket's full ts range across every file."""
+    tbl = LakeTable.create(
+        str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=1, stats_cols=["ts"]
+    )
+    rows = [("I", k, f"v{k}", _ts(1 + k % 28, k % 24), k + 1) for k in range(200)]
+    tbl.merge(spark, _mk(spark, rows), "b0")
+    tbl.compact(spark, sort_cols=["ts"], target_file_rows=40)
+    commit = tbl.commit_at()
+    entries = [e for es in commit.files.values() for e in es]
+    assert len(entries) >= 4
+    spans = sorted(tuple(e["key_stats"]["ts"]) for e in entries)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "split files must cover disjoint time intervals"
+    canon = {"ts": (_canon_stat_bound(_ts(3)), _canon_stat_bound(_ts(5)))}
+    assert 0 < len(tbl.candidate_paths(commit, key_range=canon)) < len(entries)
+    got = {r["k"] for r in tbl.read_where(spark, {"ts": (_ts(3), _ts(5))}).collect()}
+    assert got == {k for k in range(200) if 3 <= 1 + k % 28 <= 5 and not (1 + k % 28 == 5 and k % 24 > 0)}
+
+
+def test_compact_sort_cols_validates(spark, table):
+    table.merge(spark, _mk(spark, [("I", 1, "a", _ts(1), 1)]), "b0")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="sort_cols"):
+        table.compact(spark, sort_cols=["nope"])

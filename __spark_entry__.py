@@ -1011,6 +1011,44 @@ def q_cdc_index_lookup(spark, sf_dir):
     )
 
 
+def q_cdc_index_range_scan(spark, sf_dir):
+    """Range probe over the secondary index (value BETWEEN 100 AND 200):
+    the indexed column is the index table's first key column, so after
+    sorted compaction the probe prunes index files at the listing level,
+    then fetches only the matched keys' main buckets. Built mid-stream
+    like cdc_index_lookup (two batches, refresh after each, compaction
+    between) so stale-entry filtering and post-compaction pruning are both
+    on the path. Oracle: final-state filter."""
+    from mysql_secure_agent_spark.lake.index import SecondaryIndex
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "op", "user_id", "slot", "event_type", "value", "source_lsn"
+    )
+    hi = cl.agg(F.max("source_lsn")).collect()[0][0] or 0
+    base = tempfile.mkdtemp(prefix="lake_idxrange_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(
+        os.path.join(base, "t"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    idx = SecondaryIndex.create(os.path.join(base, "ix"), tbl, "value")
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= hi // 2), "b0")
+    idx.refresh(spark)
+    idx.table.compact(spark, target_file_rows=512)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > hi // 2), "b1")
+    idx.refresh(spark)
+    return idx.range_lookup(spark, 100.0, 200.0).select(
+        "user_id", "slot", "event_type", "value"
+    )
+
+
 def q_cdc_keyset_page(spark, sf_dir):
     """S2: one keyset page after cursor (75, 0) over PK (user_id, event_id)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
@@ -3863,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_as_of": q_cdc_scd2_as_of,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_index_lookup": q_cdc_index_lookup,
+        "cdc_index_range_scan": q_cdc_index_range_scan,
         "cdc_keyset_page": q_cdc_keyset_page,
         "cdc_lsn_encode": q_cdc_lsn_encode,
         "cdc_decode_types": q_cdc_decode_types,
@@ -4619,6 +4658,13 @@ SELECT user_id, slot, event_type, value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D' AND event_type = 'click'
+""",
+        "cdc_index_range_scan": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D' AND value >= 100.0 AND value <= 200.0
 """,
         "cdc_keyset_page": """
 SELECT user_id, event_id, event_type FROM events

@@ -118,6 +118,7 @@ HEADLINE = [
     "cdc_scd2_history",
     "cdc_scd2_incremental",
     "cdc_index_lookup",
+    "cdc_index_range_scan",
     "cdc_key_range_scan",
     "train_corpus_prep",
     "train_decontaminate",

@@ -330,27 +330,24 @@ class SecondaryIndex:
         of the index's metadata and files."""
         return self.table.lookup(spark, {self.col: value}).drop(self.col)
 
-    def lookup(
-        self, spark: SparkSession, value: Any, max_keys: int = 100_000
+    def lookup_keys_range(
+        self, spark: SparkSession, lo: Any = None, hi: Any = None
     ) -> DataFrame:
-        """Full main-table rows whose ``col`` equals ``value``: index probe →
-        matched keys → ONE main read pruned to those keys' buckets → join.
+        """src-key rows whose ``col`` ∈ [lo, hi] (inclusive; None = open
+        side). The indexed column is the index table's FIRST key column, so
+        ``read(key_range=...)`` prunes at the listing level against the
+        key stats sorted compaction recorded — a narrow range over a
+        compacted 10^10-entry index opens only the files whose (col, ...)
+        interval intersects, plus un-statted recent deltas."""
+        return self.table.read(spark, key_range={self.col: (lo, hi)})
 
-        The matched key set is collected driver-side to compute the bucket
-        list (the same O(matches) trade as ``LakeTable.lookup``'s driver-side
-        hash); ``max_keys`` guards against using a low-selectivity value as a
-        full scan — raise the cap or scan the table if you mean that.
-        """
+    def _fetch_matched(self, spark: SparkSession, matched: list) -> DataFrame:
+        """Matched index rows → ONE main read pruned to their buckets →
+        broadcast semi-join (the key list is small by construction)."""
         from .bucketing import bucket_for
 
         commit = self.main.commit_at(resolve=False)
         keys = commit.key_cols
-        matched = self.lookup_keys(spark, value).limit(max_keys + 1).collect()
-        if len(matched) > max_keys:
-            raise ValueError(
-                f"index lookup for {value!r} matched more than {max_keys} keys; "
-                "raise max_keys or use a full read with a filter"
-            )
         if not matched:
             return self.main.read(spark, buckets=[])
         types = dict(commit.schema)
@@ -371,7 +368,54 @@ class SecondaryIndex:
             ),
         )
         base = self.main.read(spark, buckets=buckets)
-        # the key list is small by construction (≤ max_keys) — broadcast it.
-        return base.join(F.broadcast(keys_df), keys, "leftsemi").filter(
+        return base.join(F.broadcast(keys_df), keys, "leftsemi")
+
+    def lookup(
+        self, spark: SparkSession, value: Any, max_keys: int = 100_000
+    ) -> DataFrame:
+        """Full main-table rows whose ``col`` equals ``value``: index probe →
+        matched keys → ONE main read pruned to those keys' buckets → join.
+
+        The matched key set is collected driver-side to compute the bucket
+        list (the same O(matches) trade as ``LakeTable.lookup``'s driver-side
+        hash); ``max_keys`` guards against using a low-selectivity value as a
+        full scan — raise the cap or scan the table if you mean that.
+        """
+        matched = self.lookup_keys(spark, value).limit(max_keys + 1).collect()
+        if len(matched) > max_keys:
+            raise ValueError(
+                f"index lookup for {value!r} matched more than {max_keys} keys; "
+                "raise max_keys or use a full read with a filter"
+            )
+        return self._fetch_matched(spark, matched).filter(
             F.col(self.col) == F.lit(value)
         )
+
+    def range_lookup(
+        self,
+        spark: SparkSession,
+        lo: Any = None,
+        hi: Any = None,
+        max_keys: int = 100_000,
+    ) -> DataFrame:
+        """Full main-table rows whose ``col`` ∈ [lo, hi]: the range probe
+        over the index (listing-pruned on compacted index files), then the
+        same bucket-pruned main fetch as ``lookup``. The final re-filter on
+        the MAIN row's current ``col`` value makes stale index entries
+        harmless between refreshes (same contract as ``lookup``)."""
+        if lo is None and hi is None:
+            raise ValueError("range_lookup needs at least one bound")
+        matched = (
+            self.lookup_keys_range(spark, lo, hi).limit(max_keys + 1).collect()
+        )
+        if len(matched) > max_keys:
+            raise ValueError(
+                f"index range [{lo!r}, {hi!r}] matched more than {max_keys} "
+                "keys; raise max_keys or use a full read with a filter"
+            )
+        out = self._fetch_matched(spark, matched)
+        if lo is not None:
+            out = out.filter(F.col(self.col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(self.col) <= F.lit(hi))
+        return out

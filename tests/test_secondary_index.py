@@ -206,3 +206,63 @@ def test_multi_shard_namespaced_lsn_cursor_sound(spark, tmp_path):
     idx.refresh(spark)
     pairs = _index_pairs(spark, idx)
     assert ("blue", 1) in pairs and ("green", 1) not in pairs
+
+
+def test_range_lookup(spark, tmp_path):
+    """Range probe over the index: matches the filtered main state, prunes
+    the index read after sorted compaction, and a stale entry (value moved
+    out of range after the last refresh) is filtered by the main re-check."""
+    from pyspark.sql import Row, functions as F, types as T
+
+    from mysql_secure_agent_spark.lake.index import SecondaryIndex
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+        ]
+    )
+    tbl = LakeTable.create(str(tmp_path / "m"), schema, ["k"], n_buckets=4)
+    cl = spark.createDataFrame(
+        [Row(op="I", k=k, v=k * 10, s=f"s{k}", source_lsn=k + 1) for k in range(40)],
+        "op string, k long, v long, s string, source_lsn long",
+    )
+    tbl.merge(spark, cl, "b0")
+    idx = SecondaryIndex.create(str(tmp_path / "i"), tbl, "v", n_buckets=4)
+    idx.refresh(spark)
+    got = {r["k"] for r in idx.range_lookup(spark, 100, 200).collect()}
+    assert got == {k for k in range(40) if 100 <= k * 10 <= 200}
+    # open sides
+    assert {r["k"] for r in idx.range_lookup(spark, lo=350).collect()} == {35, 36, 37, 38, 39}
+    with pytest.raises(ValueError, match="at least one bound"):
+        idx.range_lookup(spark)
+
+    # compaction sorts the index on (v, k): a narrow range must open fewer
+    # index files than the table holds
+    idx.table.compact(spark, target_file_rows=8)
+    commit = idx.table.commit_at()
+    total = sum(len(es) for es in commit.files.values())
+    pruned = len(idx.table.candidate_paths(commit, key_range={"v": (100, 120)}))
+    assert 0 < pruned < total, (pruned, total)
+    got = {r["k"] for r in idx.range_lookup(spark, 100, 120).collect()}
+    assert got == {10, 11, 12}
+
+    # stale entry: k=12 moves out of range after the refresh — the main
+    # re-filter drops it until the next refresh; k=5 moves INTO range but
+    # is invisible until refreshed (documented freshness contract)
+    tbl.merge(
+        spark,
+        spark.createDataFrame(
+            [Row(op="U", k=12, v=999, s="moved", source_lsn=100),
+             Row(op="U", k=5, v=110, s="entered", source_lsn=101)],
+            "op string, k long, v long, s string, source_lsn long",
+        ),
+        "b1",
+    )
+    got = {r["k"] for r in idx.range_lookup(spark, 100, 120).collect()}
+    assert got == {10, 11}
+    idx.refresh(spark)
+    got = {r["k"] for r in idx.range_lookup(spark, 100, 120).collect()}
+    assert got == {5, 10, 11}

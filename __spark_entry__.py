@@ -367,6 +367,62 @@ def q_cdc_time_slice_read(spark, sf_dir):
     )
 
 
+def q_cdc_zorder_compact(spark, sf_dir):
+    """Z-order compaction (Morton clustering on (user_id, ts) — Iceberg's
+    zOrder rewrite): after the rewrite, per-file stats stay tight in BOTH
+    dimensions, asserted in-query — a key range AND a time slice must each
+    open strictly fewer files than the table holds (a linear sort serves
+    only its own column). The returned result is the time-slice read over
+    the z-ordered table; oracle = full-replay final state filtered to the
+    slice — clustering is physics, never semantics."""
+    import datetime as dt
+
+    from mysql_secure_agent_spark.lake.table import LakeTable, _canon_stat_bound
+
+    cl = _events_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_zorder_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    tbl = LakeTable.create(
+        root, schema, ["user_id", "slot"], n_buckets=4, stats_cols=["ts"]
+    )
+    tbl.merge(spark, cl, "z-batch")
+    tbl.compact(spark, zorder_cols=["user_id", "ts"], target_file_rows=256)
+    lo_ts, hi_ts = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 15)
+    commit = tbl.commit_at()
+    total = sum(len(es) for es in commit.files.values())
+    k_opened = len(
+        tbl.candidate_paths(commit, key_range={"user_id": (100, 180)})
+    )
+    t_opened = len(
+        tbl.candidate_paths(
+            commit,
+            key_range={
+                "ts": (_canon_stat_bound(lo_ts), _canon_stat_bound(hi_ts))
+            },
+        )
+    )
+    if not (0 < k_opened < total and 0 < t_opened < total):
+        raise AssertionError(
+            f"z-order pruning did not bite in both dimensions: "
+            f"key {k_opened}/{total}, time {t_opened}/{total}"
+        )
+    return tbl.read_where(spark, {"ts": (lo_ts, hi_ts)}).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros(F.col("ts")).alias("last_ts_us"),
+    )
+
+
 def q_cdc_table_checksum(spark, sf_dir):
     """Replica drift verification (pt-table-checksum semantics): replay the
     feed into the lake, then compute order-insensitive per-chunk checksums
@@ -3881,6 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_time_slice_read": q_cdc_time_slice_read,
         "cdc_table_checksum": q_cdc_table_checksum,
+        "cdc_zorder_compact": q_cdc_zorder_compact,
         "cdc_expire_versions": q_cdc_expire_versions,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_minimal_image": q_cdc_minimal_image,
@@ -4400,6 +4457,18 @@ WHERE rn = 1 AND op <> 'D'
 )
 SELECT chunk, COUNT(*) AS n_rows, bit_xor(rh) AS xor_hash
 FROM hashed GROUP BY chunk
+""",
+        # z-order rewrite changes clustering only: same final-image slice
+        # semantics as cdc_time_slice_read
+        "cdc_zorder_compact": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value,
+       epoch_us(ts) AS last_ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
 """,
         # final-image time slice: the two-phase read_where must equal the
         # full-replay state filtered AFTER reconciliation (an old in-range

@@ -139,6 +139,7 @@ HEADLINE = [
     "cdc_binlog_export_roundtrip",
     "cdc_time_slice_read",
     "cdc_table_checksum",
+    "cdc_zorder_compact",
     # cdc_join_view_incremental is correctness-gated but not benched: its
     # wall is ~20 small driver-orchestrated jobs across three refresh
     # epochs (merges + changefeed reads), not operator throughput — at

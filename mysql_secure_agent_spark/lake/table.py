@@ -1763,6 +1763,7 @@ class LakeTable:
         sort_within_buckets: bool = True,
         target_file_rows: int | None = None,
         sort_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Rewrite buckets with >= min_deltas delta files into a reconciled
         base file; tombstones are dropped (full-bucket rewrite ⇒ nothing older
@@ -1790,7 +1791,16 @@ class LakeTable:
         and ``read_where``'s candidate phase prunes compacted bases as
         tightly as the time-ordered deltas it replaced — compaction
         otherwise smears each bucket's full ts range across every file and
-        DESTROYS the very stats locality the deltas had."""
+        DESTROYS the very stats locality the deltas had.
+
+        ``zorder_cols`` clusters on the MORTON CODE of several columns
+        (``lake/zorder.py`` — Iceberg's zOrder rewrite): each split file
+        covers a small hyperrectangle, so per-file stats stay tight in
+        EVERY listed dimension — key scans and time slices prune the same
+        files, where a linear sort serves only its own column. Rank bounds
+        come from one column-pruned min/max pass over the raw inputs (no
+        shuffle; bounds shape clustering quality, never correctness).
+        Mutually exclusive with ``sort_cols``."""
         t0 = time.time()
         commit = self.commit_at()
         counts = {
@@ -1843,8 +1853,32 @@ class LakeTable:
         # sort just produced (each repartitioned task holds one bucket, so
         # the leading key costs nothing — it only makes the writer see its
         # required ordering as already satisfied).
+        if sort_cols is not None and zorder_cols is not None:
+            raise ValueError("sort_cols and zorder_cols are mutually exclusive")
         reconciled = reconciled.withColumn("_bucket", self._bucket_expr(commit))
-        if sort_cols is not None:
+        if zorder_cols is not None:
+            from .zorder import _numeric, zvalue
+
+            names = {n for n, _ in commit.schema}
+            bad = sorted(set(zorder_cols) - names)
+            if bad:
+                raise ValueError(f"zorder_cols {bad} not in schema")
+            types = dict(commit.schema)
+            # rank bounds: one column-pruned min/max scan of the raw inputs
+            # (superset images — conservative bounds are exactly as good)
+            aggs = []
+            for c in zorder_cols:
+                x = _numeric(c, types[c])
+                aggs += [F.min(x).alias(f"_lo_{c}"), F.max(x).alias(f"_hi_{c}")]
+            b = raw.agg(*aggs).first()
+            bounds = {c: (b[f"_lo_{c}"], b[f"_hi_{c}"]) for c in zorder_cols}
+            reconciled = reconciled.withColumn(
+                "_z", zvalue(zorder_cols, types, bounds)
+            )
+            reconciled = reconciled.sortWithinPartitions("_bucket", "_z").drop(
+                "_z"
+            )
+        elif sort_cols is not None:
             names = {n for n, _ in commit.schema}
             bad = sorted(set(sort_cols) - names)
             if bad:

@@ -1524,6 +1524,108 @@ def q_cdc_txn_payload(spark, sf_dir):
     )
 
 
+def q_cdc_stmt_lineage(spark, sf_dir):
+    """Per-row statement lineage over the wire (binlog_rows_query_log_events):
+    the feed is re-encoded as one transaction per lsn//16 group — GTID, then
+    ROWS_QUERY carrying a deterministic statement text for EVEN groups only,
+    TABLE_MAP, row events, XID — decoded with emit_stmt=True, and the rows
+    grouped by their attached statement. Odd groups ship NO ROWS_QUERY, so
+    the hash breaks if lineage leaks across the GTID boundary (they must
+    come back NULL, not inherit the previous statement). Oracle: the same
+    grouping stated directly on the relational feed. The reference discards
+    ROWS_QUERY in its catch-all branch (BinlogClient.java:191-195)."""
+    import struct as st
+
+    import pandas as pd
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+
+    def rt(batches):
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_DELETE_ROWS, EXT_UPDATE_ROWS, EXT_WRITE_ROWS, GTID_EVENT,
+            ROWS_QUERY_EVENT, TABLE_MAP_EVENT, XID_EVENT,
+            packets_to_changelog,
+        )
+
+        def packed(n: int) -> bytes:
+            if n < 0xFB:
+                return bytes([n])
+            if n < 1 << 16:
+                return b"\xfc" + n.to_bytes(2, "little")
+            return b"\xfd" + n.to_bytes(3, "little")
+
+        tmap_body = (
+            (7).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + packed(5) + bytes([0x08, 0x03, 0x0F, 0x05, 0x08])
+            + packed(3) + (20).to_bytes(2, "little") + bytes([8])
+            + bytes([0x1F])
+        )
+
+        def row_img(u, s, et, v, lsn) -> bytes:
+            nulls, out = 0, b""
+            out += int(u).to_bytes(8, "little", signed=True)
+            out += int(s).to_bytes(4, "little", signed=True)
+            if et is None or (isinstance(et, float) and pd.isna(et)):
+                nulls |= 1 << 2
+            else:
+                b = str(et).encode()
+                out += bytes([len(b)]) + b
+            if v is None or pd.isna(v):
+                nulls |= 1 << 3
+            else:
+                out += st.pack("<d", float(v))
+            out += int(lsn).to_bytes(8, "little")
+            return bytes([nulls]) + out
+
+        def rows_body(imgs: list, n_images: int = 1) -> bytes:
+            return (
+                (7).to_bytes(6, "little") + b"\x00\x00"
+                + (2).to_bytes(2, "little") + packed(5)
+                + bytes([0x1F]) * n_images + b"".join(imgs)
+            )
+
+        gtid_body = bytes([1]) + b"\x00" * 16 + (1).to_bytes(8, "little")
+        cols = ["user_id", "slot", "event_type", "value", "lsn"]
+        for pdf in batches:
+            recs = pdf.to_dict("records")
+            groups: dict[int, list] = {}
+            for r in recs:
+                groups.setdefault(int(r["source_lsn"]) // 16, []).append(r)
+            packets = []
+            for g in sorted(groups):
+                packets.append((GTID_EVENT, gtid_body))
+                if g % 2 == 0:  # odd groups: statement not rows-query-logged
+                    q = f"bulk load #{g}".encode()
+                    packets.append(
+                        (ROWS_QUERY_EVENT, bytes([min(len(q), 255)]) + q)
+                    )
+                packets.append((TABLE_MAP_EVENT, tmap_body))
+                for r in groups[g]:
+                    img = row_img(r["user_id"], r["slot"], r["event_type"],
+                                  r["value"], r["source_lsn"])
+                    if r["op"] == "I":
+                        packets.append((EXT_WRITE_ROWS, rows_body([img])))
+                    elif r["op"] == "D":
+                        packets.append((EXT_DELETE_ROWS, rows_body([img])))
+                    else:
+                        packets.append(
+                            (EXT_UPDATE_ROWS, rows_body([img, img], n_images=2))
+                        )
+                packets.append((XID_EVENT, (1).to_bytes(8, "little")))
+            df = packets_to_changelog(packets, "s", "t", cols, emit_stmt=True)
+            yield df[["lsn", "_stmt"]].rename(columns={"_stmt": "stmt"})
+
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    decoded = _with_min_parallelism(cl).mapInPandas(
+        rt, schema="lsn long, stmt string"
+    )
+    return decoded.groupBy("stmt").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("lsn").alias("sum_lsn")
+    )
+
+
 def q_cdc_binlog_file_ingest(spark, sf_dir):
     """On-disk binlog FILE ingest, end to end: the change feed is encoded
     into four rotated ``mysql-bin.NNNNNN`` files on disk — real file
@@ -3938,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_slice_read": q_cdc_time_slice_read,
         "cdc_table_checksum": q_cdc_table_checksum,
         "cdc_zorder_compact": q_cdc_zorder_compact,
+        "cdc_stmt_lineage": q_cdc_stmt_lineage,
         "cdc_expire_versions": q_cdc_expire_versions,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_minimal_image": q_cdc_minimal_image,
@@ -4457,6 +4560,17 @@ WHERE rn = 1 AND op <> 'D'
 )
 SELECT chunk, COUNT(*) AS n_rows, bit_xor(rh) AS xor_hash
 FROM hashed GROUP BY chunk
+""",
+        # statement lineage: rows grouped by the ROWS_QUERY text their wire
+        # transaction carried (even lsn//16 groups), NULL for txns logged
+        # without one — a cross-GTID lineage leak changes the NULL group
+        "cdc_stmt_lineage": _CHANGELOG_CTE
+        + """
+SELECT CASE WHEN (source_lsn // 16) % 2 = 0
+            THEN 'bulk load #' || CAST(source_lsn // 16 AS VARCHAR)
+       END AS stmt,
+       COUNT(*) AS n_rows, SUM(source_lsn) AS sum_lsn
+FROM cl GROUP BY 1
 """,
         # z-order rewrite changes clustering only: same final-image slice
         # semantics as cdc_time_slice_read

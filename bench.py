@@ -127,6 +127,7 @@ HEADLINE = [
     "cdc_expire_versions",
     "train_corpus_prep_sharded",
     "cdc_txn_payload",
+    "cdc_stmt_lineage",
     "cdc_xa_transactions",
     "cdc_truncate",
     "cdc_multi_table_txn",

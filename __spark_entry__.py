@@ -367,6 +367,38 @@ def q_cdc_time_slice_read(spark, sf_dir):
     )
 
 
+def q_cdc_read_asof(spark, sf_dir):
+    """AS-OF-TIMESTAMP time travel (Iceberg TIMESTAMP AS OF): the feed
+    lands in two micro-batches; reading at the FIRST batch's commit
+    wall-clock instant must reproduce exactly the first-half replay even
+    though the head has moved on. Resolution scans commit metadata
+    newest-first (robust to clock jitter, O(1-2) reads for recent
+    timestamps). Oracle: relational replay of the first half."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    hi = cl.agg(F.max("source_lsn")).first()[0] or 0
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_asof_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= hi // 2), "a0")
+    t_mid = tbl.commit_at(resolve=False).committed_at
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > hi // 2), "a1")
+    return tbl.read_asof(spark, t_mid).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_zorder_compact(spark, sf_dir):
     """Z-order compaction (Morton clustering on (user_id, ts) — Iceberg's
     zOrder rewrite): after the rewrite, per-file stats stay tight in BOTH
@@ -4041,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_checksum": q_cdc_table_checksum,
         "cdc_zorder_compact": q_cdc_zorder_compact,
         "cdc_stmt_lineage": q_cdc_stmt_lineage,
+        "cdc_read_asof": q_cdc_read_asof,
         "cdc_expire_versions": q_cdc_expire_versions,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_minimal_image": q_cdc_minimal_image,
@@ -4560,6 +4593,16 @@ WHERE rn = 1 AND op <> 'D'
 )
 SELECT chunk, COUNT(*) AS n_rows, bit_xor(rh) AS xor_hash
 FROM hashed GROUP BY chunk
+""",
+        # as-of-timestamp read at the first batch's commit instant == the
+        # first-half replay, regardless of the head
+        "cdc_read_asof": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn
+      FROM cl WHERE source_lsn <= (SELECT MAX(source_lsn) // 2 FROM cl))
+WHERE rn = 1 AND op <> 'D'
 """,
         # statement lineage: rows grouped by the ROWS_QUERY text their wire
         # transaction carried (even lsn//16 groups), NULL for txns logged

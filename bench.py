@@ -125,6 +125,7 @@ HEADLINE = [
     "train_shuffle_shard",
     "text_repetition",
     "cdc_expire_versions",
+    "cdc_read_asof",
     "train_corpus_prep_sharded",
     "cdc_txn_payload",
     "cdc_stmt_lineage",

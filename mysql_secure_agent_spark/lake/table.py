@@ -287,6 +287,12 @@ class Commit:
     # Full-rewrite operations (purge/modify/rebucket) materialize the
     # logical names and clear this map.
     renamed_cols: dict[str, list[str]] = field(default_factory=dict)
+    # Wall-clock commit time (epoch seconds), stamped once in _write_commit.
+    # Powers AS-OF-TIMESTAMP time travel (version_asof/read_asof). Single
+    # writer ⇒ non-decreasing in practice; version order stays the
+    # authoritative order and asof resolution tolerates clock jitter by
+    # scanning, never assuming strict monotonicity.
+    committed_at: float | None = None
     # VALUE columns whose per-file min/max are recorded in manifests — on
     # micro-batch deltas too, where key stats are useless (arrival order
     # spans the key domain) but a time-like column's range is narrow. These
@@ -325,6 +331,7 @@ class Commit:
                 "dropped_cols": self.dropped_cols,
                 "renamed_cols": self.renamed_cols,
                 "stats_cols": self.stats_cols,
+                "committed_at": self.committed_at,
                 "ddl_hwm": self.ddl_hwm,
                 "parent": self.parent,
                 "summary": self.summary,
@@ -356,6 +363,7 @@ class Commit:
             dropped_cols=d.get("dropped_cols", []),
             renamed_cols=d.get("renamed_cols", {}),
             stats_cols=d.get("stats_cols", []),
+            committed_at=d.get("committed_at"),
             ddl_hwm=d.get("ddl_hwm", -1),
             parent=d.get("parent"),
             summary=d.get("summary", {}),
@@ -592,6 +600,8 @@ class LakeTable:
         return T.StructType(fields)
 
     def _write_commit(self, commit: Commit) -> None:
+        if commit.committed_at is None:
+            commit.committed_at = time.time()
         path = os.path.join(self._commits_dir, self._commit_fname(commit.version))
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -791,6 +801,35 @@ class LakeTable:
         return self._reconciled_state(
             spark, commit, buckets, strategy, key_range, key_probe
         )
+
+    def version_asof(self, ts: Any) -> int:
+        """Newest version committed at or before ``ts`` (epoch seconds or a
+        datetime; naive datetimes are read as UTC) — Iceberg's
+        TIMESTAMP AS OF resolution. Scans commit metadata newest-first
+        (``resolve=False``, O(metadata) per step, typically 1-2 reads for a
+        recent timestamp; bounded by the expiry retention window overall),
+        which stays correct under wall-clock jitter where a binary search
+        would not. Pre-timestamp-era commits (None) match any ts."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.timestamp()
+        ts = float(ts)
+        floor = self.version_floor()
+        for v in range(self.current_version(), floor - 1, -1):
+            c = self.commit_at(v, resolve=False)
+            if c.committed_at is None or c.committed_at <= ts:
+                return v
+        raise ValueError(
+            f"no retained version committed at or before {ts} "
+            f"(floor {floor} is newer; expired history cannot be read)"
+        )
+
+    def read_asof(self, spark: SparkSession, ts: Any, **kw) -> DataFrame:
+        """``read()`` at the newest version committed at or before ``ts``."""
+        return self.read(spark, version=self.version_asof(ts), **kw)
 
     def set_stats_cols(self, cols: list[str]) -> int:
         """Metadata-only commit declaring VALUE columns whose per-file

@@ -237,3 +237,34 @@ def test_compact_sort_cols_validates(spark, table):
 
     with _pt.raises(ValueError, match="sort_cols"):
         table.compact(spark, sort_cols=["nope"])
+
+
+def test_read_asof_timestamp(spark, table):
+    """AS-OF-timestamp time travel: a read at b0's commit instant sees b0
+    only; just before it sees the empty v0; after everything, the head."""
+    table.merge(spark, _mk(spark, [("I", 1, "a", _ts(1), 1)]), "b0")
+    t1 = table.commit_at(resolve=False).committed_at
+    assert t1 is not None
+    table.merge(spark, _mk(spark, [("U", 1, "b", _ts(2), 2)]), "b1")
+    t2 = table.commit_at(resolve=False).committed_at
+    assert table.version_asof(t1) == 1 and table.version_asof(t2) == 2
+    assert [r["v"] for r in table.read_asof(spark, t1).collect()] == ["a"]
+    assert [r["v"] for r in table.read_asof(spark, t2).collect()] == ["b"]
+    assert table.read_asof(spark, t1 - 0.0005).count() == 0  # v0, empty
+    # datetime form
+    import datetime as dtm
+
+    when = dtm.datetime.fromtimestamp(t1, dtm.timezone.utc)
+    assert table.version_asof(when) == 1
+    # before the table existed
+    with pytest.raises(ValueError, match="no retained version"):
+        table.version_asof(t1 - 10_000)
+
+
+def test_read_asof_respects_expiry_floor(spark, table):
+    table.merge(spark, _mk(spark, [("I", 1, "a", _ts(1), 1)]), "b0")
+    t1 = table.commit_at(resolve=False).committed_at
+    table.merge(spark, _mk(spark, [("U", 1, "b", _ts(2), 2)]), "b1")
+    table.expire_versions(keep_last=1)
+    with pytest.raises(ValueError, match="expired history"):
+        table.version_asof(t1 - 0.0005)

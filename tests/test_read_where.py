@@ -254,7 +254,9 @@ def test_read_asof_timestamp(spark, table):
     # datetime form
     import datetime as dtm
 
-    when = dtm.datetime.fromtimestamp(t1, dtm.timezone.utc)
+    # nudge past t1: fromtimestamp truncates to microseconds and can land
+    # just BEFORE the float commit instant
+    when = dtm.datetime.fromtimestamp(t1 + 0.001, dtm.timezone.utc)
     assert table.version_asof(when) == 1
     # before the table existed
     with pytest.raises(ValueError, match="no retained version"):

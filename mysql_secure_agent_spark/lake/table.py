@@ -855,6 +855,10 @@ class LakeTable:
                 applied_batches=dict(commit.applied_batches),
                 stats_cols=list(cols),
                 parent=commit.version,
+                # replace() copies the PARENT's stamp — reset so
+                # _write_commit stamps this commit's own instant (a reused
+                # stamp would make version_asof resolve past this commit)
+                committed_at=None,
                 summary={"operation": "set_stats_cols", "columns": list(cols)},
             )
             self._write_commit(new_commit)

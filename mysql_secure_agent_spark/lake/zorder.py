@@ -77,6 +77,11 @@ def zvalue(
     timestamps, days for dates, the value itself otherwise)."""
     if not cols:
         raise ValueError("zorder needs at least one column")
+    if len(cols) * ZBITS > 63:
+        raise ValueError(
+            f"zorder supports at most {63 // ZBITS} columns at {ZBITS}-bit "
+            "ranks (the Morton code must fit a signed long)"
+        )
     for c in cols:  # type validation regardless of bounds availability
         _numeric(c, types[c])
     ranks = [_rank(c, types[c], *bounds.get(c, (None, None))) for c in cols]

@@ -43,25 +43,38 @@ _NULL = "\x00"
 _SEP = "\x01"
 
 
-def _canon(cols: list[str]) -> F.Column:
-    return F.concat_ws(
-        _SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols]
-    )
+def _canon(cols: list[str], binary_cols: set[str] = frozenset()) -> F.Column:
+    # binary columns render as hex: a string cast reinterprets the bytes as
+    # UTF-8 and maps every invalid sequence to U+FFFD — distinct payloads
+    # would checksum equal
+    def one(c: str) -> F.Column:
+        v = F.hex(F.col(c)) if c in binary_cols else F.col(c).cast("string")
+        return F.coalesce(v, F.lit(_NULL))
+
+    return F.concat_ws(_SEP, *[one(c) for c in cols])
 
 
-def row_hash(cols: list[str]) -> F.Column:
+def _binary_cols(df: DataFrame) -> set[str]:
+    return {n for n, t in df.dtypes if t == "binary"}
+
+
+def row_hash(cols: list[str], binary_cols: set[str] = frozenset()) -> F.Column:
     """60-bit positive integer hash of the row's canonical rendering.
     ``conv(substr(md5(s),1,15),16,10)`` — the same md5-prefix trick the
     repo's portable 32-bit hash uses (text_dedup._h32), widened to 15 hex
     digits so per-chunk XORs are effectively collision-free."""
-    return F.conv(F.substring(F.md5(_canon(cols)), 1, 15), 16, 10).cast("long")
+    return F.conv(
+        F.substring(F.md5(_canon(cols, binary_cols)), 1, 15), 16, 10
+    ).cast("long")
 
 
-def chunk_id(key_cols: list[str], n_chunks: int) -> F.Column:
+def chunk_id(
+    key_cols: list[str], n_chunks: int, binary_cols: set[str] = frozenset()
+) -> F.Column:
     """Deterministic chunk for a key — hash(key) mod n_chunks, portable
     (NOT Spark's murmur3: the other side of the comparison is typically
     not Spark)."""
-    return F.pmod(row_hash(key_cols), F.lit(n_chunks)).cast("int")
+    return F.pmod(row_hash(key_cols, binary_cols), F.lit(n_chunks)).cast("int")
 
 
 def checksum_chunks(
@@ -80,9 +93,10 @@ def checksum_chunks(
         if value_cols is None
         else value_cols
     )
+    b = _binary_cols(df)
     hashed = df.select(
-        chunk_id(key_cols, n_chunks).alias("chunk"),
-        row_hash(list(key_cols) + list(value_cols)).alias("_rh"),
+        chunk_id(key_cols, n_chunks, b).alias("chunk"),
+        row_hash(list(key_cols) + list(value_cols), b).alias("_rh"),
     )
     return hashed.groupBy("chunk").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -132,12 +146,15 @@ def diff_keys(
     )
 
     def side(df: DataFrame, tag: str) -> DataFrame:
+        b = _binary_cols(df)
         return (
-            df.withColumn("_chunk", chunk_id(key_cols, n_chunks))
+            df.withColumn("_chunk", chunk_id(key_cols, n_chunks, b))
             .filter(F.col("_chunk").isin([int(c) for c in chunks]))
             .select(
                 *key_cols,
-                row_hash(list(key_cols) + list(value_cols_l)).alias(f"_rh_{tag}"),
+                row_hash(list(key_cols) + list(value_cols_l), b).alias(
+                    f"_rh_{tag}"
+                ),
             )
         )
 

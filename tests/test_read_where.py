@@ -270,3 +270,15 @@ def test_read_asof_respects_expiry_floor(spark, table):
     table.expire_versions(keep_last=1)
     with pytest.raises(ValueError, match="expired history"):
         table.version_asof(t1 - 0.0005)
+
+
+def test_metadata_commit_gets_fresh_timestamp(spark, table):
+    """set_stats_cols (a dataclasses.replace commit) must stamp its OWN
+    committed_at — a stamp copied from the parent would make version_asof
+    at the parent's instant resolve past the metadata commit."""
+    table.merge(spark, _mk(spark, [("I", 1, "a", _ts(1), 1)]), "b0")
+    t1 = table.commit_at(resolve=False).committed_at
+    v = table.set_stats_cols(["ts", "v"])
+    c2 = table.commit_at(resolve=False)
+    assert c2.version == v and c2.committed_at > t1
+    assert table.version_asof(t1) == v - 1

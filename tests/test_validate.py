@@ -126,3 +126,14 @@ def test_verify_against_detects_and_localizes(spark, lake):
 def test_verify_against_missing_key_col(spark, lake):
     with pytest.raises(ValueError, match="key columns"):
         lake.verify_against(spark, _df(spark, BASE).drop("k"))
+
+
+def test_binary_columns_hash_by_bytes(spark):
+    """Distinct binary payloads that both decode to U+FFFD under a lossy
+    utf-8 cast must still checksum differently (hex rendering)."""
+    a = spark.createDataFrame([(1, bytes([0xFE, 0xFF]))], "k long, b binary")
+    b = spark.createDataFrame([(1, bytes([0xFF, 0xFE]))], "k long, b binary")
+    d = diff_chunks(
+        checksum_chunks(a, ["k"], n_chunks=4), checksum_chunks(b, ["k"], n_chunks=4)
+    ).collect()
+    assert len(d) == 1

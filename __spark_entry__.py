@@ -1658,6 +1658,73 @@ def q_cdc_stmt_lineage(spark, sf_dir):
     )
 
 
+def q_cdc_charset_decode(spark, sf_dir):
+    """Column-charset-aware wire decode, oracle-gated: every feed row is
+    re-encoded as a latin1 (cp1252) VARCHAR row image — the text carries
+    '€' (0x80) and 'é' (0xE9), bytes a lossy utf-8 pass turns into U+FFFD —
+    under a TABLE_MAP whose optional metadata declares DEFAULT_CHARSET=8
+    (binlog_row_metadata=FULL, WL#4618). packets_to_changelog must decode
+    through the collation map (MySQL latin1 = cp1252 with C1 holes); the
+    oracle states the expected unicode text directly. The reference decodes
+    with Java String(bytes, charset); pre-session code here forced utf-8."""
+    import pandas as pd
+
+    cl = _events_changelog(spark, sf_dir).select("user_id", "source_lsn")
+
+    def rt(batches):
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            EXT_WRITE_ROWS, TABLE_MAP_EVENT, packets_to_changelog,
+        )
+
+        def packed(n: int) -> bytes:
+            if n < 0xFB:
+                return bytes([n])
+            if n < 1 << 16:
+                return b"\xfc" + n.to_bytes(2, "little")
+            return b"\xfd" + n.to_bytes(3, "little")
+
+        # cols: user_id LONGLONG, lsn LONGLONG, name VARCHAR(64 bytes)
+        tmap_body = (
+            (11).to_bytes(6, "little") + b"\x00\x00"
+            + bytes([1]) + b"s\x00" + bytes([1]) + b"t\x00"
+            + packed(3) + bytes([0x08, 0x08, 0x0F])
+            + packed(2) + (64).to_bytes(2, "little")
+            + bytes([0x07])  # nullability
+            # optional metadata: DEFAULT_CHARSET = 8 (latin1)
+            + bytes([2]) + packed(1) + packed(8)
+        )
+
+        for pdf in batches:
+            packets = [(TABLE_MAP_EVENT, tmap_body)]
+            for r in pdf.to_dict("records"):
+                u, lsn = int(r["user_id"]), int(r["source_lsn"])
+                name = f"café€{u % 5}".encode("cp1252")
+                img = (
+                    bytes([0])
+                    + u.to_bytes(8, "little", signed=True)
+                    + lsn.to_bytes(8, "little")
+                    + bytes([len(name)]) + name
+                )
+                body = (
+                    (11).to_bytes(6, "little") + b"\x00\x00"
+                    + (2).to_bytes(2, "little") + packed(3)
+                    + bytes([0x07]) + img
+                )
+                packets.append((EXT_WRITE_ROWS, body))
+            df = packets_to_changelog(
+                packets, "s", "t", ["user_id", "lsn", "name"]
+            )
+            yield df[["user_id", "lsn", "name"]]
+
+    from mysql_secure_agent_spark.operators.text_dedup import _with_min_parallelism
+
+    return (
+        _with_min_parallelism(cl)
+        .mapInPandas(rt, schema="user_id long, lsn long, name string")
+        .withColumnRenamed("lsn", "source_lsn")
+    )
+
+
 def q_cdc_binlog_file_ingest(spark, sf_dir):
     """On-disk binlog FILE ingest, end to end: the change feed is encoded
     into four rotated ``mysql-bin.NNNNNN`` files on disk — real file
@@ -4074,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_compact": q_cdc_zorder_compact,
         "cdc_stmt_lineage": q_cdc_stmt_lineage,
         "cdc_read_asof": q_cdc_read_asof,
+        "cdc_charset_decode": q_cdc_charset_decode,
         "cdc_expire_versions": q_cdc_expire_versions,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_minimal_image": q_cdc_minimal_image,
@@ -4593,6 +4661,14 @@ WHERE rn = 1 AND op <> 'D'
 )
 SELECT chunk, COUNT(*) AS n_rows, bit_xor(rh) AS xor_hash
 FROM hashed GROUP BY chunk
+""",
+        # latin1 wire bytes must decode to the exact unicode text (a lossy
+        # utf-8 pass yields U+FFFD and breaks the hash)
+        "cdc_charset_decode": _CHANGELOG_CTE
+        + """
+SELECT user_id, source_lsn,
+       'café€' || CAST(user_id % 5 AS VARCHAR) AS name
+FROM cl
 """,
         # as-of-timestamp read at the first batch's commit instant == the
         # first-half replay, regardless of the head

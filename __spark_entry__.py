@@ -697,6 +697,50 @@ def q_cdc_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdc_dump_restore(spark, sf_dir):
+    """mysqldump archive as the snapshot seed + stream handoff (the T7
+    contract, offline variant — the reference can only seed from a LIVE
+    paged SELECT, ImportSourceTable.java:23-42): the replayed state of the
+    feed's FIRST half is exported as a mysqldump-compatible archive
+    (extended INSERTs with MySQL escaping + CHANGE MASTER coordinates at
+    the half's lsn), restored into a FRESH table — CREATE TABLE grammar →
+    schema, distributed line-lexed INSERT parse, every row at lsn = the
+    dump position — and the feed's SECOND half merges on top. Final state
+    must equal one uninterrupted replay: gates literal escaping (float
+    repr exactness, microsecond timestamps), the type map both ways, and
+    zero-coordination last-image-wins handoff."""
+    from mysql_secure_agent_spark.operators.dedup_changelog import last_image_wins
+    from mysql_secure_agent_spark.sources.dump_sql import (
+        restore_dump,
+        write_dump_sql,
+    )
+
+    cl = _events_changelog(spark, sf_dir)
+    mid = (cl.agg(F.max("source_lsn")).first()[0] or 0) // 2
+    half1 = last_image_wins(
+        cl.filter(F.col("source_lsn") <= mid), ["user_id", "slot"],
+        strategy="max_by",
+    ).filter(F.col("op") != "D")
+    snap = half1.select("user_id", "slot", "event_type", "value", "ts")
+
+    base = tempfile.mkdtemp(prefix="dump_restore_")
+    out = os.path.join(base, "dump")
+    write_dump_sql(
+        snap, out, "events_state", ["user_id", "slot"], n_shards=4,
+        log_file="mysql-bin.000000", log_pos=int(mid),
+    )
+    tbl, info = restore_dump(spark, out, os.path.join(base, "t"), n_buckets=8)
+    assert info["start_lsn"] == mid, info
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > mid), "handoff-tail")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 def q_cdc_lake_changefeed(spark, sf_dir):
     """Incremental changefeed OUT of the lake (read_changes): the feed is
     merged in two halves, then the second half is read back as a changelog
@@ -4149,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_key_range_scan": q_cdc_key_range_scan,
         "agg_incremental_view": q_agg_incremental_view,
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
+        "cdc_dump_restore": q_cdc_dump_restore,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
         "cdc_changefeed_compose": q_cdc_changefeed_compose,
         "cdc_changefeed_tail": q_cdc_changefeed_tail,
@@ -4840,6 +4885,16 @@ WHERE rn = 1 AND op <> 'D'
         "cdc_jsonl_roundtrip": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # dump-seeded restore + stream tail must land on the uninterrupted
+        # replay's final state (escaping/type-map/handoff all value-exact)
+        "cdc_dump_restore": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value,
+       ts AS last_ts
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'

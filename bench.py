@@ -78,6 +78,7 @@ HEADLINE = [
     "cdc_apply_changelog",
     "cdc_merge_into_lake",
     "cdc_jsonl_roundtrip",
+    "cdc_dump_restore",
     "cdc_decode_types",
     "dedup_lsh_verified",
     "cdc_last_image_wins",

@@ -1,0 +1,195 @@
+"""mysqldump archive source/sink: header, CREATE TABLE grammar, literal
+lexer, distributed restore, and the snapshot→stream handoff contract."""
+
+import datetime as dt
+import decimal
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from mysql_secure_agent_spark.lake.table import LakeTable
+from mysql_secure_agent_spark.sources.dump_sql import (
+    _lex_tuples,
+    parse_create_table,
+    parse_dump_header,
+    restore_dump,
+    sql_literal,
+    write_dump_sql,
+)
+
+
+def test_parse_dump_header_master_data():
+    text = (
+        "-- MySQL dump 10.13  Distrib 8.0.36\n"
+        "--\n"
+        "-- CHANGE MASTER TO MASTER_LOG_FILE='mysql-bin.000003', "
+        "MASTER_LOG_POS=1307;\n"
+    )
+    h = parse_dump_header(text)
+    assert h["log_file"] == "mysql-bin.000003"
+    assert h["log_pos"] == 1307
+
+
+def test_parse_dump_header_8023_spelling_and_gtid():
+    text = (
+        "CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE='mysql-bin.000009', "
+        "SOURCE_LOG_POS=42;\n"
+        "SET @@GLOBAL.GTID_PURGED='3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5';\n"
+    )
+    h = parse_dump_header(text)
+    assert h["log_file"] == "mysql-bin.000009"
+    assert h["log_pos"] == 42
+    assert h["gtid_purged"].endswith(":1-5")
+
+
+def test_parse_create_table_mysqldump_shape():
+    sql = """CREATE TABLE `transcripts` (
+  `conv_id` varchar(64) NOT NULL,
+  `turn_idx` int NOT NULL,
+  `role` varchar(16) DEFAULT NULL,
+  `text` longtext,
+  `score` decimal(12,3) DEFAULT '0.000',
+  `n` bigint unsigned DEFAULT NULL,
+  `flag` tinyint(1) DEFAULT NULL,
+  `ts` datetime(6) DEFAULT NULL,
+  PRIMARY KEY (`conv_id`,`turn_idx`),
+  KEY `idx_role` (`role`),
+  CONSTRAINT `chk` CHECK ((`turn_idx` >= 0))
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_0900_ai_ci;"""
+    info = parse_create_table(sql)
+    assert info["table"] == "transcripts"
+    assert info["key_cols"] == ["conv_id", "turn_idx"]
+    got = {n: s for n, _, s in info["columns"]}
+    assert got == {
+        "conv_id": "string",
+        "turn_idx": "int",
+        "role": "string",
+        "text": "string",
+        "score": "decimal(12,3)",
+        "n": "decimal(20,0)",  # bigint unsigned widens
+        "flag": "boolean",  # tinyint(1)
+        "ts": "timestamp",
+    }
+    f = {x.name: x for x in info["spark_schema"].fields}
+    assert not f["conv_id"].nullable and f["role"].nullable
+
+
+def test_parse_create_table_unique_key_fallback():
+    sql = "CREATE TABLE t (a bigint NOT NULL, b text, UNIQUE KEY u (a))"
+    assert parse_create_table(sql)["key_cols"] == ["a"]
+
+
+def test_lex_tuples_escapes_and_types():
+    stmt = (
+        "INSERT INTO `t` VALUES "
+        "(1,'it''s',NULL,-2.5,0xDEAD,_binary 'AB','a\\nb\\\\c',b'101'),"
+        "(2,'x',3,1e-3,X'BEEF','','tab\\there',b'0');"
+    )
+    rows = _lex_tuples(stmt)
+    assert len(rows) == 2
+    r = rows[0]
+    assert r[0] == 1 and r[1] == "it's" and r[2] is None and r[3] == -2.5
+    assert r[4] == bytes.fromhex("DEAD") and r[5] == b"AB"
+    assert r[6] == "a\nb\\c" and r[7] == 0b101
+    assert rows[1][4] == bytes.fromhex("BEEF") and rows[1][7] == 0
+
+
+def test_sql_literal_escaping_roundtrips_through_lexer():
+    tricky = "line1\nline2\t'quoted' \\back\\ \x1a end"
+    stmt = f"INSERT INTO `t` VALUES ({sql_literal(tricky)});"
+    assert "\n" not in stmt.rstrip("\n").rstrip(";")  # one-line invariant
+    assert _lex_tuples(stmt)[0][0] == tricky
+
+
+@pytest.fixture()
+def tricky_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("amt", T.DecimalType(12, 3), True),
+            T.StructField("ok", T.BooleanType(), True),
+            T.StructField("blob", T.BinaryType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    rows = [
+        (1, "plain", 1.5, decimal.Decimal("10.250"), True, b"\x00\xffbin",
+         dt.datetime(2024, 3, 1, 12, 30, 45, 123456)),
+        (2, "quote's \"and\" back\\slash", -0.1, None, False, None,
+         dt.datetime(2024, 3, 2, 0, 0, 0)),
+        (3, "new\nline\ttab", 1e-17, decimal.Decimal("-0.001"), None, b"",
+         None),
+        (4, None, float(2**53 + 1), decimal.Decimal("999999999.999"), True,
+         b"A" * 100, dt.datetime(1999, 12, 31, 23, 59, 59, 999999)),
+        (5, "unicode café € 北京", 3.141592653589793, decimal.Decimal("0.000"),
+         False, bytes(range(32)), dt.datetime(2024, 1, 1)),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_dump_roundtrip(spark, tmp_path, tricky_df):
+    out = str(tmp_path / "dump")
+    manifest = write_dump_sql(
+        tricky_df, out, "t", ["id"], n_shards=3,
+        log_file="mysql-bin.000002", log_pos=777,
+    )
+    assert sum(m["n_rows"] for m in manifest) == 5
+    files = sorted(os.listdir(out))
+    assert files[0] == "dump.00000.sql"
+    tbl, info = restore_dump(spark, out, str(tmp_path / "tbl"), n_buckets=4)
+    assert info["log_file"] == "mysql-bin.000002" and info["log_pos"] == 777
+    assert info["start_lsn"] == 2_000_777
+    got = tbl.read(spark).orderBy("id").toPandas()
+    exp = tricky_df.orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+
+
+def test_dump_roundtrip_single_file(spark, tmp_path, tricky_df):
+    """cat shards in name order == a valid single-file dump."""
+    out = str(tmp_path / "dump")
+    write_dump_sql(tricky_df, out, "t", ["id"], n_shards=4)
+    single = str(tmp_path / "all.sql")
+    with open(single, "w", encoding="utf-8") as w:
+        for f in sorted(os.listdir(out)):
+            w.write(open(os.path.join(out, f), encoding="utf-8").read())
+    tbl, info = restore_dump(spark, single, str(tmp_path / "tbl"), n_buckets=4)
+    assert info["start_lsn"] == 0  # no coordinates recorded
+    assert tbl.read(spark).count() == 5
+
+
+def test_restore_then_stream_handoff(spark, tmp_path):
+    """The T7 contract: a table restored at the dump's position converges
+    with a stream of later events by last-image-wins — updates supersede
+    restored images, deletes remove restored keys, new keys insert."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    snap = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(10)], schema
+    )
+    out = str(tmp_path / "dump")
+    write_dump_sql(snap, out, "t", ["k"], n_shards=2,
+                   log_file="mysql-bin.000000", log_pos=100)
+    tbl, info = restore_dump(spark, out, str(tmp_path / "tbl"), n_buckets=4)
+    assert info["start_lsn"] == 100
+
+    later = spark.createDataFrame(
+        [("U", 3, "new3", 101), ("D", 5, None, 102), ("I", 42, "new42", 103)],
+        "op string, k long, v string, source_lsn long",
+    )
+    tbl.merge(spark, later, "stream-1")
+    got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    exp = {i: f"old{i}" for i in range(10) if i != 5}
+    exp[3] = "new3"
+    exp[42] = "new42"
+    assert got == exp

@@ -697,6 +697,51 @@ def q_cdc_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdc_debezium_roundtrip(spark, sf_dir):
+    """Debezium-envelope interop, end to end: the change feed is rendered
+    as Debezium records (before/after/source/op envelope + delete
+    tombstones — the PUBLIC CDC ecosystem format the reference's private
+    JSONL is not), written as a topic file dump, parsed back (from_json,
+    JVM-side both directions; op c/u/d→I/U/D, lsn recovered from
+    source.file+pos), and replayed through a LakeTable merge. Oracle: the
+    direct-replay final state — envelope render/parse and the tombstone
+    discipline are all value-exact or the hash breaks."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.sinks.debezium import (
+        read_debezium,
+        write_debezium,
+    )
+
+    cl = _events_changelog(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="dbz_rt_"), "topic")
+    write_debezium(
+        cl, out, ["user_id", "slot"], ["event_type", "value"],
+        db="testdata", table="events",
+    )
+    back = read_debezium(
+        spark, out, ["user_id", "slot"],
+        [("user_id", "bigint"), ("slot", "int"),
+         ("event_type", "string"), ("value", "double")],
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_dbz_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, back, "dbz-roundtrip")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_dump_restore(spark, sf_dir):
     """mysqldump archive as the snapshot seed + stream handoff (the T7
     contract, offline variant — the reference can only seed from a LIVE
@@ -4194,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_incremental_view": q_agg_incremental_view,
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_dump_restore": q_cdc_dump_restore,
+        "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
         "cdc_changefeed_compose": q_cdc_changefeed_compose,
         "cdc_changefeed_tail": q_cdc_changefeed_tail,
@@ -4883,6 +4929,15 @@ WHERE rn = 1 AND op <> 'D'
         # the round-trip must land on the same final state as the direct
         # replay — same oracle SQL (string render/parse is value-exact)
         "cdc_jsonl_roundtrip": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
+""",
+        # the Debezium-envelope round trip must land on the direct replay's
+        # final state (same oracle as the other migration round trips)
+        "cdc_debezium_roundtrip": _CHANGELOG_CTE
         + """
 SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot

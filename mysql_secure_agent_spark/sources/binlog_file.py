@@ -118,6 +118,26 @@ def iter_binlog_events(
                     f"(type {h.type_code:#04x}) — checksum config unknown"
                 )
             _, checksum_length = parse_format_description(body)
+            # Corruption the alg byte alone cannot protect against: a flip
+            # turning CRC32(1) into NONE(0) silently disables ALL later
+            # verification (real readers share this gap — the alg byte is
+            # the only signal). Probe: if the FDE claims no checksum but
+            # its own tail verifies as a CRC32 of the rest of the frame,
+            # the file is overwhelmingly likely checksummed (false-positive
+            # odds 2^-32) and the alg byte is the corrupt bit — refuse.
+            if verify_checksum and checksum_length == 0 and len(body) >= 9:
+                # the CRC covers the alg byte itself, so test the frame
+                # with the alg byte restored to CRC32
+                patched = bytearray(body[:-4])
+                patched[-1] = 0x01  # CHECKSUM_CRC32
+                if int.from_bytes(body[-4:], "little") == zlib.crc32(
+                    header_bytes + bytes(patched)
+                ):
+                    raise ValueError(
+                        "FORMAT_DESCRIPTION declares no checksum but its "
+                        "tail verifies as a CRC32 with the alg byte "
+                        "restored — checksum-alg byte corrupt"
+                    )
             first = False
         if verify_checksum and checksum_length:
             want = int.from_bytes(body[-4:], "little")

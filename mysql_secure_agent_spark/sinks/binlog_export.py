@@ -129,11 +129,21 @@ def write_binlog_changelog(
     table_id: int = 7,
     server_version: str = "8.0.36-engine",
     checksum: bool = True,
+    server_id: int = 1,
+    origin_col: str | None = None,
 ) -> list[dict[str, Any]]:
     """Export a changelog DataFrame (``op`` U/D + ``specs``-named columns +
     ``source_lsn``) as ``n_files`` rotated binlog files under ``out_dir``.
     Returns the manifest [(file_no, n_events, bytes)]. Eager (the files
-    must exist for any reader to plan over them)."""
+    must exist for any reader to plan over them).
+
+    ``server_id`` stamps the event headers (this exporter's identity);
+    ``origin_col`` names an int column carrying each row's ORIGIN server
+    id instead — the relay contract of circular replication (MySQL
+    preserves the originating server's id through the relay log, which is
+    what lets every server drop its own changes coming back around).
+    Rows are grouped into same-origin runs so each run's TABLE_MAP /
+    rows / XID framing carries one origin id."""
     from ..sources.binlog_file import encode_binlog_file
     from ..sources.binlog_packets import (
         EXT_DELETE_ROWS,
@@ -165,16 +175,29 @@ def write_binlog_changelog(
         recs = pdf.to_dict("records")
         for i in range(0, len(recs), txn_rows):
             chunk = recs[i : i + txn_rows]
-            events.append((TABLE_MAP_EVENT, tmap))
-            imgs = encode_typed_rows(specs, chunk)
-            for r, img in zip(chunk, imgs):
-                tc = EXT_DELETE_ROWS if r["op"] == "D" else EXT_WRITE_ROWS
-                events.append((tc, rows_event_body(table_id, len(specs), [img])))
-            events.append((XID_EVENT, (1).to_bytes(8, "little")))
+            # same-origin runs: one TABLE_MAP..XID frame per run, every
+            # event stamped with that run's origin id
+            runs: list[tuple[int | None, list[dict]]] = []
+            for r in chunk:
+                o = int(r[origin_col]) if origin_col else None
+                if not runs or runs[-1][0] != o:
+                    runs.append((o, []))
+                runs[-1][1].append(r)
+            for o, rs in runs:
+                tag = () if o is None else (o,)
+                events.append((TABLE_MAP_EVENT, tmap, *tag))
+                imgs = encode_typed_rows(specs, rs)
+                for r, img in zip(rs, imgs):
+                    tc = EXT_DELETE_ROWS if r["op"] == "D" else EXT_WRITE_ROWS
+                    events.append(
+                        (tc, rows_event_body(table_id, len(specs), [img]), *tag)
+                    )
+                events.append((XID_EVENT, (1).to_bytes(8, "little"), *tag))
         data = encode_binlog_file(
             events,
             server_version=server_version,
             checksum=checksum,
+            server_id=server_id,
             next_file=f"mysql-bin.{no + 1:06d}",
         )
         path = os.path.join(out_dir, f"mysql-bin.{no:06d}")
@@ -189,6 +212,8 @@ def write_binlog_changelog(
     # source_lsn may itself be an exported column (specs naming it) — don't
     # select it twice
     sel = ["op", *names] + (["source_lsn"] if "source_lsn" not in names else [])
+    if origin_col and origin_col not in sel:
+        sel.append(origin_col)
     manifest = (
         with_file.select(*sel, "_file_no")
         .groupBy("_file_no")

@@ -62,11 +62,16 @@ def file_number(path: str) -> int:
     return int(m.group(1))
 
 
+#: stream-framing event types that server-id filtering must never drop
+_FRAMING_TYPES = frozenset({FORMAT_DESCRIPTION_EVENT, ROTATE_EVENT, 0x03, 0x23})
+
+
 def iter_binlog_events(
     data: bytes,
     *,
     verify_checksum: bool = False,
     on_torn_tail: str = "raise",
+    ignore_server_ids: frozenset[int] | set[int] = frozenset(),
 ):
     """Walk one binlog file's bytes, yielding ``(EventHeader, body)``.
 
@@ -155,6 +160,20 @@ def iter_binlog_events(
                 f"end_log_pos chain broken at offset {off}: header says "
                 f"{h.next_position}, next event starts at {end}"
             )
+        # circular-replication loop prevention (MySQL replicate-same-
+        # server-id=0 / IGNORE_SERVER_IDS): drop events ORIGINATING from an
+        # ignored server — relays preserve the origin id in the header, so
+        # a server's own changes coming back around carry its id. Framing
+        # events (FDE/ROTATE/STOP/PREVIOUS_GTIDS) always pass: they
+        # describe the FILE, not a change, and the checksum/rotation state
+        # machine needs them regardless of who wrote the file.
+        if (
+            ignore_server_ids
+            and h.server_id in ignore_server_ids
+            and h.type_code not in _FRAMING_TYPES
+        ):
+            off = end
+            continue
         yield h, body
         off = end
 
@@ -165,20 +184,33 @@ def binlog_file_to_packets(
     lsn_base: int = 0,
     verify_checksum: bool = False,
     on_torn_tail: str = "raise",
-) -> list[tuple[int, bytes, int]]:
+    ignore_server_ids: frozenset[int] | set[int] = frozenset(),
+    return_origins: bool = False,
+):
     """One file's bytes → ``[(type_code, body, lsn)]`` ready for
     ``packets_to_changelog``: lsn = ``lsn_base + end_log_pos``, the exact
     ``BinlogPosition.as_lsn`` encoding, so positions from different files
     interleave in true log order when ``lsn_base = file_no * ROTATE_EVERY``.
+
+    ``return_origins``: also return ``{lsn: header server_id}`` — the
+    origin of every event, keyed by the same lsn the changelog rows carry,
+    so callers can stamp per-row provenance without re-walking the file.
     """
     out = []
+    origins: dict[int, int] = {}
     off = 4
     for h, body in iter_binlog_events(
-        data, verify_checksum=verify_checksum, on_torn_tail=on_torn_tail
+        data,
+        verify_checksum=verify_checksum,
+        on_torn_tail=on_torn_tail,
+        ignore_server_ids=ignore_server_ids,
     ):
         off += h.event_length
         pos = h.next_position or off
         out.append((h.type_code, body, lsn_base + pos))
+        origins[lsn_base + pos] = h.server_id
+    if return_origins:
+        return out, origins
     return out
 
 
@@ -193,6 +225,8 @@ def read_binlog_files(
     rotate_every: int = ROTATE_EVERY,
     verify_checksum: bool = True,
     on_torn_tail: str = "raise",
+    ignore_server_ids: frozenset[int] | set[int] = frozenset(),
+    emit_origin: bool = False,
 ):
     """Distributed decode of a directory/glob of on-disk binlog files.
 
@@ -212,9 +246,24 @@ def read_binlog_files(
     ``path`` may also be an already-loaded DataFrame carrying ``path`` and
     ``content`` columns (e.g. one micro-batch of a streaming binaryFile
     source — see ``streaming/binlog_tail.py``).
+
+    ``ignore_server_ids`` drops events ORIGINATING from those servers
+    (circular-replication loop prevention — a relay preserves the origin
+    id, so a server tails its peers with its own id in the set and its
+    changes cannot echo back). ``emit_origin`` appends an ``_origin`` int
+    column (the header server_id of the event that carried each row) so a
+    relay can preserve provenance when re-exporting; ``result_schema``
+    must then include ``_origin int``.
     """
     from pyspark.sql import DataFrame as _DF
 
+    if "source_lsn" in column_names:
+        # the decode appends the FILE-position lsn under that name; a
+        # payload column shadowing it would silently duplicate the label
+        raise ValueError(
+            "column_names must not contain 'source_lsn' — name the "
+            "payload's own lsn column differently (e.g. 'lsn')"
+        )
     if isinstance(path, _DF):
         files = path.select("path", "content")
     else:
@@ -226,16 +275,24 @@ def read_binlog_files(
         for pdf in batches:
             for rec in pdf.to_dict("records"):
                 base = file_number(rec["path"]) * rotate_every
-                packets = binlog_file_to_packets(
+                packets, origins = binlog_file_to_packets(
                     bytes(rec["content"]),
                     lsn_base=base,
                     verify_checksum=verify_checksum,
                     on_torn_tail=on_torn_tail,
+                    ignore_server_ids=ignore_server_ids,
+                    return_origins=True,
                 )
                 rows = packets_to_changelog(
                     packets, schema_name, table_name, column_names
                 )
-                yield rows[["op", *column_names, "source_lsn"]]
+                cols = ["op", *column_names, "source_lsn"]
+                if emit_origin:
+                    rows["_origin"] = (
+                        rows["source_lsn"].map(origins).astype("int64")
+                    )
+                    cols.append("_origin")
+                yield rows[cols]
 
     return files.mapInPandas(decode, schema=result_schema)
 
@@ -374,11 +431,12 @@ def encode_binlog_file(
     """
     out = bytearray(BINLOG_MAGIC)
 
-    def emit(type_code: int, body: bytes) -> None:
+    def emit(type_code: int, body: bytes, sid: int | None = None) -> None:
         tail = 4 if checksum else 0
         size = 19 + len(body) + tail
         header = struct.pack(
-            "<IBIIIH", timestamp, type_code, server_id,
+            "<IBIIIH", timestamp, type_code,
+            server_id if sid is None else sid,
             size, len(out) + size, 0,
         )
         out.extend(header)
@@ -411,8 +469,11 @@ def encode_binlog_file(
             size, len(out) + size, 0,
         )
         out.extend(header + fde + bytes(4))
-    for type_code, body in events:
-        emit(type_code, body)
+    for ev in events:
+        # (type, body) or (type, body, origin_server_id) — a relay stamps
+        # each event with the id of the server it ORIGINATED from, which is
+        # what makes downstream loop filtering possible
+        emit(*ev)
     if next_file is not None:
         emit(ROTATE_EVENT, (4).to_bytes(8, "little") + next_file.encode())
     return bytes(out)

@@ -697,6 +697,54 @@ def q_cdc_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdc_erase_keys(spark, sf_dir):
+    """Verifiable right-to-be-forgotten: the feed replays into a lake
+    table (two history-building batches), then every surviving key with
+    ``user_id % 19 == 0`` is ERASED — tombstone merge, bucket-targeted
+    compaction, snapshot expiry + vacuum — and the deep-scan certificate
+    (every retained root re-read distributed) must come back EMPTY before
+    the state is returned. Oracle: the plain-replay final state minus the
+    erased predicate. The reference keeps every image forever (JSONL out,
+    no deletion story); erasure-with-proof is lake-side surface the
+    distributed engine adds."""
+    from mysql_secure_agent_spark.lake.erasure import erase_keys
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    mid = (cl.agg(F.max("source_lsn")).first()[0] or 0) // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_erase_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl.filter(F.col("source_lsn") <= mid), "e1")
+    tbl.merge(spark, cl.filter(F.col("source_lsn") > mid), "e2")
+
+    doomed = [
+        {"user_id": r["user_id"], "slot": r["slot"]}
+        for r in tbl.read(spark)
+        .filter(F.col("user_id") % 19 == 0)
+        .select("user_id", "slot")
+        .collect()
+    ]
+    rep = erase_keys(tbl, spark, doomed)
+    if not rep["erased"]:
+        raise AssertionError(f"erasure certificate failed: {rep['survivors']}")
+    if tbl.version_floor() < tbl.current_version():
+        raise AssertionError("expiry did not raise the time-travel floor")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_debezium_roundtrip(spark, sf_dir):
     """Debezium-envelope interop, end to end: the change feed is rendered
     as Debezium records (before/after/source/op envelope + delete
@@ -4240,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
         "cdc_dump_restore": q_cdc_dump_restore,
         "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
+        "cdc_erase_keys": q_cdc_erase_keys,
         "cdc_lake_changefeed": q_cdc_lake_changefeed,
         "cdc_changefeed_compose": q_cdc_changefeed_compose,
         "cdc_changefeed_tail": q_cdc_changefeed_tail,
@@ -4934,6 +4983,15 @@ SELECT user_id, slot, event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
                                    ORDER BY source_lsn DESC) AS rn FROM cl)
 WHERE rn = 1 AND op <> 'D'
+""",
+        # erasure removes exactly the predicate's surviving keys; everything
+        # else is the plain-replay final state
+        "cdc_erase_keys": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D' AND user_id % 19 <> 0
 """,
         # the Debezium-envelope round trip must land on the direct replay's
         # final state (same oracle as the other migration round trips)

@@ -107,6 +107,15 @@ class BranchView(LakeTable):
             self._current_path(), {"version": version, "fork": self.fork_version()}
         )
 
+    def version_floor(self) -> int:
+        """Branch commits never expire — ``drop_branch`` is their whole
+        lifecycle, and ``create_branch`` materialized the fork commit into
+        this namespace. Main's floor governs main's version numbering;
+        inheriting it would refuse a perfectly-retained branch head whose
+        number predates a later main expiry (found by the erasure deep
+        scan: fork at v2, main floor raised to v4, branch read crashed)."""
+        return 0
+
     def _commit_fname(self, v: int) -> str:
         return f"b-{self.branch}-v{v:08d}.json"
 

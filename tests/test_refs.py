@@ -168,3 +168,28 @@ def test_branch_wap_composes(spark, tmp_path):
     assert tbl.current_version() == v_main and tbl.staged_ids() == []
     tbl.fast_forward("audit")
     assert (6, "staged", 66) in _state(spark, tbl)
+
+
+def test_branch_readable_after_main_expiry_below_fork(spark, tmp_path):
+    """Main expiry raising the floor past the branch's fork point must not
+    break branch reads: branch commits are their own retention domain
+    (create_branch materialized the fork commit into the branch namespace;
+    expiry keeps branch-referenced files live)."""
+    tbl = _mk(spark, tmp_path)
+    br = tbl.create_branch("old")
+    before = _state(spark, br)
+    # advance main well past the fork, then expire history below it
+    for i in range(3):
+        tbl.merge(
+            spark,
+            _batch(spark, [("U", 50 + i, f"m{i}", i, 900 + i)]),
+            f"adv{i}",
+        )
+    tbl.expire_versions(keep_last=1)
+    tbl.vacuum()
+    assert tbl.version_floor() > br.current_version()
+    # the branch still reads its fork-time state, byte-identical
+    assert _state(spark, br) == before
+    # and can still take new commits
+    br.merge(spark, _batch(spark, [("U", 77, "b", 1, 950)]), "bn")
+    assert (77, "b", 1) in _state(spark, br)

@@ -3961,6 +3961,18 @@ def q_transcript_assemble(spark, sf_dir):
     )
 
 
+def q_train_loss_spans(spark, sf_dir):
+    """SFT loss masking: per trained (assistant) turn, the character span
+    of its content inside the assembled conversation, plus the substring
+    those offsets select — so the hash gates the offset arithmetic against
+    the independently-rendered document (a one-character drift anywhere in
+    any preceding turn breaks every later span). One groupBy shuffle + an
+    O(turns) fold; no windows, no UDFs."""
+    from mysql_secure_agent_spark.operators.transcripts import loss_spans
+
+    return loss_spans(_doc_turns(spark, sf_dir))
+
+
 def q_transcript_token_budget(spark, sf_dir):
     """Context-window assembly: keep the longest turn SUFFIX whose token
     total fits the budget (most-recent context survives). Oracle: reverse
@@ -4333,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_join_view_incremental": q_cdc_join_view_incremental,
         "transcript_assemble": q_transcript_assemble,
         "transcript_token_budget": q_transcript_token_budget,
+        "train_loss_spans": q_train_loss_spans,
         "train_sample_stratified": q_train_sample_stratified,
         "train_pack_sequences": q_train_pack_sequences,
         "text_redact_pii": q_text_redact_pii,
@@ -5414,6 +5427,29 @@ SELECT conv_id, count(*) AS n_turns,
        coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx), '') AS conversation,
        CAST(coalesce(sum({_TOK_N_SQL}), 0) AS BIGINT) AS n_tokens
 FROM t GROUP BY conv_id
+""",
+        # offsets recomputed independently (window sum of line lengths) and
+        # the substring re-extracted from the string_agg-rendered document —
+        # the hash gates Spark's fold against SQL's window arithmetic
+        "train_loss_spans": f"""
+WITH t AS ({_DOC_TURNS_SQL}),
+w AS (SELECT conv_id, turn_idx, role,
+             length(concat_ws(': ', role, text)) AS llen,
+             coalesce(sum(length(concat_ws(': ', role, text)) + 1) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t),
+conv AS (SELECT conv_id,
+                string_agg(concat_ws(': ', role, text), chr(10)
+                           ORDER BY turn_idx) AS conversation
+         FROM t GROUP BY conv_id)
+SELECT w.conv_id, w.turn_idx,
+       CAST(w.off + length(w.role) + 2 AS INTEGER) AS span_start,
+       CAST(w.off + w.llen AS INTEGER) AS span_end,
+       substr(c.conversation, CAST(w.off + length(w.role) + 3 AS BIGINT),
+              CAST(w.llen - length(w.role) - 2 AS BIGINT)) AS span_text
+FROM w JOIN conv c ON w.conv_id = c.conv_id
+WHERE w.role = 'assistant'
 """,
         # a turn survives iff its suffix token sum (window ordered by
         # turn_idx DESC) fits the budget — same set as the operator's

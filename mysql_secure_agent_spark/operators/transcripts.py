@@ -236,3 +236,88 @@ def sample_stratified(
     # DuckDB's CAST rounds, so the two engines would disagree off the
     # exactly-representable rates
     return df.filter(bucket < F.round(rate_col * denom).cast("long"))
+
+
+def loss_spans(
+    df: DataFrame,
+    train_roles: tuple[str, ...] = ("assistant",),
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT loss masking: character spans of the TRAINED turns' content
+    inside the assembled conversation.
+
+    Supervised fine-tuning computes loss only on the assistant's tokens;
+    everything else (user/tool turns, the ``role: `` headers, separators)
+    is masked. This emits one row per trained turn: ``(conv_id, turn_idx,
+    span_start, span_end, span_text)`` where ``[span_start, span_end)`` are
+    0-based character offsets into the exact conversation string
+    ``assemble_conversations`` renders (``role: text`` lines joined by
+    ``\\n``), covering the turn's text only — the header and trailing
+    newline stay masked. ``span_text`` is the substring the offsets select,
+    so a consumer (and the oracle) can verify the mask against the rendered
+    document instead of trusting the arithmetic.
+
+    Plan: the same single groupBy(conv_id) shuffle as assembly; offsets are
+    one ``F.aggregate`` fold over the sorted turn structs (running offset +
+    appended spans — O(turns) per conversation, executor-local), then an
+    explode back to one row per trained turn. No windows, no UDFs.
+
+    NULL-text turns render as just ``role`` (concat_ws skips nulls) and are
+    never trained (there is no content to span).
+    """
+    turns = F.sort_array(F.collect_list(_turn_struct(role_col, text_col, turn_col)))
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("off"),
+        F.expr(
+            "CAST(array() AS array<struct<turn_idx:int,start:int,end:int>>)"
+        ).alias("spans"),
+    )
+
+    def step(acc, t):
+        line = F.concat_ws(": ", t["role"], t["text"])
+        llen = F.length(line)
+        span = F.struct(
+            t["turn_idx"].cast("int").alias("turn_idx"),
+            (acc["off"] + F.length(t["role"]) + F.lit(2)).cast("int").alias("start"),
+            (acc["off"] + llen).cast("int").alias("end"),
+        )
+        is_train = t["role"].isin(*train_roles) & t["text"].isNotNull()
+        return F.struct(
+            (acc["off"] + llen + F.lit(1)).cast("int").alias("off"),
+            F.when(is_train, F.array_append(acc["spans"], span))
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    assembled = (
+        df.groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(turns.alias("_turns"))
+        .select(
+            "conv_id",
+            F.array_join(
+                F.transform(
+                    "_turns", lambda t: F.concat_ws(": ", t["role"], t["text"])
+                ),
+                "\n",
+            ).alias("_conversation"),
+            F.aggregate("_turns", acc0, step)["spans"].alias("_spans"),
+        )
+    )
+    s = F.col("_s")
+    return (
+        assembled.select(
+            "conv_id", "_conversation", F.explode("_spans").alias("_s")
+        )
+        .select(
+            "conv_id",
+            s["turn_idx"].alias("turn_idx"),
+            s["start"].alias("span_start"),
+            s["end"].alias("span_end"),
+            F.col("_conversation")
+            .substr(s["start"] + 1, s["end"] - s["start"])
+            .alias("span_text"),
+        )
+    )

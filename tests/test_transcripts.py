@@ -173,3 +173,59 @@ def test_pack_sequences_oversized_doc_gets_own_bin_overflow(spark):
     out = {r["seq"]: r for r in pack_sequences(docs, budget=3, shard_size=10).collect()}
     assert out[0]["n_docs"] == 1 and out[0]["n_tokens"] == 7
     assert 2 in out and out[2]["n_docs"] == 1
+
+
+# ------------------------------------------------------------- loss spans
+def test_loss_spans_offsets_and_masking(spark):
+    from mysql_secure_agent_spark.operators.transcripts import (
+        assemble_conversations,
+        loss_spans,
+    )
+
+    rows = [
+        ("c1", 0, "user", "hi there"),
+        ("c1", 1, "assistant", "hello! café"),
+        ("c1", 2, "tool", "lookup(x)"),
+        ("c1", 3, "assistant", "done"),
+        ("c2", 0, "assistant", None),  # null text: never trained
+        ("c2", 1, "user", "q"),
+        ("c2", 2, "assistant", "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    spans = loss_spans(df).collect()
+    conv = {
+        r["conv_id"]: r["conversation"]
+        for r in assemble_conversations(df).collect()
+    }
+    # every span selects exactly its turn's text out of the rendered doc
+    by_turn = {(r["conv_id"], r["turn_idx"]): r for r in spans}
+    assert set(by_turn) == {("c1", 1), ("c1", 3), ("c2", 2)}
+    for (cid, _), r in by_turn.items():
+        assert conv[cid][r["span_start"] : r["span_end"]] == r["span_text"]
+    assert by_turn[("c1", 1)]["span_text"] == "hello! café"
+    assert by_turn[("c1", 3)]["span_text"] == "done"
+    assert by_turn[("c2", 2)]["span_text"] == "a"
+    # the masked region really is headers + other roles: remove spans and
+    # no assistant content remains
+    c1 = conv["c1"]
+    masked = c1
+    for r in sorted(
+        (r for r in spans if r["conv_id"] == "c1"),
+        key=lambda r: -r["span_start"],
+    ):
+        masked = masked[: r["span_start"]] + masked[r["span_end"] :]
+    assert "hello" not in masked and "done" not in masked
+    assert "user: hi there" in masked and "tool: lookup(x)" in masked
+
+
+def test_loss_spans_custom_roles(spark):
+    from mysql_secure_agent_spark.operators.transcripts import loss_spans
+
+    df = spark.createDataFrame(
+        [("c", 0, "tool", "t0"), ("c", 1, "user", "u1")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = loss_spans(df, train_roles=("tool", "user")).collect()
+    assert {(r["turn_idx"], r["span_text"]) for r in got} == {(0, "t0"), (1, "u1")}

@@ -3961,6 +3961,19 @@ def q_transcript_assemble(spark, sf_dir):
     )
 
 
+def q_train_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking over documents (chunk 64 tokens, stride 32):
+    the pretraining-prep fan-out of long documents into overlapping
+    context-sized examples. Row-local array algebra, zero shuffle; the
+    oracle recomputes every window with generate_series + list_slice, so a
+    start-offset or tail-length drift anywhere breaks the hash."""
+    from mysql_secure_agent_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=32
+    )
+
+
 def q_train_loss_spans(spark, sf_dir):
     """SFT loss masking: per trained (assistant) turn, the character span
     of its content inside the assembled conversation, plus the substring
@@ -4346,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_assemble": q_transcript_assemble,
         "transcript_token_budget": q_transcript_token_budget,
         "train_loss_spans": q_train_loss_spans,
+        "train_chunk_overlap": q_train_chunk_overlap,
         "train_sample_stratified": q_train_sample_stratified,
         "train_pack_sequences": q_train_pack_sequences,
         "text_redact_pii": q_text_redact_pii,
@@ -5427,6 +5441,25 @@ SELECT conv_id, count(*) AS n_turns,
        coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx), '') AS conversation,
        CAST(coalesce(sum({_TOK_N_SQL}), 0) AS BIGINT) AS n_tokens
 FROM t GROUP BY conv_id
+""",
+        # every window recomputed via generate_series + list_slice; an empty
+        # token list yields a negative series bound = no chunks (both sides)
+        "train_chunk_overlap": """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                  END AS toks
+           FROM documents),
+e AS (SELECT doc_id, toks,
+             unnest(generate_series(
+               0, CAST(floor((len(toks) - 1) / 32) * 32 AS BIGINT), 32)) AS s
+      FROM t)
+SELECT doc_id,
+       CAST(s / 32 AS INTEGER) AS chunk_idx,
+       CAST(s AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(toks, s + 1, s + 64)) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+FROM e
 """,
         # offsets recomputed independently (window sum of line lengths) and
         # the substring re-extracted from the string_agg-rendered document —

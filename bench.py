@@ -79,6 +79,7 @@ HEADLINE = [
     "cdc_merge_into_lake",
     "cdc_jsonl_roundtrip",
     "cdc_dump_restore",
+    "cdc_debezium_roundtrip",
     "cdc_decode_types",
     "dedup_lsh_verified",
     "cdc_last_image_wins",
@@ -100,6 +101,7 @@ HEADLINE = [
     "cdc_point_lookup",
     "transcript_assemble",
     "transcript_token_budget",
+    "train_loss_spans",
     "train_sample_stratified",
     "train_pack_sequences",
     "events_asof_enrich",

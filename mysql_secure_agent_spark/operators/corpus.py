@@ -200,3 +200,64 @@ def repetition_stats(
             .alias("top_bigram_frac"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    fixed-token windows — the pretraining-prep step that turns long
+    documents into model-context-sized examples while the ``stride``
+    overlap preserves cross-boundary context (the Hugging Face
+    ``return_overflowing_tokens`` convention, whitespace-token proxy).
+
+    Window starts are ``0, stride, 2·stride, …`` while they fall inside
+    the document; each window takes up to ``chunk_tokens`` tokens (the
+    tail window is shorter). Emits ``(id, chunk_idx, chunk_start,
+    n_tokens, chunk_text)``.
+
+    Plan: row-local array algebra — tokenize once, ``sequence`` the start
+    offsets, explode, ``slice`` each window out of the SAME token array.
+    No shuffle at all: chunking is embarrassingly parallel, and the
+    explode's fan-out is bounded by n_tokens/stride per row.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    # blank/NULL text splits to [""], not [] — the same trap
+    # token_count_col guards; no tokens means no chunks
+    toks = F.when(
+        F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "",
+        F.expr("CAST(array() AS array<string>)"),
+    ).otherwise(tokens_col(text_col))
+    n = F.size("_toks")
+    out = (
+        df.withColumn("_toks", toks)
+        .withColumn(
+            "_starts",
+            F.when(
+                n > 0,
+                F.sequence(
+                    F.lit(0),
+                    ((n - 1) / stride).cast("int") * stride,
+                    F.lit(stride),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<int>)")),
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode("_starts").alias("chunk_idx", "_start"),
+            F.col("_toks"),
+        )
+    )
+    win = F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunk_tokens))
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.col("_start").alias("chunk_start"),
+        F.size(win).alias("n_tokens"),
+        F.array_join(win, " ").alias("chunk_text"),
+    )

@@ -101,3 +101,40 @@ def test_repetition_stats_values(spark):
     assert out[2]["dup_token_frac"] == 0.0 and out[2]["top_bigram_frac"] == 0.333333
     assert out[3]["top_bigram_frac"] == 0.0 and out[3]["n_tokens"] == 1
     assert out[4]["dup_token_frac"] == 0.6 and out[4]["top_bigram_frac"] == 0.5
+
+
+# --------------------------------------------------------------- chunking
+def test_chunk_documents_windows_and_overlap(spark):
+    from mysql_secure_agent_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x"),               # 1 token -> one short chunk
+            (3, "   "),             # blank -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, chunk_tokens=4, stride=2).collect()
+    }
+    # doc 1: starts 0,2,4,6
+    assert [got[(1, i)]["chunk_text"] for i in range(4)] == [
+        "a b c d", "c d e f", "e f g", "g",
+    ]
+    assert got[(1, 0)]["chunk_start"] == 0 and got[(1, 3)]["chunk_start"] == 6
+    assert got[(1, 2)]["n_tokens"] == 3
+    assert got[(2, 0)]["chunk_text"] == "x"
+    assert not any(d == 3 for d, _ in got)
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+    from mysql_secure_agent_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)

@@ -3961,6 +3961,49 @@ def q_transcript_assemble(spark, sf_dir):
     )
 
 
+def q_cdc_to_training_corpus(spark, sf_dir):
+    """The whole engine in one chain — axes A+B composed: a
+    transcripts-shaped change feed (inserts, then edits + redactions as a
+    second micro-batch) maintains a lake table keyed (conv_id, turn_idx),
+    and the SFT prep reads the CDC-MAINTAINED state: assembled
+    conversations → per-assistant-turn loss spans. The oracle recomputes
+    the final per-turn state relationally and re-derives every span with
+    independent window arithmetic — a stale image, a lost delete, or a
+    one-character offset drift anywhere breaks the hash."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.operators.transcripts import loss_spans
+
+    base = _doc_turns(spark, sf_dir)  # turn order = doc_id = turn_idx
+    lsn = F.col("turn_idx").cast("long")
+    ins = base.select(
+        F.lit("I").alias("op"), "conv_id", "turn_idx", "role", "text",
+        lsn.alias("source_lsn"),
+    )
+    upd = base.filter(F.col("turn_idx") % 10 == 0).select(
+        F.lit("U").alias("op"), "conv_id", "turn_idx", "role",
+        F.concat(F.col("text"), F.lit(" [edited]")).alias("text"),
+        (lsn + 10_000_000).alias("source_lsn"),
+    )
+    dels = base.filter(F.col("turn_idx") % 10 == 5).select(
+        F.lit("D").alias("op"), "conv_id", "turn_idx", "role",
+        F.lit(None).cast("string").alias("text"),
+        (lsn + 10_000_000).alias("source_lsn"),
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_corpus_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["conv_id", "turn_idx"], n_buckets=8)
+    tbl.merge(spark, ins, "corpus-b1")
+    tbl.merge(spark, upd.unionByName(dels), "corpus-b2")
+    return loss_spans(tbl.read(spark))
+
+
 def q_train_chunk_overlap(spark, sf_dir):
     """Sliding-window chunking over documents (chunk 64 tokens, stride 32):
     the pretraining-prep fan-out of long documents into overlapping
@@ -4360,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_token_budget": q_transcript_token_budget,
         "train_loss_spans": q_train_loss_spans,
         "train_chunk_overlap": q_train_chunk_overlap,
+        "cdc_to_training_corpus": q_cdc_to_training_corpus,
         "train_sample_stratified": q_train_sample_stratified,
         "train_pack_sequences": q_train_pack_sequences,
         "text_redact_pii": q_text_redact_pii,
@@ -5441,6 +5485,32 @@ SELECT conv_id, count(*) AS n_turns,
        coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx), '') AS conversation,
        CAST(coalesce(sum({_TOK_N_SQL}), 0) AS BIGINT) AS n_tokens
 FROM t GROUP BY conv_id
+""",
+        # final per-turn state recomputed relationally (edit overrides,
+        # delete removes), then the span chain re-derived over it
+        "cdc_to_training_corpus": f"""
+WITH t0 AS ({_DOC_TURNS_SQL}),
+fin AS (SELECT conv_id, turn_idx, role,
+               CASE WHEN turn_idx % 10 = 0 THEN text || ' [edited]'
+                    ELSE text END AS text
+        FROM t0 WHERE turn_idx % 10 <> 5),
+w AS (SELECT conv_id, turn_idx, role,
+             length(concat_ws(': ', role, text)) AS llen,
+             coalesce(sum(length(concat_ws(': ', role, text)) + 1) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM fin),
+conv AS (SELECT conv_id,
+                string_agg(concat_ws(': ', role, text), chr(10)
+                           ORDER BY turn_idx) AS conversation
+         FROM fin GROUP BY conv_id)
+SELECT w.conv_id, w.turn_idx,
+       CAST(w.off + length(w.role) + 2 AS INTEGER) AS span_start,
+       CAST(w.off + w.llen AS INTEGER) AS span_end,
+       substr(c.conversation, CAST(w.off + length(w.role) + 3 AS BIGINT),
+              CAST(w.llen - length(w.role) - 2 AS BIGINT)) AS span_text
+FROM w JOIN conv c ON w.conv_id = c.conv_id
+WHERE w.role = 'assistant'
 """,
         # every window recomputed via generate_series + list_slice; an empty
         # token list yields a negative series bound = no chunks (both sides)

@@ -1190,6 +1190,7 @@ class LakeTable:
         op_col: str = "op",
         post_dedup_transform=None,
         wap_id: str | None = None,
+        lag_col: str | None = None,
     ) -> dict[str, Any]:
         """Apply one micro-batch of changelog rows (MERGE INTO equivalent).
 
@@ -1251,11 +1252,22 @@ class LakeTable:
                     return F.col(p)
             return F.lit(None)
 
-        projected = batch_df.select(
+        in_aggs = [F.count(F.lit(1)).alias("rows_in")]
+        if lag_col is not None and lag_col in batch_df.columns:
+            # event-time bounds ride the same Observation (no extra job):
+            # replication lag — the CDC SLO — is commit wall time minus
+            # these, recorded per batch in the lineage metrics.
+            # cast("double") = tz-independent epoch seconds.
+            ts_epoch = F.col(lag_col).cast("timestamp").cast("double")
+            in_aggs += [
+                F.min(ts_epoch).alias("event_ts_min"),
+                F.max(ts_epoch).alias("event_ts_max"),
+            ]
+        projected = batch_df.observe(obs_in, *in_aggs).select(
             *[_src(c).cast(dt).alias(c) for c, dt in commit.schema],
             F.col(SYS_LSN).cast("long").alias(SYS_LSN),
             (F.col(op_col) == F.lit("D")).alias(SYS_DELETED),
-        ).observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        )
         # Two exchange strategies, both ending bucket-aligned (partition id ==
         # pmod(murmur3(bucket_cols), n_buckets) == _bucket, so the final
         # partitionBy("_bucket") write needs no further repartition):
@@ -1332,9 +1344,21 @@ class LakeTable:
         )
         touched = sorted(int(b) for b in delta)
         n_files = sum(len(es) for es in delta.values())
+        lag: dict[str, Any] = {}
         try:
             stats = obs_out.get
-            n_in = obs_in.get["rows_in"]
+            oi = obs_in.get
+            n_in = oi["rows_in"]
+            if oi.get("event_ts_max") is not None:
+                now = time.time()
+                lag = {
+                    "event_ts_min": oi["event_ts_min"],
+                    "event_ts_max": oi["event_ts_max"],
+                    # freshest / oldest event's end-to-end replication lag
+                    # at commit time — the per-batch CDC SLO reading
+                    "ingest_lag_s": round(now - oi["event_ts_max"], 3),
+                    "ingest_lag_oldest_s": round(now - oi["event_ts_min"], 3),
+                }
             n_out = stats["rows"] or 0
             n_del = stats["deletes"] or 0
             lsn_min, lsn_max = stats["lsn_min"], stats["lsn_max"]
@@ -1368,6 +1392,7 @@ class LakeTable:
             "files_written": n_files,
             "wall_ms": None,  # filled below
             "skipped": False,
+            **lag,
         }
 
         # File-level lsn range (batch-level stats — conservative but exact at
@@ -2470,6 +2495,18 @@ class LakeTable:
         }
         row["buckets_touched"] = [json.dumps(metrics.get("buckets_touched"))]
         table = pa.table(row)
+        # event-time lag stamps (merge(lag_col=...)): explicit float64 so a
+        # row without them (heartbeats, lag-less merges) still writes a
+        # typed column — a null-typed parquet column would clash on read
+        for k in (
+            "event_ts_min",
+            "event_ts_max",
+            "ingest_lag_s",
+            "ingest_lag_oldest_s",
+        ):
+            table = table.append_column(
+                k, pa.array([metrics.get(k)], type=pa.float64())
+            )
         # staged (write-audit-publish) merges have no version yet — tag
         # their lineage row by wap id instead
         stem = (

@@ -373,6 +373,9 @@ class CdcPipeline:
                 bid,
                 dedup_strategy=self.dedup_strategy,
                 post_dedup_transform=post,
+                # per-batch replication-lag stamps in the lineage metrics
+                # (commit wall time minus event-time bounds) — the CDC SLO
+                lag_col="ts" if "ts" in part.columns else None,
             )
             if self.history_table is not None:
                 from ..operators.scd2 import merge_history

@@ -12,6 +12,7 @@ import shutil
 import pandas as pd
 import pytest
 import pyspark.sql.types as T
+from pyspark.sql import functions as F
 
 from mysql_secure_agent_spark import oracle
 from mysql_secure_agent_spark.lake.table import LakeTable
@@ -776,3 +777,38 @@ def test_late_segment_with_crash_between_batches(spark, tmp_path):
     # segment) replay; convergence to the lsn-order oracle
     pipe.run_stream(spark, str(tmp_path / "ck"), max_files_per_trigger=1)
     _assert_matches_oracle(spark, table, spec)
+
+
+def test_merge_records_replication_lag(spark, tmp_path):
+    """merge(lag_col=...) stamps per-batch event-time bounds + ingest lag
+    into the lineage metrics; batches without the column stay lag-less."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    tbl = LakeTable.create(str(tmp_path / "t"), schema, ["k"], n_buckets=2)
+    old = time.time() - 3600  # events one hour old
+    df = spark.createDataFrame(
+        [("I", 1, old, 1), ("I", 2, old + 60, 2)],
+        "op string, k long, _e double, source_lsn long",
+    ).withColumn("ts", F.col("_e").cast("timestamp")).drop("_e")
+    m = tbl.merge(spark, df, "b1", lag_col="ts")
+    assert abs(m["event_ts_min"] - old) < 1e-3
+    assert abs(m["event_ts_max"] - (old + 60)) < 1e-3
+    assert 3500 < m["ingest_lag_s"] < 3700
+    assert m["ingest_lag_oldest_s"] > m["ingest_lag_s"]
+    # lag-less merge + heartbeat still write readable metrics rows
+    tbl.merge(spark, df.withColumn("source_lsn", F.col("source_lsn") + 10), "b2")
+    tbl.heartbeat()
+    rows = {r["batch_id"]: r for r in tbl.metrics(spark).collect()}
+    assert rows["b1"]["ingest_lag_s"] is not None
+    assert rows["b2"]["ingest_lag_s"] is None
+    assert rows["NOP"]["ingest_lag_s"] is None

@@ -3961,6 +3961,57 @@ def q_transcript_assemble(spark, sf_dir):
     )
 
 
+def q_cdc_repair_drift(spark, sf_dir):
+    """Replica drift REPAIR (pt-table-sync analog, closing the
+    verify_against checksum loop): a replica replays the feed then takes a
+    corruption batch — tampered values, a lost key, a ghost row —
+    localized by chunk checksums and repaired with ONE merge built from
+    the primary's images (extra→D, missing/changed→source row) at a fresh
+    lsn. The post-repair re-checksum must read clean in-query; the hash
+    gate is the repaired replica equaling the plain-replay oracle."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")  # schema below has no ts
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="lake_repair_")
+    primary = LakeTable.create(
+        os.path.join(base, "p"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    primary.merge(spark, cl, "p1")
+    replica = LakeTable.create(
+        os.path.join(base, "r"), schema, ["user_id", "slot"], n_buckets=8
+    )
+    replica.merge(spark, cl, "r1")
+    hi = cl.agg(F.max("source_lsn")).first()[0] or 0
+    corrupt = (
+        cl.filter((F.col("op") != "D") & (F.col("user_id") % 29 == 0))
+        .withColumn("value", F.col("value") + 999.0)
+        .withColumn("source_lsn", F.col("source_lsn") + F.lit(hi))
+    )
+    ghost = spark.createDataFrame(
+        [("I", 987654321, 0, "ghost", 0.0, 2 * hi + 1)],
+        "op string, user_id long, slot int, event_type string, "
+        "value double, source_lsn long",
+    )
+    replica.merge(spark, corrupt.unionByName(ghost), "r-drift")
+    rep = replica.repair_from(spark, primary.read(spark))
+    if not rep.get("repaired_match"):
+        raise AssertionError(f"repair did not converge: {rep['drifted_chunks']}")
+    return replica.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_to_training_corpus(spark, sf_dir):
     """The whole engine in one chain — axes A+B composed: a
     transcripts-shaped change feed (inserts, then edits + redactions as a
@@ -4404,6 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_loss_spans": q_train_loss_spans,
         "train_chunk_overlap": q_train_chunk_overlap,
         "cdc_to_training_corpus": q_cdc_to_training_corpus,
+        "cdc_repair_drift": q_cdc_repair_drift,
         "train_sample_stratified": q_train_sample_stratified,
         "train_pack_sequences": q_train_pack_sequences,
         "text_redact_pii": q_text_redact_pii,
@@ -5485,6 +5537,14 @@ SELECT conv_id, count(*) AS n_turns,
        coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx), '') AS conversation,
        CAST(coalesce(sum({_TOK_N_SQL}), 0) AS BIGINT) AS n_tokens
 FROM t GROUP BY conv_id
+""",
+        # the repaired replica must equal the primary = the plain replay
+        "cdc_repair_drift": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn FROM cl)
+WHERE rn = 1 AND op <> 'D'
 """,
         # final per-turn state recomputed relationally (edit overrides,
         # delete removes), then the span chain re-derived over it

@@ -2854,6 +2854,76 @@ class LakeTable:
             ),
         }
 
+    def repair_from(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        value_cols: list[str] | None = None,
+        n_chunks: int = 64,
+        batch_id: str | None = None,
+        verify: bool = True,
+    ) -> dict[str, Any]:
+        """Converge THIS table to ``source`` — the pt-table-sync analog
+        completing ``verify_against``'s checksum story. Drift is localized
+        first (chunk checksums → row diff restricted to drifted chunks, so
+        a 3-row drift on a 10^10-row table re-reads only those chunks'
+        keyspace), then repaired with ONE ordinary merge: extra rows become
+        deletes, missing/changed rows take the source's full image, all at
+        a fresh lsn past the applied watermark so the repair wins
+        last-image-wins against anything already landed. Idempotent,
+        lineage-tracked, changefeed-visible — a downstream consumer sees
+        the repair as normal net change, exactly like MySQL replicas see
+        pt-table-sync's binlogged fix-up statements.
+
+        ``source`` must carry every table column (a partial source would
+        null-fill the rest and manufacture new drift). Returns the
+        verify_against report plus repair counts; with ``verify`` it
+        re-checksums afterwards and reports ``repaired_match``."""
+        from ..streaming.failover import applied_lsn_watermark
+
+        commit = self.commit_at(resolve=False)
+        missing = [c for c, _ in commit.schema if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"repair source lacks table columns {missing} — a partial "
+                "source would null-fill them and manufacture drift"
+            )
+        keys = list(commit.key_cols)
+        rep = self.verify_against(spark, source, value_cols, n_chunks)
+        if rep["match"]:
+            return {**rep, "repaired": 0, "repaired_match": True}
+        diff = rep["diff"]
+        lsn = applied_lsn_watermark(self) + 1
+        dels = diff.filter(F.col("status") == "only_in_left").select(
+            F.lit("D").alias("op"),
+            *keys,
+            *[
+                F.lit(None).cast(dict(commit.schema)[c]).alias(c)
+                for c, _ in commit.schema
+                if c not in set(keys)
+            ],
+            F.lit(lsn).cast("long").alias("source_lsn"),
+        )
+        ups = (
+            diff.filter(F.col("status") != "only_in_left")
+            .select(*keys)
+            .join(source, keys, "inner")
+            .select(
+                F.lit("U").alias("op"),
+                *[F.col(c) for c, _ in commit.schema],
+                F.lit(lsn).cast("long").alias("source_lsn"),
+            )
+        )
+        m = self.merge(
+            spark, dels.unionByName(ups), batch_id or f"repair.{lsn}"
+        )
+        out = {**rep, "repaired": m.get("rows_in", 0), "merge": m}
+        if verify:
+            out["repaired_match"] = self.verify_against(
+                spark, source, value_cols, n_chunks
+            )["match"]
+        return out
+
     def fsck(self, spark: SparkSession | None = None, deep: bool = False):
         """Integrity audit — see ``lake/fsck.py`` (structural tier is
         driver-only; ``deep=True`` adds the distributed footer/bloom

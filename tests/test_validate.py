@@ -137,3 +137,69 @@ def test_binary_columns_hash_by_bytes(spark):
         checksum_chunks(a, ["k"], n_chunks=4), checksum_chunks(b, ["k"], n_chunks=4)
     ).collect()
     assert len(d) == 1
+
+
+# ------------------------------------------------------------ repair_from
+def test_repair_from_converges_all_drift_classes(spark, tmp_path):
+    """Extra row -> delete, missing row -> insert, changed row -> source
+    image; one merge, then the re-checksum reads clean."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("x", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(str(tmp_path / "t"), schema, ["k"], n_buckets=4)
+    good = spark.createDataFrame(
+        [("I", i, f"v{i}", float(i), i) for i in range(30)],
+        "op string, k long, v string, x double, source_lsn long",
+    )
+    tbl.merge(spark, good, "g")
+    # drift: tamper k=3, delete k=7, add spurious k=99
+    drift = spark.createDataFrame(
+        [("U", 3, "TAMPERED", 3.0, 100), ("D", 7, None, None, 101),
+         ("I", 99, "ghost", 0.0, 102)],
+        "op string, k long, v string, x double, source_lsn long",
+    )
+    tbl.merge(spark, drift, "d")
+    source = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(30)], "k long, v string, x double"
+    )
+    rep = tbl.repair_from(spark, source)
+    assert not rep["match"] and rep["repaired"] == 3
+    assert rep["repaired_match"]
+    got = {(r["k"], r["v"], r["x"]) for r in tbl.read(spark).collect()}
+    assert got == {(i, f"v{i}", float(i)) for i in range(30)}
+
+
+def test_repair_from_clean_is_noop(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType(), True)]
+    )
+    tbl = LakeTable.create(str(tmp_path / "t"), schema, ["k"], n_buckets=2)
+    tbl.merge(
+        spark,
+        spark.createDataFrame([("I", 1, "a", 1)], "op string, k long, v string, source_lsn long"),
+        "g",
+    )
+    v = tbl.current_version()
+    rep = tbl.repair_from(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert rep["match"] and rep["repaired"] == 0
+    assert tbl.current_version() == v  # no commit happened
+
+
+def test_repair_from_refuses_partial_source(spark, tmp_path):
+    import pyspark.sql.types as T
+    import pytest
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType(), True)]
+    )
+    tbl = LakeTable.create(str(tmp_path / "t"), schema, ["k"], n_buckets=2)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        tbl.repair_from(spark, spark.createDataFrame([(1,)], "k long"))

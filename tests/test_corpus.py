@@ -138,3 +138,19 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, stride=0)
+
+
+def test_chunk_documents_plan_zero_exchange_no_python(spark):
+    """Chunking is embarrassingly parallel: zero shuffles, zero Python —
+    the scan partitioning carries straight through the explode."""
+    from mysql_secure_agent_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, chunk_tokens=2, stride=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan

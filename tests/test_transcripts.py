@@ -229,3 +229,18 @@ def test_loss_spans_custom_roles(spark):
     )
     got = loss_spans(df, train_roles=("tool", "user")).collect()
     assert {(r["turn_idx"], r["span_text"]) for r in got} == {(0, "t0"), (1, "u1")}
+
+
+def test_loss_spans_plan_one_exchange_no_python(spark):
+    """The span fold rides the assembly's single groupBy exchange; the
+    whole operator is Catalyst (no Python/Arrow nodes) — the 10^10-turn
+    plan shape, regression-locked."""
+    from mysql_secure_agent_spark.operators.transcripts import loss_spans
+
+    df = spark.createDataFrame(
+        [("c", 0, "assistant", "t")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = loss_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "ArrowEval" not in plan

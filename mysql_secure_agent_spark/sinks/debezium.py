@@ -203,3 +203,79 @@ def read_debezium(
     return from_debezium_records(
         spark.read.text(path), key_cols, cols, **kwargs
     )
+
+
+def from_debezium_schema_changes(
+    lines,
+    schema_name: str,
+    table_name: str,
+    *,
+    value_col: str = "value",
+    rotate_every: int = 1_000_000,
+    strict: bool = True,
+):
+    """Debezium SCHEMA-CHANGE topic messages → the engine's structured DDL
+    frame (the ``ddl.parquet`` sidecar shape the streaming pipeline orders
+    by ``ddl_hwm``: source_lsn, action, column_name, column_type,
+    new_name).
+
+    Debezium publishes DDL as ``{"databaseName": D, "ddl": "ALTER TABLE
+    …", "source": {...}}`` records on a schema-change topic (public MySQL
+    connector format), optionally wrapped in the Kafka Connect
+    ``{"schema":…, "payload":…}`` envelope. The SQL text routes through
+    the SAME ALTER grammar as wire QUERY events (``sources/ddl_parse``),
+    so both ingestion paths cannot drift. Statements for other tables and
+    non-DDL records are dropped; position comes from ``source.lsn`` or
+    ``source.file``+``pos`` (the changelog reader's encoding).
+
+    Driver-side parse (``.collect()``): a schema topic is O(DDL
+    statements) — metadata, not data."""
+    import json as _json
+    import re as _re
+
+    import pandas as pd
+
+    from ..sources.ddl_parse import parse_query_ddl
+
+    if hasattr(lines, "collect"):
+        texts = [r[value_col] for r in lines.select(value_col).collect()]
+    else:
+        texts = list(lines)
+    out = []
+    for line in texts:
+        if not line or not line.strip():
+            continue
+        d = _json.loads(line)
+        payload = d.get("payload", d)
+        ddl = payload.get("ddl")
+        if not ddl:
+            continue
+        src = payload.get("source") or {}
+        lsn = src.get("lsn")
+        if lsn is None and src.get("file") is not None:
+            m = _re.search(r"(\d+)$", src["file"])
+            lsn = (int(m.group(1)) if m else 0) * rotate_every + int(
+                src.get("pos") or 0
+            )
+        for act in parse_query_ddl(
+            payload.get("databaseName") or "",
+            ddl,
+            schema_name,
+            table_name,
+            strict=strict,
+        ):
+            if act["action"] == "UNSUPPORTED":
+                continue
+            out.append(
+                {
+                    "source_lsn": int(lsn or 0),
+                    "action": act["action"],
+                    "column_name": act["column_name"],
+                    "column_type": act["column_type"],
+                    "new_name": act["new_name"],
+                }
+            )
+    return pd.DataFrame(
+        out,
+        columns=["source_lsn", "action", "column_name", "column_type", "new_name"],
+    )

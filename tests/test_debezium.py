@@ -120,3 +120,56 @@ def test_write_read_merge_final_state(spark, tmp_path):
     tbl.merge(spark, back, "dbz")
     got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
     assert got == {1: "b", 3: "c"}
+
+
+def test_schema_change_topic_to_ddl_frame(spark):
+    from mysql_secure_agent_spark.sinks.debezium import (
+        from_debezium_schema_changes,
+    )
+
+    msgs = [
+        # bare record with explicit lsn
+        json.dumps(
+            {
+                "databaseName": "d",
+                "ddl": "ALTER TABLE t ADD COLUMN note INT AFTER v",
+                "source": {"lsn": 42},
+            }
+        ),
+        # connect-envelope wrapped, position from file+pos
+        json.dumps(
+            {
+                "schema": {"type": "struct"},
+                "payload": {
+                    "databaseName": "d",
+                    "ddl": "ALTER TABLE `d`.`t` DROP COLUMN note",
+                    "source": {"file": "mysql-bin.000002", "pos": 7},
+                },
+            }
+        ),
+        # other table: filtered out
+        json.dumps({"databaseName": "d", "ddl": "ALTER TABLE other ADD c INT",
+                    "source": {"lsn": 50}}),
+        # non-DDL record (snapshot marker): dropped
+        json.dumps({"databaseName": "d", "source": {"lsn": 51}}),
+    ]
+    frame = from_debezium_schema_changes(msgs, "d", "t")
+    assert [list(r) for r in frame.itertuples(index=False)] == [
+        [42, "ADD_COLUMN", "note", "int", None],
+        [2_000_007, "DROP_COLUMN", "note", None, None],
+    ]
+
+
+def test_schema_change_frame_from_dataframe(spark):
+    from mysql_secure_agent_spark.sinks.debezium import (
+        from_debezium_schema_changes,
+    )
+
+    df = spark.createDataFrame(
+        [(json.dumps({"databaseName": "d", "ddl": "ALTER TABLE t ADD x BIGINT",
+                      "source": {"lsn": 9}}),)],
+        "value string",
+    )
+    frame = from_debezium_schema_changes(df, "d", "t")
+    assert frame.iloc[0]["action"] == "ADD_COLUMN"
+    assert frame.iloc[0]["column_type"] == "bigint"

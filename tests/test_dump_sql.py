@@ -193,3 +193,49 @@ def test_restore_then_stream_handoff(spark, tmp_path):
     exp[3] = "new3"
     exp[42] = "new42"
     assert got == exp
+
+
+def test_multi_table_dump_restore(spark, tmp_path):
+    """A real mysqldump interleaves per-table blocks (CREATE then INSERTs);
+    scan_dump_tables must find every table past the first INSERT, and
+    restore_dump_all pins ALL tables at the archive's single coordinate."""
+    from mysql_secure_agent_spark.sources.dump_sql import (
+        restore_dump_all,
+        scan_dump_tables,
+    )
+
+    dump = tmp_path / "all.sql"
+    dump.write_text(
+        "-- MySQL dump 10.13\n"
+        "-- CHANGE MASTER TO MASTER_LOG_FILE='mysql-bin.000001', "
+        "MASTER_LOG_POS=500;\n"
+        "\n"
+        "CREATE TABLE `users` (\n"
+        "  `uid` bigint NOT NULL,\n"
+        "  `name` varchar(32) DEFAULT NULL,\n"
+        "  PRIMARY KEY (`uid`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `users` VALUES (1,'ann'),(2,'bo''b');\n"
+        "\n"
+        "CREATE TABLE `orders` (\n"
+        "  `oid` bigint NOT NULL,\n"
+        "  `uid` bigint NOT NULL,\n"
+        "  `amt` decimal(10,2) DEFAULT NULL,\n"
+        "  PRIMARY KEY (`oid`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `orders` VALUES (10,1,5.25),(11,2,NULL);\n",
+        encoding="utf-8",
+    )
+    meta = scan_dump_tables([str(dump)])
+    assert list(meta["tables"]) == ["users", "orders"]
+    assert meta["header"]["log_pos"] == 500
+
+    out = restore_dump_all(spark, str(dump), str(tmp_path / "lake"), n_buckets=2)
+    assert out["start_lsn"] == 1_000_500
+    users = {r["uid"]: r["name"] for r in out["tables"]["users"].read(spark).collect()}
+    assert users == {1: "ann", 2: "bo'b"}
+    orders = {
+        r["oid"]: (r["uid"], None if r["amt"] is None else float(r["amt"]))
+        for r in out["tables"]["orders"].read(spark).collect()
+    }
+    assert orders == {10: (1, 5.25), 11: (2, None)}

@@ -69,7 +69,16 @@ def erase_keys(
     history. Returns a report: buckets rewritten, files reclaimed, and —
     with ``verify`` — the deep-scan survivors (empty = certified erased
     from every retained root; tags/branches that still hold the key are
-    listed, never silently destroyed)."""
+    listed, never silently destroyed).
+
+    Multi-shard caveat (namespaced lsns, ``streaming/multi_source``): the
+    tombstone lands at global-watermark+1 — in the HIGHEST shard's lsn
+    namespace — so a future re-insert of the key from a lower-numbered
+    shard would lose last-image-wins against it. That is acceptable for
+    terminal removal (the data-protection case this implements: the
+    subject's key should not silently come back), but do NOT use
+    erase_keys as a general delete on multi-shard tables — emit a normal
+    shard-local D event instead."""
     from ..streaming.failover import applied_lsn_watermark
 
     if not keys:

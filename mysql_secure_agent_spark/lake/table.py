@@ -2878,7 +2878,14 @@ class LakeTable:
         ``source`` must carry every table column (a partial source would
         null-fill the rest and manufacture new drift). Returns the
         verify_against report plus repair counts; with ``verify`` it
-        re-checksums afterwards and reports ``repaired_match``."""
+        re-checksums afterwards and reports ``repaired_match``.
+
+        Multi-shard caveat (namespaced lsns): the repair lsn is
+        global-watermark+1 — the highest shard's namespace — so repaired
+        keys' FUTURE events from lower-numbered shards would lose
+        last-image-wins to the repair image until that shard's lsns catch
+        up. Quiesce ingest around a repair on multi-shard tables (the
+        same operational rule as pt-table-sync on an active master)."""
         from ..streaming.failover import applied_lsn_watermark
 
         commit = self.commit_at(resolve=False)

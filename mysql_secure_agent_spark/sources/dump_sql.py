@@ -29,6 +29,12 @@ snapshot source:
   last-image-wins, and deletes at/below the dump position are no-ops —
   the T7 snapshot+replay-overlap argument, verbatim.
 
+Binary-payload note: the reader decodes the archive as UTF-8, so
+``_binary '…'`` literals carrying raw high bytes would be mangled —
+dump binary columns with ``--hex-blob`` (``0x…`` literals, what our own
+``write_dump_sql`` emits), which is the mysqldump-documented practice
+for exactly this reason.
+
 Write side: ``write_dump_sql`` renders any DataFrame as a
 mysqldump-compatible archive (header + CREATE TABLE + extended INSERTs)
 with MySQL string escaping — distributed, one task per shard file, shard 0

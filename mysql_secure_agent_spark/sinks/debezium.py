@@ -170,6 +170,14 @@ def from_debezium_records(
         * rotate_every
         + F.col("r.value.source.pos"),
     )
+    # a record without any position cannot be ordered — fail the scan
+    # loudly instead of letting a null lsn silently lose last-image-wins
+    lsn = F.when(
+        lsn.isNull(),
+        F.raise_error(
+            F.lit("debezium record carries no source position (lsn/file+pos)")
+        ),
+    ).otherwise(lsn)
     out_cols = [
         F.coalesce(
             F.col(f"r.value.after.{n}"),

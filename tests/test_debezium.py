@@ -173,3 +173,19 @@ def test_schema_change_frame_from_dataframe(spark):
     frame = from_debezium_schema_changes(df, "d", "t")
     assert frame.iloc[0]["action"] == "ADD_COLUMN"
     assert frame.iloc[0]["column_type"] == "bigint"
+
+
+def test_missing_source_position_fails_loudly(spark):
+    from mysql_secure_agent_spark.sinks.debezium import from_debezium_records
+
+    rec = json.dumps(
+        {"key": {"k": 1},
+         "value": {"before": None, "after": {"k": 1, "v": "x"},
+                   "op": "c", "ts_ms": 1}}
+    )
+    lines = spark.createDataFrame([(rec,)], "value string")
+    out = from_debezium_records(lines, ["k"], ROW_COLS)
+    import pytest
+
+    with pytest.raises(Exception, match="no source position"):
+        out.collect()

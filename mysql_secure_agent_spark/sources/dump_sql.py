@@ -571,6 +571,8 @@ def write_dump_sql(
     log_file: str | None = None,
     log_pos: int | None = None,
     order_cols: list[str] | None = None,
+    file_prefix: str = "dump",
+    banner: bool = True,
 ) -> list[dict[str, Any]]:
     """Export ``df`` as a mysqldump-compatible archive: ``dump.00000.sql``
     (header + CREATE TABLE + its shard's INSERTs) … ``dump.NNNNN.sql``.
@@ -583,7 +585,9 @@ def write_dump_sql(
     schema = T.StructType([f for f in df.schema.fields])
     names = [f.name for f in schema.fields]
     order = order_cols or key_cols or names[:1]
-    head_lines = ["-- mysql_secure_agent_spark logical dump\n"]
+    head_lines = (
+        ["-- mysql_secure_agent_spark logical dump\n"] if banner else []
+    )
     if log_file is not None and log_pos is not None:
         head_lines.append(
             "-- CHANGE MASTER TO "
@@ -611,7 +615,7 @@ def write_dump_sql(
                 buf = []
         if buf:
             lines.append(f"INSERT INTO `{table}` VALUES " + ",".join(buf) + ";\n")
-        path = os.path.join(out_dir, f"dump.{no:05d}.sql")
+        path = os.path.join(out_dir, f"{file_prefix}.{no:05d}.sql")
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             if no == 0:
@@ -630,7 +634,7 @@ def write_dump_sql(
     # an empty shard still needs its file (shard 0 carries the header)
     for no in range(n_shards):
         if no not in got:
-            path = os.path.join(out_dir, f"dump.{no:05d}.sql")
+            path = os.path.join(out_dir, f"{file_prefix}.{no:05d}.sql")
             with open(path, "w", encoding="utf-8") as f:
                 if no == 0:
                     f.write(header)
@@ -727,4 +731,37 @@ def restore_dump_all(
         )
         tbl.merge(spark, rows, batch_id=f"dump-restore.{name}")
         out["tables"][name] = tbl
+    return out
+
+
+def write_dump_sql_all(
+    tables: dict[str, tuple[DataFrame, list[str]]],
+    out_dir: str,
+    *,
+    n_shards: int = 2,
+    rows_per_insert: int = 200,
+    log_file: str | None = None,
+    log_pos: int | None = None,
+) -> dict[str, list[dict[str, Any]]]:
+    """Multi-table archive (the inverse of ``restore_dump_all``): each
+    table renders as its own block — ``dump.<t>.<table>.<shard>.sql`` —
+    with the SINGLE replication coordinate in the first table's head (one
+    consistent position for the whole dump, mysqldump
+    ``--single-transaction --master-data`` shape). Concatenating every
+    file in name order is a valid single-file multi-table dump that
+    ``scan_dump_tables``/``restore_dump_all`` round-trips."""
+    out: dict[str, list[dict[str, Any]]] = {}
+    for i, (name, (df, key_cols)) in enumerate(tables.items()):
+        out[name] = write_dump_sql(
+            df,
+            out_dir,
+            name,
+            key_cols,
+            n_shards=n_shards,
+            rows_per_insert=rows_per_insert,
+            log_file=log_file if i == 0 else None,
+            log_pos=log_pos if i == 0 else None,
+            file_prefix=f"dump.{i:02d}.{name}",
+            banner=i == 0,
+        )
     return out

@@ -149,3 +149,34 @@ class ChangefeedTailer:
             )
 
         return handle
+
+    def replicate_to_debezium(
+        self,
+        out_dir: str,
+        key_cols: list[str],
+        value_cols: list[str],
+        **dbz_kwargs,
+    ) -> "Callable[[DataFrame, str, tuple], Any]":
+        """Handler that exports each window as Debezium records under
+        ``<out_dir>/w<headversion>/`` — the lake publishing its change
+        stream in the PUBLIC CDC envelope for Kafka-ecosystem consumers.
+        Window-keyed directories make the export idempotent the same way
+        the binlog files are: a crash between export and cursor save
+        re-renders the SAME window to the SAME directory (deterministic
+        contents, overwrite mode). The changefeed carries net per-key
+        images with op U/D, which map to Debezium u/d (+ tombstones)."""
+        import os as _os
+
+        from ..sinks.debezium import write_debezium
+
+        def handle(df: DataFrame, batch_id: str, window: tuple[int, int]):
+            write_debezium(
+                df,
+                _os.path.join(out_dir, f"w{window[1]:08d}"),
+                key_cols,
+                value_cols,
+                **dbz_kwargs,
+            )
+            return {"window": window}
+
+        return handle

@@ -100,3 +100,31 @@ def test_handler_failure_leaves_cursor_for_retry(spark, tmp_path):
     assert tail.cursor() == 0  # nothing acknowledged
     assert tail.poll(spark, tail.replicate_to(dst)) == 1
     assert _state(spark, dst) == [(1, "a")]
+
+
+def test_replicate_to_debezium_loop(spark, tmp_path):
+    """source lake → tailer → Debezium record dirs → from_debezium →
+    replica lake == source (the public-envelope twin of the binlog loop)."""
+    import os
+
+    from mysql_secure_agent_spark.sinks.debezium import read_debezium
+
+    src, _, tail = _mk(spark, tmp_path)
+    out = str(tmp_path / "topic")
+    h = tail.replicate_to_debezium(out, ["k"], ["v"], db="d", table="t")
+
+    src.merge(spark, _batch(spark, [("I", 1, "a", 10), ("I", 2, "b", 11)]), "b1")
+    tail.poll(spark, h)
+    src.merge(spark, _batch(spark, [("U", 1, "a2", 20), ("D", 2, None, 21)]), "b2")
+    tail.poll(spark, h)
+    dirs = sorted(os.listdir(out))
+    assert len(dirs) == 2 and all(d.startswith("w") for d in dirs)
+
+    back = read_debezium(
+        spark, os.path.join(out, "*"), ["k"], [("k", "bigint"), ("v", "string")]
+    )
+    rep = LakeTable.create(str(tmp_path / "rep"), SCHEMA, ["k"], n_buckets=2)
+    rep.merge(spark, back, "dbz")
+    got = {r["k"]: r["v"] for r in rep.read(spark).collect()}
+    want = {r["k"]: r["v"] for r in src.read(spark).collect()}
+    assert got == want == {1: "a2"}

@@ -239,3 +239,30 @@ def test_multi_table_dump_restore(spark, tmp_path):
         for r in out["tables"]["orders"].read(spark).collect()
     }
     assert orders == {10: (1, 5.25), 11: (2, None)}
+
+
+def test_multi_table_export_roundtrip(spark, tmp_path):
+    from mysql_secure_agent_spark.sources.dump_sql import (
+        restore_dump_all,
+        write_dump_sql_all,
+    )
+
+    users = spark.createDataFrame(
+        [(1, "ann"), (2, "bo'b")], "uid long, name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, 5.25), (11, 2, None)], "oid long, uid long, amt double"
+    )
+    out = str(tmp_path / "dump")
+    write_dump_sql_all(
+        {"users": (users, ["uid"]), "orders": (orders, ["oid"])},
+        out,
+        log_file="mysql-bin.000004",
+        log_pos=99,
+    )
+    res = restore_dump_all(spark, out, str(tmp_path / "lake"), n_buckets=2)
+    assert res["start_lsn"] == 4_000_099
+    assert set(res["tables"]) == {"users", "orders"}
+    assert {r["uid"]: r["name"] for r in res["tables"]["users"].read(spark).collect()} \
+        == {1: "ann", 2: "bo'b"}
+    assert res["tables"]["orders"].read(spark).count() == 2

@@ -3961,6 +3961,62 @@ def q_transcript_assemble(spark, sf_dir):
     )
 
 
+def q_cdc_cast_quarantine(spark, sf_dir):
+    """Strict-cast quarantine on a stringly-typed transport: the feed is
+    re-rendered as all-string rows (the JSONL/Debezium/dump shape) with
+    some values poisoned to unparseable garbage; ``split_invalid_casts``
+    must quarantine exactly those EVENTS (Spark's plain cast would write
+    silent NULLs over good data — the worst CDC corruption mode) while
+    every clean event merges normally, so a key whose newest image was
+    poisoned retains its previous good image. Oracle: replay excluding
+    the poisoned events (DuckDB TRY_CAST agrees on what parses)."""
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.operators.cast_guard import (
+        split_invalid_casts,
+    )
+
+    cl = _events_changelog(spark, sf_dir).drop("ts")
+    poison = (
+        (F.col("op") != "D")
+        & (F.col("user_id") % 31 == 0)
+        & (F.col("source_lsn") % 2 == 1)
+    )
+    stringly = cl.select(
+        "op",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("slot").cast("string").alias("slot"),
+        "event_type",
+        F.when(poison, F.lit("corrupt;payload"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("value"),
+        F.col("source_lsn").cast("string").alias("source_lsn"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("source_lsn", T.LongType(), False),
+        ]
+    )
+    valid, bad = split_invalid_casts(stringly, schema)
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_cast_"), "t")
+    tbl = LakeTable.create(
+        root,
+        T.StructType(schema.fields[:4]),
+        ["user_id", "slot"],
+        n_buckets=8,
+    )
+    tbl.merge(spark, valid, "clean-only")
+    return tbl.read(spark).select(
+        "user_id",
+        "slot",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_repair_drift(spark, sf_dir):
     """Replica drift REPAIR (pt-table-sync analog, closing the
     verify_against checksum loop): a replica replays the feed then takes a
@@ -4456,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_chunk_overlap": q_train_chunk_overlap,
         "cdc_to_training_corpus": q_cdc_to_training_corpus,
         "cdc_repair_drift": q_cdc_repair_drift,
+        "cdc_cast_quarantine": q_cdc_cast_quarantine,
         "train_sample_stratified": q_train_sample_stratified,
         "train_pack_sequences": q_train_pack_sequences,
         "text_redact_pii": q_text_redact_pii,
@@ -5537,6 +5594,17 @@ SELECT conv_id, count(*) AS n_turns,
        coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx), '') AS conversation,
        CAST(coalesce(sum({_TOK_N_SQL}), 0) AS BIGINT) AS n_tokens
 FROM t GROUP BY conv_id
+""",
+        # poisoned events quarantine; clean events replay — a key whose
+        # newest image was poisoned keeps its previous good image
+        "cdc_cast_quarantine": _CHANGELOG_CTE
+        + """
+SELECT user_id, slot, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                   ORDER BY source_lsn DESC) AS rn
+      FROM cl
+      WHERE NOT (op <> 'D' AND user_id % 31 = 0 AND source_lsn % 2 = 1))
+WHERE rn = 1 AND op <> 'D'
 """,
         # the repaired replica must equal the primary = the plain replay
         "cdc_repair_drift": _CHANGELOG_CTE

@@ -266,3 +266,51 @@ def test_multi_table_export_roundtrip(spark, tmp_path):
     assert {r["uid"]: r["name"] for r in res["tables"]["users"].read(spark).collect()} \
         == {1: "ann", 2: "bo'b"}
     assert res["tables"]["orders"].read(spark).count() == 2
+
+
+# ------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_values = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=60),
+    st.binary(max_size=40),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(_values, min_size=1, max_size=5), min_size=1, max_size=4))
+def test_literal_lexer_roundtrip_property(rows):
+    """Any value rendered by sql_literal must lex back equal (floats via
+    shortest-round-trip repr are exact; bytes via 0x hex; strings through
+    the escape table) and the statement must stay one physical line."""
+    from mysql_secure_agent_spark.sources.dump_sql import (
+        _lex_tuples,
+        sql_literal,
+    )
+
+    arity = len(rows[0])
+    rows = [r[:arity] + [None] * (arity - len(r)) for r in rows]
+    stmt = (
+        "INSERT INTO `t` VALUES "
+        + ",".join(
+            "(" + ",".join(sql_literal(v) for v in r) + ")" for r in rows
+        )
+        + ";"
+    )
+    assert "\n" not in stmt
+    got = _lex_tuples(stmt)
+    assert len(got) == len(rows)
+    for want_row, got_row in zip(rows, got):
+        for w, g in zip(want_row, got_row):
+            if isinstance(w, bytes):
+                assert g == (w if w else "")  # empty bytes render as ''
+            elif isinstance(w, float):
+                assert isinstance(g, (int, float)) and float(g) == w
+            elif isinstance(w, bool):
+                assert g == int(w)
+            else:
+                assert g == w

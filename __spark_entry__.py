@@ -3623,6 +3623,68 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(corpus, _queries_df(corpus), k=10, n_centroids=8, n_probe=8)
 
 
+def q_ann_index_search(spark, sf_dir):
+    """CDC-maintained ANN index (the A+B capstone for embeddings): the
+    corpus lands in a LakeTable via a changelog merge, a persisted
+    banded-hyperplane index (``lake/ann_index.py``) is refreshed, then a
+    SECOND micro-batch (negated vectors for vec_id%17==5 — every signature
+    bit flips, so buckets MOVE — plus deletes for vec_id%23==7) exercises
+    the O(delta) incremental refresh: stale entries removed via the
+    old-vector time-travel read, new buckets upserted. Search probes the
+    query set's band buckets against the PERSISTED index (listing-pruned)
+    and re-ranks by exact cosine on the current table state. Oracle:
+    recompute the final state in closed form, derive both band buckets per
+    row with the same md5 plane math, candidates = share ANY band, exact
+    cosine top-k."""
+    from mysql_secure_agent_spark.lake.ann_index import AnnIndex
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    corpus = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="lake_annidx_")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+    tbl = LakeTable.create(os.path.join(root, "t"), schema, ["vec_id"], n_buckets=8)
+    tbl.merge(
+        spark,
+        corpus.select(
+            F.lit("I").alias("op"),
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") + 1_000_000).alias("source_lsn"),
+        ),
+        "b1",
+    )
+    idx = AnnIndex.create(
+        os.path.join(root, "ix"), tbl, "embedding", n_planes=8, bands=2, n_buckets=8
+    )
+    idx.refresh(spark)
+    upd = corpus.filter(F.col("vec_id") % 17 == 5).select(
+        F.lit("U").alias("op"),
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        (F.col("vec_id") + 2_000_000).alias("source_lsn"),
+    )
+    dels = corpus.filter(F.col("vec_id") % 23 == 7).select(
+        F.lit("D").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        (F.col("vec_id") + 3_000_000).alias("source_lsn"),
+    )
+    tbl.merge(spark, upd.unionByName(dels), "b2")
+    idx.refresh(spark)
+    queries = tbl.read(spark).filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return idx.search(spark, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs via BANDED hyperplane LSH (no
     all-pairs scoring): candidates = pairs sharing a bucket in either of 2
@@ -4545,6 +4607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_index_search": q_ann_index_search,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -4893,6 +4956,34 @@ c AS (SELECT neighbor_id, cv, {sig_c} AS bucket FROM c0),
 s AS (SELECT query_id, neighbor_id, c.bucket, round({_COS_SQL}, 6) AS cosine
       FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id)
 SELECT query_id, neighbor_id, bucket, cosine, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 10
+"""
+    # CDC-maintained ANN index: final state in closed form (negations for
+    # vec_id%17==5, deletes for %23==7), band buckets b0 = sig(planes 0-7),
+    # b1 = 256 + sig(planes 8-15) — the same global plane indices as
+    # similarity._band_buckets(n_planes=8, bands=2); candidates share ANY
+    # band bucket, then exact cosine top-10 with (cosine desc, id) ties.
+    sig_idx_q0 = _hyperplane_sig_sql("qv", 8, 0)
+    sig_idx_q1 = _hyperplane_sig_sql("qv", 8, 8)
+    sig_idx_c0 = _hyperplane_sig_sql("cv", 8, 0)
+    sig_idx_c1 = _hyperplane_sig_sql("cv", 8, 8)
+    ann_index_sql = f"""
+WITH state AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 17 = 5
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS emb
+  FROM embeddings WHERE vec_id % 23 <> 7
+),
+q0 AS (SELECT vec_id AS query_id, emb AS qv FROM state WHERE vec_id < 3),
+q AS (SELECT query_id, qv, {sig_idx_q0} AS b0, 256 + {sig_idx_q1} AS b1 FROM q0),
+c0 AS (SELECT vec_id AS neighbor_id, emb AS cv FROM state),
+c AS (SELECT neighbor_id, cv, {sig_idx_c0} AS b0, 256 + {sig_idx_c1} AS b1 FROM c0),
+s AS (SELECT query_id, neighbor_id, round({_COS_SQL}, 6) AS cosine
+      FROM c JOIN q ON (c.b0 = q.b0 OR c.b1 = q.b1))
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 10
@@ -6004,6 +6095,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         # full-probe IVF is provably identical to brute force — same oracle
         "ann_ivf_topk": ann_sql,
         "ann_lsh_bucket": ann_lsh_sql,
+        "ann_index_search": ann_index_sql,
         "dedup_embedding_cosine": emb_dedup_sql,
         "text_quality": quality_sql,
         "lang_id": lang_sql,

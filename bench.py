@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_bucket",
+    "ann_index_search",
     "text_quality",
     "lang_id",
     "doc_fingerprint",

@@ -146,11 +146,22 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int | None = None):
 
     def _sig(v):
         if len(v) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="Int32")
+        notnull = v.notna().to_numpy()
+        if not notnull.all():
+            # NULL vectors pass through as NULL signatures (a F.when guard
+            # upstream does NOT shield the UDF — Spark evaluates both
+            # branches' inputs over the whole batch)
+            sigs = iter(_sig(v[notnull].reset_index(drop=True)))
+            return pd.Series(
+                [next(sigs) if nn else None for nn in notnull], dtype="Int32"
+            )
         x = np.vstack(v.to_numpy())
         m = _plane_matrix(n_planes, x.shape[1])
         bits = (x @ m) >= 0
-        return pd.Series((bits @ (1 << np.arange(n_planes))).astype(np.int32))
+        return pd.Series(
+            (bits @ (1 << np.arange(n_planes))).astype(np.int32), dtype="Int32"
+        )
 
     return _series_udf(_sig, "int")(vec_col)
 
@@ -164,6 +175,13 @@ def _band_buckets(vec_col, n_planes: int, bands: int):
     def _sig(v):
         if len(v) == 0:
             return pd.Series([], dtype=object)
+        notnull = v.notna().to_numpy()
+        if not notnull.all():
+            # NULL vectors → NULL bucket arrays (see hyperplane_signature)
+            sigs = iter(_sig(v[notnull].reset_index(drop=True)))
+            return pd.Series(
+                [next(sigs) if nn else None for nn in notnull], dtype=object
+            )
         x = np.vstack(v.to_numpy())
         m = _plane_matrix(bands * n_planes, x.shape[1])
         bits = (x @ m) >= 0

@@ -178,10 +178,22 @@ def from_debezium_records(
             F.lit("debezium record carries no source position (lsn/file+pos)")
         ),
     ).otherwise(lsn)
+    # Key columns may come from after, the key struct, or the delete's
+    # before-image (keys are never null, so coalesce is safe). Non-key
+    # columns must take the after-image AS IS on c/u/r — a coalesce onto
+    # the before-image would resurrect the OLD value whenever a FULL-image
+    # feed (Debezium's default binlog_row_image) updates a column to NULL.
     out_cols = [
-        F.coalesce(
-            F.col(f"r.value.after.{n}"),
-            F.col(f"r.key.{n}") if n in key_cols else F.col(f"r.value.before.{n}"),
+        (
+            F.coalesce(
+                F.col(f"r.value.after.{n}"),
+                F.col(f"r.key.{n}"),
+                F.col(f"r.value.before.{n}"),
+            )
+            if n in key_cols
+            else F.when(
+                F.col("r.value.op") == "d", F.col(f"r.value.before.{n}")
+            ).otherwise(F.col(f"r.value.after.{n}"))
         ).alias(n)
         for n, _ in cols
     ]

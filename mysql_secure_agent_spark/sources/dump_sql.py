@@ -394,25 +394,42 @@ def read_dump_rows(
     newlines), so a single file still parallelizes across block splits."""
     names = [f.name for f in spark_schema.fields]
     dtypes = [f.dataType for f in spark_schema.fields]
+    # NB: the \b belongs inside the alternation — after a literal '(' a
+    # following backtick has no word boundary, and `(\(|VALUES)\b` silently
+    # skipped every INSERT carrying a backtick-quoted column list
     pat = re.compile(
-        r"\s*INSERT\s+INTO\s+`?" + re.escape(table) + r"`?\s*(\(|VALUES)\b", re.I
+        r"\s*INSERT\s+INTO\s+`?" + re.escape(table) + r"`?\s*(\(|VALUES\b)", re.I
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[list[Any]] = []
             for line in pdf["value"]:
-                if not pat.match(line):
+                m = pat.match(line)
+                if not m:
                     continue
-                # optional explicit column list — must match schema order
-                cm = re.search(r"\(([^)]*)\)\s*VALUES", line[:4096], re.I)
-                if cm and "'" not in cm.group(1):
-                    listed = [_unquote(c) for c in _split_top_level(cm.group(1))]
+                # Anchor at the match — a re.search over the whole line
+                # would false-positive on DATA containing "(...) VALUES"
+                # (ValueError on a perfectly valid row) and mis-anchor on
+                # a table name containing the word VALUES.
+                if m.group(1) == "(":
+                    # explicit column list — must match schema order
+                    # (identifiers cannot contain ')')
+                    j = line.index(")", m.end())
+                    listed = [
+                        _unquote(c)
+                        for c in _split_top_level(line[m.end() : j])
+                    ]
                     if listed != names:
                         raise ValueError(
                             f"INSERT column list {listed} != schema {names}"
                         )
-                for tup in _lex_tuples(line):
+                    stmt = line[j + 1 :]
+                    if not re.match(r"\s*VALUES\b", stmt, re.I):
+                        raise ValueError("expected VALUES after column list")
+                else:
+                    stmt = "VALUES" + line[m.end() :]
+                for tup in _lex_tuples(stmt):
                     if len(tup) != len(names):
                         raise ValueError(
                             f"tuple arity {len(tup)} != {len(names)} columns"

@@ -189,3 +189,36 @@ def test_missing_source_position_fails_loudly(spark):
 
     with pytest.raises(Exception, match="no source position"):
         out.collect()
+
+
+def test_full_image_update_to_null_not_resurrected(spark):
+    """A foreign FULL-row-image feed (before carries the complete old row)
+    updating a column to NULL must land NULL — not coalesce back to the
+    before-image's old value (regression)."""
+    lines = spark.createDataFrame(
+        [
+            (
+                '{"key":{"k":1},"value":{"before":null,'
+                '"after":{"k":1,"txt":"old"},'
+                '"source":{"name":"s","db":"d","table":"t",'
+                '"file":"mysql-bin.000001","pos":10,"lsn":1000010,"ts_ms":1},'
+                '"op":"c","ts_ms":1}}',
+            ),
+            (
+                '{"key":{"k":1},"value":{"before":{"k":1,"txt":"old"},'
+                '"after":{"k":1,"txt":null},'
+                '"source":{"name":"s","db":"d","table":"t",'
+                '"file":"mysql-bin.000001","pos":20,"lsn":1000020,"ts_ms":2},'
+                '"op":"u","ts_ms":2}}',
+            ),
+        ],
+        "value string",
+    )
+    cl = from_debezium_records(
+        lines, ["k"], [("k", "bigint"), ("txt", "string")]
+    ).orderBy("source_lsn")
+    rows = cl.collect()
+    assert [(r.op, r.k, r.txt) for r in rows] == [
+        ("I", 1, "old"),
+        ("U", 1, None),
+    ]

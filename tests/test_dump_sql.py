@@ -314,3 +314,49 @@ def test_literal_lexer_roundtrip_property(rows):
                 assert g == int(w)
             else:
                 assert g == w
+
+
+def test_data_containing_paren_values_keyword(spark, tmp_path):
+    """A string VALUE containing "(...) VALUES" must not be mistaken for an
+    explicit column list (regression: a re.search over the whole line
+    raised 'INSERT column list != schema' on valid data)."""
+    df = spark.createDataFrame(
+        [(1, "see (appendix) VALUES for details"), (2, "plain")],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("txt", T.StringType(), True),
+            ]
+        ),
+    )
+    out = str(tmp_path / "dump")
+    write_dump_sql(df, out, "t", ["id"], n_shards=1)
+    tbl, _ = restore_dump(spark, out, str(tmp_path / "tbl"), n_buckets=2)
+    got = tbl.read(spark).orderBy("id").toPandas()
+    assert got["txt"].tolist() == ["see (appendix) VALUES for details", "plain"]
+
+
+def test_explicit_column_list_accepted_and_checked(spark, tmp_path):
+    """INSERTs carrying an explicit column list parse when it matches the
+    schema order and fail loud when it does not."""
+    from mysql_secure_agent_spark.sources.dump_sql import read_dump_rows
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("txt", T.StringType(), True),
+        ]
+    )
+    p = tmp_path / "d.sql"
+    p.write_text(
+        "-- head\n"
+        "CREATE TABLE `t` (`id` bigint NOT NULL, `txt` longtext,"
+        " PRIMARY KEY (`id`));\n"
+        "INSERT INTO `t` (`id`, `txt`) VALUES (1,'a'),(2,'b');\n"
+    )
+    got = read_dump_rows(spark, str(p), "t", schema).orderBy("id").collect()
+    assert [(r.id, r.txt) for r in got] == [(1, "a"), (2, "b")]
+    bad = tmp_path / "bad.sql"
+    bad.write_text("INSERT INTO `t` (`txt`, `id`) VALUES ('a',1);\n")
+    with pytest.raises(Exception, match="column list"):
+        read_dump_rows(spark, str(bad), "t", schema).collect()

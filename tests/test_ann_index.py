@@ -210,3 +210,91 @@ def test_create_rejects_non_array_column(spark, tmp_path):
     tbl = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["vid"], n_buckets=8)
     with pytest.raises(ValueError, match="embedding array"):
         AnnIndex.create(str(tmp_path / "ix2"), tbl, "vid")
+
+
+def test_ann_index_fed_by_live_pipeline(spark, tmp_path):
+    """The full A+B path: a binlog-shaped feed carrying a MySQL 9.0 VECTOR
+    column streams through CdcPipeline into the lake, and the ANN index
+    follows via incremental refresh — entries equal a signature recompute
+    over the sequential-replay ground truth after EACH drop."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_secure_agent_spark.functions.mysql_codecs import (
+        LONGLONG,
+        VECTOR,
+        ColumnSpec,
+        encode_typed_rows,
+    )
+    from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
+
+    codec_schema = [ColumnSpec("vid", LONGLONG), ColumnSpec("emb", VECTOR)]
+    tbl_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType(), False),
+            T.StructField("emb", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def write_drop(feed_dir, evs, fname):
+        os.makedirs(os.path.join(feed_dir, "data"), exist_ok=True)
+        payload = encode_typed_rows(codec_schema, [e[1] for e in evs])
+        pdf = pd.DataFrame(
+            {
+                "op": [e[0] for e in evs],
+                "payload": payload,
+                "source_lsn": [e[2] for e in evs],
+                "binlog_file": "mysql-bin.000001",
+                "binlog_pos": [e[2] + 4 for e in evs],
+            }
+        )
+        schema = pa.schema(
+            [
+                ("op", pa.string()),
+                ("payload", pa.binary()),
+                ("source_lsn", pa.int64()),
+                ("binlog_file", pa.string()),
+                ("binlog_pos", pa.int64()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(feed_dir, "data", fname),
+        )
+
+    feed = str(tmp_path / "feed")
+    tbl = LakeTable.create(str(tmp_path / "t"), tbl_schema, ["vid"], n_buckets=8)
+    idx = AnnIndex.create(
+        str(tmp_path / "ix"), tbl, "emb", n_planes=R, bands=B, n_buckets=8
+    )
+    pipe = CdcPipeline(tbl, feed, normalize=False, raw_schema=codec_schema)
+    ckpt = str(tmp_path / "ckpt")
+
+    state = {i: _vec(i) for i in range(15)}
+    write_drop(
+        feed,
+        [("I", {"vid": i, "emb": v}, 100 + i) for i, v in state.items()],
+        "feed-00000.parquet",
+    )
+    pipe.run_stream(spark, ckpt)
+    idx.refresh(spark)
+    assert _index_pairs(spark, idx) == _expected_pairs(state)
+
+    # second drop: moves + a delete, new stream run over the same checkpoint
+    state[2] = [-x for x in state[2]]
+    state[11] = None
+    write_drop(
+        feed,
+        [
+            ("U", {"vid": 2, "emb": state[2]}, 200),
+            ("D", {"vid": 11}, 201),
+        ],
+        "feed-00001.parquet",
+    )
+    pipe.run_stream(spark, ckpt)
+    m = idx.refresh(spark)
+    assert not m.get("rebuild") and not m.get("skipped")
+    assert _index_pairs(spark, idx) == _expected_pairs(state)

@@ -3696,6 +3696,20 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_text_classify_quality(spark, sf_dir):
+    """Model-scored quality filtering (the fastText/CCNet classifier pass):
+    hashing-trick buckets → exact integer-milli weight fold → mean pool →
+    sigmoid → keep flag. Pure Catalyst, zero shuffles (plan-asserted in
+    tests) — the shape that scores 10^10 docs in one scan. Weights here are
+    the md5-derived pseudo-model so the oracle recomputes them in SQL; a
+    trained vector rides the same plan via ``weights=[...]``."""
+    from mysql_secure_agent_spark.operators.quality_filter import (
+        linear_quality_score,
+    )
+
+    return linear_quality_score(_t(spark, sf_dir, "documents"))
+
+
 # ============================================ training-data: text analysis
 def q_text_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -4608,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_index_search": q_ann_index_search,
+        "text_classify_quality": q_text_classify_quality,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -6096,6 +6111,28 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         "ann_ivf_topk": ann_sql,
         "ann_lsh_bucket": ann_lsh_sql,
         "ann_index_search": ann_index_sql,
+        # hashed linear classifier: the weighted sum is an exact integer
+        # fold (milli-unit weights), so only the final division + exp touch
+        # floats — bit-identical across engines after round(6)
+        "text_classify_quality": f"""
+WITH b AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> t <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_toks,
+    COALESCE(list_sum(list_transform(toks, t ->
+      ({_H32_SQL.format(x="concat('w:', CAST((" + _H32_SQL.format(x="concat('q:', t)") + ") % 256 AS VARCHAR))")}) % 2001 - 1000
+    )), 0) AS sum_milli
+  FROM b
+)
+SELECT doc_id, CAST(n_toks AS INTEGER) AS n_tokens,
+  round((sum_milli / 1000.0) / greatest(n_toks, 1), 6) AS margin,
+  round(1.0 / (1.0 + exp(-((sum_milli / 1000.0) / greatest(n_toks, 1)))), 6) AS score,
+  (round(1.0 / (1.0 + exp(-((sum_milli / 1000.0) / greatest(n_toks, 1)))), 6) >= 0.5) AS keep
+FROM s
+""",
         "dedup_embedding_cosine": emb_dedup_sql,
         "text_quality": quality_sql,
         "lang_id": lang_sql,

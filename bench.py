@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_lsh_bucket",
     "ann_index_search",
     "text_quality",
+    "text_classify_quality",
     "lang_id",
     "doc_fingerprint",
     "cdc_multi_source",

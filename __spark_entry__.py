@@ -3696,6 +3696,18 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_exact_substr(spark, sf_dir):
+    """Exact-substring dedup (the ExactSubstr pass of Lee et al. 2022):
+    every duplicated ≥8-token run's NON-canonical occurrences as merged
+    token spans. One O(total tokens) explode, one partial-agg shuffle on
+    the 128-bit gram key, a join back, one per-doc fold — no pairwise
+    stage (plan-asserted in tests). Oracle recomputes grams, canonical
+    election, and the span merge via gaps-and-islands."""
+    from mysql_secure_agent_spark.operators.substr_dedup import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 def q_text_classify_quality(spark, sf_dir):
     """Model-scored quality filtering (the fastText/CCNet classifier pass):
     hashing-trick buckets → exact integer-milli weight fold → mean pool →
@@ -4623,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_index_search": q_ann_index_search,
         "text_classify_quality": q_text_classify_quality,
+        "dedup_exact_substr": q_dedup_exact_substr,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -5003,8 +5016,42 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 10
 """
+    # ExactSubstr dedup: same tokenization as the engine (_TOKS_SQL ≡
+    # tokens_col), full md5 hex as the gram key, canonical = smallest
+    # (doc_id, pos) encoded as doc_id·2^20+pos (docs are far shorter than
+    # 2^20 tokens), island break exactly where the engine's fold breaks
+    # (pos > prev_pos + n ⇒ windows no longer overlap/touch)
+    exact_substr_sql = """
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {n} - 1), ' ')) AS k
+  FROM base, unnest(range(1, greatest(len(toks) - {n} + 2, 1))) AS u(i)
+),
+stats AS (
+  SELECT k, count(*) AS cnt, min(doc_id * 1048576 + pos) AS canon
+  FROM occ GROUP BY k
+),
+dup AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN stats s USING (k)
+  WHERE s.cnt > 1 AND o.doc_id * 1048576 + o.pos <> s.canon
+),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos > prev + {n} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+)
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {n} AS INTEGER) AS span_end
+FROM isl GROUP BY doc_id, island
+""".format(toks=_TOKS_SQL, n=8)
     return {
         "cdc_apply_changelog": final_state_sql,
+        "dedup_exact_substr": exact_substr_sql,
         "cdc_txn_payload": final_state_sql,
         # file framing/rotation/checksums are transport: the final state is
         # the plain replay, so any framing bug breaks the hash

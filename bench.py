@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
+    "dedup_exact_substr",
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "ann_index_search",

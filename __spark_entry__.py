@@ -151,6 +151,33 @@ def q_cdc_merge_into_lake(spark, sf_dir):
     )
 
 
+def q_cdc_table_stats(spark, sf_dir):
+    """ANALYZE TABLE over the CDC-maintained state (lake/analyze.py): one
+    distributed aggregate over the reconciled read — stats over raw images
+    would count stale duplicates and tombstones. Exact ndv here (the
+    oracle-comparable config); ``approx=True`` is the single-pass
+    HLL path for 10^10 rows. min/max rendered via fixed-scale decimal so
+    both engines print identical strings."""
+    from mysql_secure_agent_spark.lake.analyze import analyze_table
+    from mysql_secure_agent_spark.lake.table import LakeTable
+
+    cl = _events_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="lake_stats_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = LakeTable.create(root, schema, ["user_id", "slot"], n_buckets=8)
+    tbl.merge(spark, cl, "entry-batch")
+    return analyze_table(
+        tbl, spark, columns=["user_id", "slot", "event_type", "value"]
+    )
+
+
 def q_cdc_wap_publish(spark, sf_dir):
     """Write-audit-publish gate (Iceberg wap.id workflow over LakeTable):
     the first half of the feed is STAGED, audited (passes), and published;
@@ -4636,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_search": q_ann_index_search,
         "text_classify_quality": q_text_classify_quality,
         "dedup_exact_substr": q_dedup_exact_substr,
+        "cdc_table_stats": q_cdc_table_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -5052,6 +5080,36 @@ FROM isl GROUP BY doc_id, island
     return {
         "cdc_apply_changelog": final_state_sql,
         "dedup_exact_substr": exact_substr_sql,
+        "cdc_table_stats": _CHANGELOG_CTE.rstrip()[:-1].rstrip()
+        + """),
+fs AS (
+  SELECT user_id, slot, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                     ORDER BY source_lsn DESC) AS rn FROM cl)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT 'user_id' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT user_id) AS ndv,
+       CAST(min(user_id) AS VARCHAR) AS min_val,
+       CAST(max(user_id) AS VARCHAR) AS max_val FROM fs
+UNION ALL
+SELECT 'slot', count(*),
+       CAST(sum(CASE WHEN slot IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT slot),
+       CAST(min(slot) AS VARCHAR), CAST(max(slot) AS VARCHAR) FROM fs
+UNION ALL
+SELECT 'event_type', count(*),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT event_type),
+       min(event_type), max(event_type) FROM fs
+UNION ALL
+SELECT 'value', count(*),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT value),
+       CAST(CAST(min(value) AS DECIMAL(28,6)) AS VARCHAR),
+       CAST(CAST(max(value) AS DECIMAL(28,6)) AS VARCHAR) FROM fs
+""",
         "cdc_txn_payload": final_state_sql,
         # file framing/rotation/checksums are transport: the final state is
         # the plain replay, so any framing bug breaks the hash

@@ -3735,6 +3735,23 @@ def q_dedup_exact_substr(spark, sf_dir):
     return duplicated_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_train_scrub_substr(spark, sf_dir):
+    """The ExactSubstr SCRUB: training text rebuilt without the duplicated
+    runs (canonical first occurrences kept). Composition of
+    ``duplicated_spans`` + ``scrub_duplicated_spans`` — docs LEFT-join
+    their merged spans, kept tokens rejoin with single spaces (note: the
+    scrub canonicalizes whitespace by construction — tokens are the unit).
+    Oracle re-derives the spans and rebuilds the text with list algebra."""
+    from mysql_secure_agent_spark.operators.substr_dedup import (
+        duplicated_spans,
+        scrub_duplicated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, n=8)
+    return scrub_duplicated_spans(docs, spans)
+
+
 def q_text_classify_quality(spark, sf_dir):
     """Model-scored quality filtering (the fastText/CCNet classifier pass):
     hashing-trick buckets → exact integer-milli weight fold → mean pool →
@@ -4664,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classify_quality": q_text_classify_quality,
         "dedup_exact_substr": q_dedup_exact_substr,
         "cdc_table_stats": q_cdc_table_stats,
+        "train_scrub_substr": q_train_scrub_substr,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -5077,9 +5095,60 @@ SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
        CAST(max(pos) + {n} AS INTEGER) AS span_end
 FROM isl GROUP BY doc_id, island
 """.format(toks=_TOKS_SQL, n=8)
+    # the scrub: re-derive the merged spans (same CTEs), then rebuild each
+    # doc's text from its ORIGINAL-case tokens minus the covered positions
+    scrub_substr_sql = """
+WITH base AS (SELECT doc_id, {toks} AS ltoks,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         md5(array_to_string(list_slice(ltoks, i, i + {n} - 1), ' ')) AS k
+  FROM base, unnest(range(1, greatest(len(ltoks) - {n} + 2, 1))) AS u(i)
+),
+stats AS (
+  SELECT k, count(*) AS cnt, min(doc_id * 1048576 + pos) AS canon
+  FROM occ GROUP BY k
+),
+dup AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN stats s USING (k)
+  WHERE s.cnt > 1 AND o.doc_id * 1048576 + o.pos <> s.canon
+),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos > prev + {n} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {n} AS e
+  FROM isl GROUP BY doc_id, island
+),
+agg AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS sp FROM spans GROUP BY doc_id),
+scr AS (
+  SELECT b.doc_id, b.toks,
+         COALESCE(a.sp, CAST([] AS STRUCT(s INTEGER, e INTEGER)[])) AS sp
+  FROM base b LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id,
+  -- COALESCE: DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+  COALESCE(array_to_string(list_transform(
+    list_filter(range(0, len(toks)),
+                i -> len(list_filter(sp, r -> i >= r.s AND i < r.e)) = 0),
+    i -> toks[i + 1]), ' '), '') AS text,
+  CAST(len(toks) -
+       len(list_filter(range(0, len(toks)),
+                       i -> len(list_filter(sp, r -> i >= r.s AND i < r.e)) = 0))
+       AS INTEGER) AS n_dropped_tokens
+FROM scr
+""".format(toks=_TOKS_SQL, n=8)
     return {
         "cdc_apply_changelog": final_state_sql,
         "dedup_exact_substr": exact_substr_sql,
+        "train_scrub_substr": scrub_substr_sql,
         "cdc_table_stats": _CHANGELOG_CTE.rstrip()[:-1].rstrip()
         + """),
 fs AS (

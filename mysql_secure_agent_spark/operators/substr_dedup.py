@@ -138,7 +138,10 @@ def scrub_duplicated_spans(
             )
         ).alias("_spans")
     )
-    toks = tokens_col(text_col)
+    # ORIGINAL-case tokens: detection tokenizes lowercased (tokens_col), but
+    # scrubbed training text must keep its casing — positions align because
+    # lowercasing never changes whitespace token boundaries
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     joined = df.join(sp, id_col, "left").withColumn(
         "_spans",
         F.coalesce(

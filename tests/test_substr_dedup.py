@@ -101,3 +101,22 @@ def test_no_pairwise_stage_in_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scrub_preserves_original_case(spark):
+    """Detection is case-insensitive (tokens_col lowers), but the scrubbed
+    text keeps the surviving tokens' ORIGINAL casing."""
+    df = _df(
+        spark,
+        [
+            (1, "A B C D x y z w"),
+            (2, "P Q a b C d R s"),  # duplicated run, mixed case
+        ],
+    )
+    spans = duplicated_spans(df, n=4)
+    assert {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()} == {
+        (2, 2, 6)
+    }
+    out = {r.doc_id: r.text for r in scrub_duplicated_spans(df, spans).collect()}
+    assert out[1] == "A B C D x y z w"
+    assert out[2] == "P Q R s"

@@ -64,3 +64,46 @@ def test_maintain_bounds_history(spark, tmp_path):
         _merge(spark, tbl, range(i * 10, (i + 1) * 10), f"b{i}")
     tbl.maintain(spark, keep_last=3, max_deltas=1)
     assert tbl.version_floor() >= tbl.current_version() - 3
+
+
+def test_maintain_refreshes_ann_index_before_compaction(spark, tmp_path):
+    """AnnIndex satisfies the maintainer protocol: maintain() refreshes it
+    WHILE the changefeed window is intact, so it never falls through to the
+    full-rebuild recovery path."""
+    import numpy as np
+
+    from mysql_secure_agent_spark.lake.ann_index import AnnIndex
+
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType(), False),
+            T.StructField("emb", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+    cl = "op string, vid long, emb array<float>, source_lsn long"
+    tbl = LakeTable.create(str(tmp_path / "t"), schema, ["vid"], n_buckets=4)
+    idx = AnnIndex.create(
+        str(tmp_path / "ix"), tbl, "emb", n_planes=4, bands=2, n_buckets=4
+    )
+
+    def vec(i):
+        return [float(np.cos(0.7 * i + 0.3 * d)) for d in range(6)]
+
+    tbl.merge(
+        spark,
+        spark.createDataFrame([("I", i, vec(i), 100 + i) for i in range(8)], cl),
+        "b1",
+    )
+    out = tbl.maintain(spark, maintainers=(idx,), keep_last=1)
+    assert not out["maintainers"][0].get("skipped")
+    assert not out["maintainers"][0].get("rebuild")
+    # a second merge + maintain stays on the incremental path even though
+    # maintenance compacted and expired after the previous refresh
+    tbl.merge(
+        spark,
+        spark.createDataFrame([("U", 1, [-x for x in vec(1)], 200)], cl),
+        "b2",
+    )
+    out2 = tbl.maintain(spark, maintainers=(idx,), keep_last=1)
+    assert not out2["maintainers"][0].get("rebuild")
+    assert idx.table.read(spark).count() == 8 * 2

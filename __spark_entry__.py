@@ -3723,6 +3723,25 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_text_ngram_ppl(spark, sf_dir):
+    """CCNet-style perplexity filter: every document scored against an
+    add-k-smoothed bigram LM (here trained on the corpus itself — a
+    fluency prior; production trains on a curated reference). Counts are
+    exact integers end to end; only log/avg/pow are float. Two equi-join
+    shuffles + one agg — no Python, no broadcast of the model (it stays a
+    DataFrame, the 10^10-token-model shape)."""
+    from mysql_secure_agent_spark.operators.ngram_lm import (
+        perplexity_score,
+        train_ngram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bi = train_ngram_counts(docs, n=2)
+    uni = train_ngram_counts(docs, n=1)
+    v = uni.count()
+    return perplexity_score(docs, bi, uni, v, n=2, k=0.5)
+
+
 def q_dedup_exact_substr(spark, sf_dir):
     """Exact-substring dedup (the ExactSubstr pass of Lee et al. 2022):
     every duplicated ≥8-token run's NON-canonical occurrences as merged
@@ -4682,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substr": q_dedup_exact_substr,
         "cdc_table_stats": q_cdc_table_stats,
         "train_scrub_substr": q_train_scrub_substr,
+        "text_ngram_ppl": q_text_ngram_ppl,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -5149,6 +5169,37 @@ FROM scr
         "cdc_apply_changelog": final_state_sql,
         "dedup_exact_substr": exact_substr_sql,
         "train_scrub_substr": scrub_substr_sql,
+        # bigram-LM perplexity, self-scored: exact integer counts; the only
+        # float ops (log2/avg/pow) are rounded well above double noise
+        "text_ngram_ppl": f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+uni AS (SELECT t AS gram, count(*) AS cnt
+        FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
+v AS (SELECT count(*) AS vs FROM uni),
+bi0 AS (SELECT doc_id,
+               toks[i] || ' ' || toks[i + 1] AS gram,
+               toks[i] AS ctx
+        FROM base, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+bi AS (SELECT gram, count(*) AS cnt FROM bi0 GROUP BY gram),
+sc AS (
+  SELECT b.doc_id,
+         log2((COALESCE(g.cnt, 0) + 0.5)
+              / (COALESCE(c.cnt, 0) + 0.5 * (SELECT vs FROM v))) AS logp
+  FROM bi0 b
+  LEFT JOIN bi g ON b.gram = g.gram
+  LEFT JOIN uni c ON b.ctx = c.gram
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_scored,
+         round(avg(logp), 6) AS avg_logp,
+         round(pow(2, -avg(logp)), 4) AS ppl
+  FROM sc GROUP BY doc_id
+)
+SELECT * FROM agg
+UNION ALL
+SELECT d.doc_id, 0 AS n_scored, NULL AS avg_logp, NULL AS ppl
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM agg)
+""",
         "cdc_table_stats": _CHANGELOG_CTE.rstrip()[:-1].rstrip()
         + """),
 fs AS (

@@ -98,6 +98,7 @@ HEADLINE = [
     "ann_index_search",
     "text_quality",
     "text_classify_quality",
+    "text_ngram_ppl",
     "lang_id",
     "doc_fingerprint",
     "cdc_multi_source",

@@ -115,3 +115,73 @@ def test_pack_sequences_invariants(spark, case):
         parts = r["text"].split("\n") if r["text"] != "" else [""]
         toks = [_tok(p) for p in parts]
         assert sum(toks[:-1]) <= budget
+
+
+# ---------------------------------------------------- ExactSubstr dedup
+@st.composite
+def substr_case(draw):
+    # tiny vocab forces frequent duplicated runs; n small keeps spans rich
+    vocab = ["a", "b", "c", "d"]
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=14).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    n = draw(st.integers(2, 4))
+    return docs, n
+
+
+def _brute_spans(docs, n):
+    """Straight-line reference: gram occurrences, canonical election by
+    (doc_id, pos), merged [p, p+n) windows with the fold's adjacency rule
+    (break when p > prev_pos + n)."""
+    occ = {}
+    for did, text in enumerate(docs):
+        toks = text.strip().lower().split()
+        for p in range(len(toks) - n + 1):
+            occ.setdefault(" ".join(toks[p : p + n]), []).append((did, p))
+    dup_pos = {}
+    for places in occ.values():
+        if len(places) > 1:
+            canon = min(places)
+            for did, p in places:
+                if (did, p) != canon:
+                    dup_pos.setdefault(did, set()).add(p)
+    out = set()
+    for did, ps in dup_pos.items():
+        run = []
+        for p in sorted(ps):
+            if run and p <= run[-1] + n:
+                run.append(p)
+            else:
+                if run:
+                    out.add((did, run[0], run[-1] + n))
+                run = [p]
+        if run:
+            out.add((did, run[0], run[-1] + n))
+    return out
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(substr_case())
+def test_duplicated_spans_matches_bruteforce(spark, case):
+    from mysql_secure_agent_spark.operators.substr_dedup import (
+        duplicated_spans,
+    )
+
+    docs, n = case
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(df, n=n).collect()
+    }
+    assert got == _brute_spans(docs, n)

@@ -6342,14 +6342,18 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         "text_classify_quality": f"""
 WITH b AS (
   SELECT doc_id,
-    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                t -> t <> '') AS toks
+    -- NULL text stays NULL (the engine propagates NULL end-to-end); an
+    -- unconditional COALESCE would invent score 0.5 for NULL documents
+    CASE WHEN text IS NULL THEN NULL
+         ELSE list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                          t -> t <> '') END AS toks
   FROM documents
 ), s AS (
   SELECT doc_id, len(toks) AS n_toks,
-    COALESCE(list_sum(list_transform(toks, t ->
+    CASE WHEN toks IS NULL THEN NULL
+         ELSE COALESCE(list_sum(list_transform(toks, t ->
       ({_H32_SQL.format(x="concat('w:', CAST((" + _H32_SQL.format(x="concat('q:', t)") + ") % 256 AS VARCHAR))")}) % 2001 - 1000
-    )), 0) AS sum_milli
+    )), 0) END AS sum_milli
   FROM b
 )
 SELECT doc_id, CAST(n_toks AS INTEGER) AS n_tokens,

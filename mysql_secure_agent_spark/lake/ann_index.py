@@ -323,7 +323,10 @@ class AnnIndex:
         return metrics
 
     # ---------------------------------------------------------------- search
-    def _probe_buckets(self, qrows) -> list[int]:
+    def _query_buckets(self, qrows) -> list[tuple[Any, int]]:
+        """(query_id, band_bucket) pairs for the query set — ONE plane
+        projection serves both the probe-bucket set and the candidate
+        join (two copies of this math would be a divergence hazard)."""
         import numpy as np
 
         if not qrows:
@@ -332,11 +335,14 @@ class AnnIndex:
         m = _plane_matrix(self.bands * self.n_planes, x.shape[1])
         bits = (x @ m) >= 0
         w = 1 << np.arange(self.n_planes)
-        out: set[int] = set()
+        out: list[tuple[Any, int]] = []
         for b in range(self.bands):
             sigs = bits[:, b * self.n_planes : (b + 1) * self.n_planes] @ w
-            out.update(int(b * (1 << self.n_planes) + s) for s in sigs)
-        return sorted(out)
+            out.extend(
+                (qrows[i][0], int(b * (1 << self.n_planes) + s))
+                for i, s in enumerate(sigs)
+            )
+        return out
 
     def search(
         self,
@@ -365,7 +371,8 @@ class AnnIndex:
             (r["query_id"], list(map(float, r["query_vec"])))
             for r in queries.select("query_id", "query_vec").collect()
         ]
-        probes = self._probe_buckets(qrows)
+        qb = self._query_buckets(qrows)
+        probes = sorted({b for _, b in qb})
         if not probes:
             empty = self.main.read(spark, buckets=[]).select(*keys)
             return empty.select(
@@ -382,17 +389,6 @@ class AnnIndex:
         )
         # query_id ↔ band_bucket mapping (driver-built, tiny): a candidate is
         # a key sharing ANY band bucket with the query.
-        import numpy as np
-
-        x = np.array([r[1] for r in qrows], dtype=np.float64)
-        m = _plane_matrix(self.bands * self.n_planes, x.shape[1])
-        bits = (x @ m) >= 0
-        w = 1 << np.arange(self.n_planes)
-        qb = []
-        for i, (qid, _) in enumerate(qrows):
-            for b in range(self.bands):
-                sig = int(bits[i, b * self.n_planes : (b + 1) * self.n_planes] @ w)
-                qb.append((qid, b * (1 << self.n_planes) + sig))
         qb_df = spark.createDataFrame(qb, "query_id long, band_bucket int")
         cand = (
             entries.join(F.broadcast(qb_df), "band_bucket")

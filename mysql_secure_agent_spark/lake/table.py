@@ -1123,25 +1123,67 @@ class LakeTable:
             head_paths = {
                 e["path"] for entries in commit.files.values() for e in entries
             }
+            # A rewrite inside the window is HARMLESS iff it was a
+            # compaction whose every input (= dropped path) was already
+            # referenced at the cursor version: its output base is then a
+            # pure reconciliation of history the cursor has fully consumed,
+            # so the window's net change lives entirely in the window's
+            # OTHER (delta) files and the base can simply be skipped. This
+            # is what keeps `maintain()`'s refresh-then-compact ordering
+            # incremental ACROSS cycles — without it, the first refresh
+            # after any compaction would fall back to a full O(table)
+            # rebuild. A compaction that consumed a window delta (a file
+            # the cursor has NOT seen), or any non-compact rewrite
+            # (rebucket/purge/modify change layout or content), still
+            # raises: those windows are genuinely unreadable incrementally.
+            harmless_adds: set[str] = set()
+            rewritten = (
+                not old_paths <= head_paths
+                or commit.changefeed_floor != base_commit.changefeed_floor
+            )
+            if rewritten:
+                prev = base_commit
+                for w in range(since_version + 1, commit.version + 1):
+                    cw = self.commit_at(w)
+                    pprev = {
+                        e["path"] for es in prev.files.values() for e in es
+                    }
+                    pcur = {e["path"] for es in cw.files.values() for e in es}
+                    dropped = pprev - pcur
+                    if dropped:
+                        if (
+                            cw.summary.get("operation") != "compact"
+                            or not dropped <= old_paths
+                        ):
+                            raise ValueError(
+                                f"history in versions ({since_version}, "
+                                f"{commit.version}] was rewritten "
+                                "(compaction of unconsumed deltas, rebucket, "
+                                "purge or modify) — an incremental read over "
+                                "the window is impossible; full-resync the "
+                                "consumer instead"
+                            )
+                        harmless_adds |= pcur - pprev
+                    prev = cw
             new_files = {
-                b: [e for e in es if e["path"] not in old_paths]
+                b: [
+                    e
+                    for e in es
+                    if e["path"] not in old_paths
+                    and e["path"] not in harmless_adds
+                ]
                 for b, es in commit.files.items()
             }
             new_files = {b: es for b, es in new_files.items() if es}
-            if (
-                not old_paths <= head_paths
-                or commit.changefeed_floor != base_commit.changefeed_floor
-                or any(
-                    e["kind"] != "delta"
-                    for es in new_files.values()
-                    for e in es
-                )
+            if any(
+                e["kind"] != "delta" for es in new_files.values() for e in es
             ):
                 raise ValueError(
                     f"history in versions ({since_version}, {commit.version}] "
-                    "was rewritten (compaction/rebucket/purge/modify) — an "
-                    "incremental read over the window is impossible; "
-                    "full-resync the consumer instead"
+                    "was rewritten (non-delta files appeared outside a "
+                    "cursor-consumed compaction) — an incremental read over "
+                    "the window is impossible; full-resync the consumer "
+                    "instead"
                 )
             read_commit = dataclasses.replace(commit, files=new_files)
             win_lo, win_hi = None, None

@@ -74,8 +74,8 @@ def duplicated_spans(
 ) -> DataFrame:
     """Token spans (0-based ``[span_start, span_end)``) of every duplicated
     ≥n-token run, EXCLUDING the corpus-wide canonical first occurrence
-    (smallest ``(doc_id, pos)``) — one output row per merged span:
-    ``(doc_id, span_start, span_end)``.
+    (smallest ``(id, pos)``) — one output row per merged span:
+    ``(id_col, span_start, span_end)``.
 
     Cost at scale: O(total tokens) exploded gram rows, one partial-agg
     shuffle on gram_key + one join back, one groupBy(doc) fold. No
@@ -95,26 +95,29 @@ def duplicated_spans(
         ),
     )
     occ = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.k").alias("k"))
+        F.col(id_col).alias(id_col), F.explode(grams).alias("g")
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.k").alias("k"))
+    # A hot gram (boilerplate occurring millions of times) makes this an
+    # equi-join on a skewed key; each occurrence matches exactly ONE stats
+    # row (no blowup) and AQE skew-join splits the oversized partitions.
     stats = occ.groupBy("k").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.min(F.struct("doc_id", "pos")).alias("canon"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("canon"),
     )
     dup = (
         occ.join(stats.filter(F.col("cnt") > 1), "k")
         .filter(
-            (F.col("doc_id") != F.col("canon.doc_id"))
+            (F.col(id_col) != F.col(f"canon.{id_col}"))
             | (F.col("pos") != F.col("canon.pos"))
         )
-        .select("doc_id", "pos")
+        .select(id_col, "pos")
     )
-    merged = dup.groupBy("doc_id").agg(
+    merged = dup.groupBy(id_col).agg(
         _merged_spans(F.collect_list("pos"), n).alias("_spans")
     )
     s = F.col("_s")
-    return merged.select("doc_id", F.explode("_spans").alias("_s")).select(
-        "doc_id",
+    return merged.select(id_col, F.explode("_spans").alias("_s")).select(
+        id_col,
         s["start"].alias("span_start"),
         s["end"].alias("span_end"),
     )
@@ -163,8 +166,13 @@ def scrub_duplicated_spans(
     scrubbed = F.array_join(
         F.transform(kept, lambda i: F.element_at(toks, i + 1)), " "
     )
+    # NULL text passes through VERBATIM (size(NULL) under ANSI would
+    # otherwise silently rewrite it to '' with a NULL drop count)
+    is_null = F.col(text_col).isNull()
     return joined.select(
         F.col(id_col),
-        scrubbed.alias("text"),
-        dropped.alias("n_dropped_tokens"),
+        F.when(is_null, F.lit(None).cast("string"))
+        .otherwise(scrubbed)
+        .alias("text"),
+        F.when(is_null, F.lit(0)).otherwise(dropped).alias("n_dropped_tokens"),
     )

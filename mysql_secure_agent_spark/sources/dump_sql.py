@@ -413,20 +413,26 @@ def read_dump_rows(
                 # (ValueError on a perfectly valid row) and mis-anchor on
                 # a table name containing the word VALUES.
                 if m.group(1) == "(":
-                    # explicit column list — must match schema order
-                    # (identifiers cannot contain ')')
-                    j = line.index(")", m.end())
+                    # explicit column list — must match schema order.
+                    # (A backtick-quoted identifier CONTAINING ')' would
+                    # split early here; mysqldump never emits such names —
+                    # refused loudly below rather than mis-lexed.)
+                    cm = re.match(
+                        r"([^)]*)\)\s*(VALUES)\b", line[m.end() :], re.I
+                    )
+                    if not cm:
+                        raise ValueError(
+                            "unparseable INSERT column list near: "
+                            f"{line[m.end() : m.end() + 80]!r}"
+                        )
                     listed = [
-                        _unquote(c)
-                        for c in _split_top_level(line[m.end() : j])
+                        _unquote(c) for c in _split_top_level(cm.group(1))
                     ]
                     if listed != names:
                         raise ValueError(
                             f"INSERT column list {listed} != schema {names}"
                         )
-                    stmt = line[j + 1 :]
-                    if not re.match(r"\s*VALUES\b", stmt, re.I):
-                        raise ValueError("expected VALUES after column list")
+                    stmt = "VALUES" + line[m.end() + cm.end() :]
                 else:
                     stmt = "VALUES" + line[m.end() :]
                 for tup in _lex_tuples(stmt):

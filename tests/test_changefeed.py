@@ -157,3 +157,48 @@ def test_read_changes_since_version_rejects_rewritten_window(spark, tbl3):
     tbl3.compact(spark)
     with pytest.raises(ValueError, match="rewritten"):
         tbl3.read_changes(spark, since_lsn=-1, since_version=v1).collect()
+
+
+def test_read_changes_survives_cursor_consumed_compaction(spark, tbl3):
+    """A compaction whose inputs the cursor has fully consumed is INVISIBLE
+    to the window delta: the base is skipped and the read carries only the
+    post-compaction merges — what keeps maintain()'s refresh-then-compact
+    ordering incremental ACROSS cycles instead of forcing every maintainer
+    through a full rebuild after each compaction."""
+    v = tbl3.current_version()
+    tbl3.compact(spark)
+    tbl3.merge(spark, _cl(spark, [("U", 9, "z1", 31), ("D", 3, None, 32)]), "b4")
+    got = {
+        r["k"]: (r["op"], r["v"])
+        for r in tbl3.read_changes(spark, since_lsn=-1, since_version=v).collect()
+    }
+    assert got == {9: ("U", "z1"), 3: ("D", None)}
+
+
+def test_read_changes_two_compactions_in_window(spark, tbl3):
+    """Chained harmless rewrites: compact → merge → (cursor) …  compact of
+    STILL-consumed files only happens when the second compaction's inputs
+    are cursor-visible; here the second compaction consumes the b4 delta
+    the cursor HAS seen (cursor taken after b4), so the window read after
+    it still works."""
+    tbl3.compact(spark)
+    tbl3.merge(spark, _cl(spark, [("U", 9, "z1", 31)]), "b4")
+    v = tbl3.current_version()
+    tbl3.compact(spark)  # consumes b4's delta — consumed by cursor v
+    tbl3.merge(spark, _cl(spark, [("U", 7, "q1", 41)]), "b5")
+    got = {
+        r["k"]: (r["op"], r["v"])
+        for r in tbl3.read_changes(spark, since_lsn=-1, since_version=v).collect()
+    }
+    assert got == {7: ("U", "q1")}
+
+
+def test_read_changes_compaction_of_unconsumed_delta_raises(spark, tbl3):
+    """A compaction that folded a delta the cursor has NOT consumed makes
+    the window genuinely unreadable — the base mixes consumed and
+    unconsumed history."""
+    v = tbl3.current_version()
+    tbl3.merge(spark, _cl(spark, [("U", 9, "z1", 31)]), "b4")
+    tbl3.compact(spark)  # consumes b4's delta, unseen by cursor v
+    with pytest.raises(ValueError, match="rewritten"):
+        tbl3.read_changes(spark, since_lsn=-1, since_version=v).collect()

@@ -94,16 +94,29 @@ def test_maintain_refreshes_ann_index_before_compaction(spark, tmp_path):
         spark.createDataFrame([("I", i, vec(i), 100 + i) for i in range(8)], cl),
         "b1",
     )
-    out = tbl.maintain(spark, maintainers=(idx,), keep_last=1)
+    # max_deltas=1 forces a REAL compaction every cycle — the property
+    # under test is that refresh-then-compact stays incremental ACROSS
+    # cycles (read_changes skips cursor-consumed compaction bases)
+    out = tbl.maintain(spark, maintainers=(idx,), keep_last=8, max_deltas=1)
     assert not out["maintainers"][0].get("skipped")
     assert not out["maintainers"][0].get("rebuild")
+    assert not out["compaction"].get("skipped")  # compaction really ran
     # a second merge + maintain stays on the incremental path even though
-    # maintenance compacted and expired after the previous refresh
+    # the previous cycle compacted after its refresh
     tbl.merge(
         spark,
         spark.createDataFrame([("U", 1, [-x for x in vec(1)], 200)], cl),
         "b2",
     )
-    out2 = tbl.maintain(spark, maintainers=(idx,), keep_last=1)
+    out2 = tbl.maintain(spark, maintainers=(idx,), keep_last=8, max_deltas=1)
+    assert not out2["maintainers"][0].get("skipped")
     assert not out2["maintainers"][0].get("rebuild")
-    assert idx.table.read(spark).count() == 8 * 2
+    # and a third cycle, exercising a window that BEGINS at a compacted head
+    tbl.merge(
+        spark,
+        spark.createDataFrame([("D", 3, None, 300)], cl),
+        "b3",
+    )
+    out3 = tbl.maintain(spark, maintainers=(idx,), keep_last=8, max_deltas=1)
+    assert not out3["maintainers"][0].get("rebuild")
+    assert idx.table.read(spark).count() == 7 * 2  # 8 keys − 1 deleted

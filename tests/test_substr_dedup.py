@@ -120,3 +120,31 @@ def test_scrub_preserves_original_case(spark):
     out = {r.doc_id: r.text for r in scrub_duplicated_spans(df, spans).collect()}
     assert out[1] == "A B C D x y z w"
     assert out[2] == "P Q R s"
+
+
+def test_custom_id_col_composes(spark):
+    """duplicated_spans output carries the caller's id_col (regression: it
+    was hardcoded to doc_id, breaking composition with scrub)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d x y z w"), (2, "p q a b c d r s")],
+        "conv_id long, text string",
+    )
+    spans = duplicated_spans(df, n=4, id_col="conv_id")
+    assert spans.columns == ["conv_id", "span_start", "span_end"]
+    out = {
+        r.conv_id: r.text
+        for r in scrub_duplicated_spans(df, spans, id_col="conv_id").collect()
+    }
+    assert out[2] == "p q r s"
+
+
+def test_scrub_null_text_verbatim(spark):
+    """NULL text passes through as NULL with 0 dropped (regression: ANSI
+    size(NULL) silently rewrote it to '' with a NULL count)."""
+    df = _df(spark, [(1, None), (2, "a b c d"), (3, "a b c d")])
+    spans = duplicated_spans(df, n=4)
+    out = {
+        r.doc_id: (r.text, r.n_dropped_tokens)
+        for r in scrub_duplicated_spans(df, spans).collect()
+    }
+    assert out[1] == (None, 0)

@@ -58,21 +58,20 @@ from __future__ import annotations
 
 import json
 import os
-import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..operators.dedup_changelog import last_image_wins
 from ..operators.similarity import (
     _band_buckets,
     _plane_matrix,
     cosine_sim_col,
 )
-from .table import SYS_DELETED, SYS_LSN, LakeTable, _type_from_ddl
+from .maintainer import IncrementalIndexMaintainer
+from .table import SYS_LSN, LakeTable, _type_from_ddl
 
 
-class AnnIndex:
+class AnnIndex(IncrementalIndexMaintainer):
     META = "_ann_index.json"
 
     def __init__(self, root: str, main: LakeTable):
@@ -127,200 +126,61 @@ class AnnIndex:
             json.dump(meta, f)
         return cls(root, main)
 
-    _ID_RE = re.compile(r"^(\d+)\.ann(-?\d+)_(\d+)$")
-
-    def _cursor(self) -> dict[str, int]:
-        commit = self.table.commit_at(resolve=False)
-        best = (-1, -1, 0)
-        for bid in commit.applied_batches:
-            m = self._ID_RE.match(bid)
-            if m:
-                t = (int(m.group(1)), int(m.group(2)), int(m.group(3)))
-                if t[0] > best[0]:
-                    best = t
-        return {"seq": best[0], "cursor_lsn": best[1], "cursor_version": best[2]}
+    # ------------------------------------------------ maintenance hooks
+    # (cursor/refresh/_rebuild skeleton lives in IncrementalIndexMaintainer;
+    # this class supplies only the 1→B exploded band-bucket entry
+    # derivation)
+    TAG = "ann"
 
     def _buckets_col(self, vec):
         return _band_buckets(vec, self.n_planes, self.bands)
 
-    # --------------------------------------------------------------- refresh
-    def refresh(self, spark: SparkSession) -> dict[str, Any]:
-        """Catch the index up to the main table's head. Cost: one
-        listing-pruned changefeed read, one bucket-pruned time-travel read
-        (old vectors), one merge of O(changed keys × B) index entries."""
-        cur = self._cursor()
-        main_commit = self.main.commit_at(resolve=False)
-        head_version = main_commit.version
-        if head_version == cur["cursor_version"]:
-            return {"skipped": True, "reason": "index already at main head"}
-        if cur["cursor_version"] < self.main.version_floor():
-            return self._rebuild(spark)
-        keys = main_commit.key_cols
+    def _old_projection(self, keys):
+        return [self._buckets_col(F.col(self.vec_col)).alias("_old_bs")]
 
-        try:
-            changes = self.main.read_changes(
-                spark,
-                since_lsn=-1,
-                since_version=cur["cursor_version"],
-                version=head_version,
-            )
-        except ValueError:
-            return self._rebuild(spark)
-        changes = changes.persist()
-        try:
-            old_commit = self.main.commit_at(cur["cursor_version"], resolve=False)
-            same_layout = (
-                old_commit.n_buckets == main_commit.n_buckets
-                and old_commit.bucket_function == main_commit.bucket_function
-                and old_commit.bucket_cols == main_commit.bucket_cols
-            )
-            aggs = [F.max("source_lsn").alias("_hi")]
-            if same_layout:
-                aggs.append(
-                    F.collect_set(self.main._bucket_expr(main_commit)).alias("_bs")
-                )
-            stats = changes.agg(*aggs).collect()[0]
-            touched = (
-                sorted(int(b) for b in stats["_bs"]) if same_layout else None
-            )
-            old = (
-                self.main.read(
-                    spark, version=cur["cursor_version"], buckets=touched
-                )
-                .select(
-                    *keys,
-                    self._buckets_col(F.col(self.vec_col)).alias("_old_bs"),
-                )
-                .join(changes.select(*keys), keys, "leftsemi")
-            )
-            paired = changes.select(
-                "op",
-                *keys,
-                F.when(
-                    (F.col("op") == "U") & F.col(self.vec_col).isNotNull(),
-                    self._buckets_col(F.col(self.vec_col)),
-                ).alias("_new_bs"),
-                "source_lsn",
-            ).join(old, keys, "left")
+    def _index_key_cols(self, keys):
+        return ["band_bucket", *keys]
 
-            # buckets the key no longer occupies → deletes; array_except
-            # keeps (bucket, key) tuples disjoint from the upserts, so one
-            # merge batch never holds two images of the same index key.
-            dels = paired.select(
-                F.lit("D").alias("op"),
-                F.explode(
-                    F.array_except(
-                        F.col("_old_bs"),
-                        F.coalesce(F.col("_new_bs"), F.array().cast("array<int>")),
-                    )
-                ).alias("band_bucket"),
-                *keys,
-                F.col("source_lsn"),
-            )
-            ups = paired.filter(F.col("_new_bs").isNotNull()).select(
-                F.lit("U").alias("op"),
-                F.explode("_new_bs").alias("band_bucket"),
-                *keys,
-                F.col("source_lsn"),
-            )
-            entries = ups.unionByName(dels)
-            hi = stats["_hi"]
-            to_lsn = int(hi) if hi is not None else cur["cursor_lsn"]
-            batch_id = f"{cur['seq'] + 1}.ann{to_lsn}_{head_version}"
-            metrics = self.table.merge(spark, entries, batch_id)
-        except ValueError as e:
-            if "expired" in str(e):
-                return self._rebuild(spark)
-            raise
-        finally:
-            changes.unpersist()
-        if touched is not None:
-            metrics["index_buckets_pruned_read"] = touched
-        return metrics
-
-    def _rebuild(self, spark: SparkSession) -> dict[str, Any]:
-        """Full backfill — the recovery path (cursor expired / history
-        rewritten), and the bootstrap when a fresh index is created over an
-        already-populated table whose early snapshots are gone. Same lsn
-        stamping as ``SecondaryIndex._rebuild``: upserts carry the row's own
-        lsn; deletes of vanished (bucket, key) pairs the stale entry's
-        lsn+1 (shard-safe: never a global max)."""
-        cur = self._cursor()
-        head_commit = self.main.commit_at()
-        head_version = head_commit.version
-        keys = head_commit.key_cols
-        to_lsn = max(
-            (
-                int(e["lsn_max"])
-                for es in head_commit.files.values()
-                for e in es
-                if e.get("lsn_max") is not None
-            ),
-            default=max(cur["cursor_lsn"], 0),
+    def _window_entries(self, changes, old, keys):
+        paired = changes.select(
+            "op",
+            *keys,
+            F.when(
+                (F.col("op") == "U") & F.col(self.vec_col).isNotNull(),
+                self._buckets_col(F.col(self.vec_col)),
+            ).alias("_new_bs"),
+            "source_lsn",
+        ).join(old, keys, "left")
+        # buckets the key no longer occupies → deletes; array_except keeps
+        # (bucket, key) tuples disjoint from the upserts, so one merge
+        # batch never holds two images of the same index key.
+        dels = paired.select(
+            F.lit("D").alias("op"),
+            F.explode(
+                F.array_except(
+                    F.col("_old_bs"),
+                    F.coalesce(F.col("_new_bs"), F.array().cast("array<int>")),
+                )
+            ).alias("band_bucket"),
+            *keys,
+            F.col("source_lsn"),
         )
-        raw = self.main._read_files(spark, head_commit)
-        if raw is None:
-            fresh = None
-        else:
-            state = last_image_wins(
-                raw, key_cols=keys, order_col=SYS_LSN, strategy="max_by"
-            ).filter(~F.col(SYS_DELETED))
-            fresh = (
-                state.filter(F.col(self.vec_col).isNotNull())
-                .select(
-                    F.explode(
-                        self._buckets_col(F.col(self.vec_col))
-                    ).alias("band_bucket"),
-                    *keys,
-                    F.col(SYS_LSN).alias("source_lsn"),
-                )
-                .persist()
-            )
-        try:
-            iraw = self.table._read_files(spark, self.table.commit_at())
-            entries_parts = []
-            if iraw is not None:
-                existing = last_image_wins(
-                    iraw,
-                    key_cols=["band_bucket", *keys],
-                    order_col=SYS_LSN,
-                    strategy="max_by",
-                ).filter(~F.col(SYS_DELETED))
-                gone = existing.select(
-                    "band_bucket", *keys, F.col(SYS_LSN).alias("_elsn")
-                )
-                if fresh is not None:
-                    gone = gone.join(
-                        fresh.select("band_bucket", *keys),
-                        ["band_bucket", *keys],
-                        "left_anti",
-                    )
-                entries_parts.append(
-                    gone.select(
-                        F.lit("D").alias("op"),
-                        "band_bucket",
-                        *keys,
-                        (F.col("_elsn") + 1).alias("source_lsn"),
-                    )
-                )
-            if fresh is not None:
-                entries_parts.append(
-                    fresh.select(
-                        F.lit("U").alias("op"), "band_bucket", *keys, "source_lsn"
-                    )
-                )
-            if not entries_parts:
-                return {"skipped": True, "reason": "empty main and index"}
-            entries = entries_parts[0]
-            for p in entries_parts[1:]:
-                entries = entries.unionByName(p)
-            batch_id = f"{cur['seq'] + 1}.ann{to_lsn}_{head_version}"
-            metrics = self.table.merge(spark, entries, batch_id)
-        finally:
-            if fresh is not None:
-                fresh.unpersist()
-        metrics["rebuild"] = True
-        return metrics
+        ups = paired.filter(F.col("_new_bs").isNotNull()).select(
+            F.lit("U").alias("op"),
+            F.explode("_new_bs").alias("band_bucket"),
+            *keys,
+            F.col("source_lsn"),
+        )
+        return ups.unionByName(dels)
+
+    def _fresh_entries(self, state, keys):
+        return state.filter(F.col(self.vec_col).isNotNull()).select(
+            F.explode(
+                self._buckets_col(F.col(self.vec_col))
+            ).alias("band_bucket"),
+            *keys,
+            F.col(SYS_LSN).alias("source_lsn"),
+        )
 
     # ---------------------------------------------------------------- search
     def _query_buckets(self, qrows) -> list[tuple[Any, int]]:

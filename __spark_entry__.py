@@ -3723,6 +3723,54 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card report — the summary a training-data pipeline publishes
+    per corpus slice: docs / tokens / mean classifier quality / mean LM
+    perplexity / exact-substring-dup doc count, per predicted language.
+    A pure COMPOSITION of five already-oracle-gated operators (lang_id,
+    token_count, linear_quality_score, perplexity_score, duplicated_spans)
+    joined on doc_id and rolled up — the oracle re-derives every formula,
+    so a drift in ANY member operator breaks this hash too."""
+    from mysql_secure_agent_spark.operators.ngram_lm import (
+        perplexity_score,
+        train_ngram_counts,
+    )
+    from mysql_secure_agent_spark.operators.quality_filter import (
+        linear_quality_score,
+    )
+    from mysql_secure_agent_spark.operators.substr_dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        token_count("text").alias("n_tokens"),
+    )
+    q = linear_quality_score(docs).select("doc_id", "score")
+    bi = train_ngram_counts(docs, n=2)
+    uni = train_ngram_counts(docs, n=1)
+    v = uni.count()
+    ppl = perplexity_score(docs, bi, uni, v, n=2, k=0.5).select("doc_id", "ppl")
+    dup = (
+        duplicated_spans(docs, n=8)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    joined = (
+        base.join(q, "doc_id")
+        .join(ppl, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+    )
+    return joined.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("score"), 4).alias("mean_quality"),
+        F.round(F.avg("ppl"), 3).alias("mean_ppl"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("dup_docs"),
+    )
+
+
 def q_text_ngram_ppl(spark, sf_dir):
     """CCNet-style perplexity filter: every document scored against an
     add-k-smoothed bigram LM (here trained on the corpus itself — a
@@ -4702,6 +4750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_stats": q_cdc_table_stats,
         "train_scrub_substr": q_train_scrub_substr,
         "text_ngram_ppl": q_text_ngram_ppl,
+        "corpus_report": q_corpus_report,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -5053,6 +5102,76 @@ SELECT query_id, neighbor_id, bucket, cosine, CAST(rn AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 10
+"""
+    # dataset-card report: every member formula re-derived (lang argmax,
+    # token counts, classifier milli-fold, bigram-LM ppl, ExactSubstr dup
+    # docs), joined per doc, rolled up per predicted language
+    _w_expr = (
+        "("
+        + _H32_SQL.format(
+            x="concat('w:', CAST(("
+            + _H32_SQL.format(x="concat('q:', t)")
+            + ") % 256 AS VARCHAR))"
+        )
+        + ") % 2001 - 1000"
+    )
+    corpus_report_sql = f"""
+WITH base AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+lng AS (SELECT doc_id, {score_exprs} FROM base),
+lang AS (SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred FROM lng),
+tok AS (SELECT doc_id,
+  CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens
+  FROM base),
+qf AS (SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE list_filter(toks, t -> t <> '') END AS ftoks FROM base),
+qs AS (SELECT doc_id, len(ftoks) AS n_toks,
+  CASE WHEN ftoks IS NULL THEN NULL
+       ELSE COALESCE(list_sum(list_transform(ftoks, t -> {_w_expr})), 0)
+  END AS sum_milli FROM qf),
+q AS (SELECT doc_id,
+  round(1.0 / (1.0 + exp(-((sum_milli / 1000.0) / greatest(n_toks, 1)))), 6)
+    AS score FROM qs),
+uni AS (SELECT t AS gram, count(*) AS cnt
+        FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
+v AS (SELECT count(*) AS vs FROM uni),
+bi0 AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram, toks[i] AS ctx
+        FROM base, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+bi AS (SELECT gram, count(*) AS cnt FROM bi0 GROUP BY gram),
+plp AS (SELECT b.doc_id,
+          log2((COALESCE(g.cnt, 0) + 0.5)
+               / (COALESCE(c.cnt, 0) + 0.5 * (SELECT vs FROM v))) AS logp
+        FROM bi0 b
+        LEFT JOIN bi g ON b.gram = g.gram
+        LEFT JOIN uni c ON b.ctx = c.gram),
+pagg AS (SELECT doc_id, round(pow(2, -avg(logp)), 4) AS ppl
+         FROM plp GROUP BY doc_id),
+occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+               md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS k
+        FROM base, unnest(range(1, greatest(len(toks) - 8 + 2, 1))) AS u(i)),
+stats AS (SELECT k, count(*) AS cnt, min(doc_id * 1048576 + pos) AS canon
+          FROM occ GROUP BY k),
+dupd AS (SELECT DISTINCT o.doc_id
+         FROM occ o JOIN stats s USING (k)
+         WHERE s.cnt > 1 AND o.doc_id * 1048576 + o.pos <> s.canon)
+SELECT l.lang_pred,
+  count(*) AS n_docs,
+  CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+  round(avg(q.score), 4) AS mean_quality,
+  round(avg(p.ppl), 3) AS mean_ppl,
+  CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS dup_docs
+FROM lang l
+JOIN tok t USING (doc_id)
+JOIN q USING (doc_id)
+LEFT JOIN pagg p USING (doc_id)
+LEFT JOIN dupd d USING (doc_id)
+GROUP BY l.lang_pred
 """
     # CDC-maintained ANN index: final state in closed form (negations for
     # vec_id%17==5, deletes for %23==7), band buckets b0 = sig(planes 0-7),
@@ -6336,6 +6455,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         "ann_ivf_topk": ann_sql,
         "ann_lsh_bucket": ann_lsh_sql,
         "ann_index_search": ann_index_sql,
+        "corpus_report": corpus_report_sql,
         # hashed linear classifier: the weighted sum is an exact integer
         # fold (milli-unit weights), so only the final division + exp touch
         # floats — bit-identical across engines after round(6)

@@ -99,6 +99,7 @@ HEADLINE = [
     "text_quality",
     "text_classify_quality",
     "text_ngram_ppl",
+    "corpus_report",
     "lang_id",
     "doc_fingerprint",
     "cdc_multi_source",

@@ -4645,56 +4645,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "cdc_apply_changelog": q_cdc_apply_changelog,
-        "cdc_merge_into_lake": q_cdc_merge_into_lake,
-        "cdc_time_slice_read": q_cdc_time_slice_read,
-        "cdc_table_checksum": q_cdc_table_checksum,
-        "cdc_zorder_compact": q_cdc_zorder_compact,
+        # Order = driver adjudication priority (r5): cdc_stmt_lineage first
+        # (the one r4 driver-red row), then every query the truncated r4
+        # correctness run never reached (registry positions 51-112 in r4),
+        # then the queries with green r4 rows. The driver walks this dict
+        # in order and stops when its budget runs out - never-verified
+        # queries must meet it first.
         "cdc_stmt_lineage": q_cdc_stmt_lineage,
-        "cdc_read_asof": q_cdc_read_asof,
-        "cdc_charset_decode": q_cdc_charset_decode,
-        "cdc_expire_versions": q_cdc_expire_versions,
-        "cdc_wap_publish": q_cdc_wap_publish,
-        "cdc_minimal_image": q_cdc_minimal_image,
-        "cdc_rebucket_midstream": q_cdc_rebucket_midstream,
-        "cdc_key_range_scan": q_cdc_key_range_scan,
-        "agg_incremental_view": q_agg_incremental_view,
-        "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
-        "cdc_dump_restore": q_cdc_dump_restore,
-        "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
-        "cdc_erase_keys": q_cdc_erase_keys,
-        "cdc_lake_changefeed": q_cdc_lake_changefeed,
-        "cdc_changefeed_compose": q_cdc_changefeed_compose,
-        "cdc_changefeed_tail": q_cdc_changefeed_tail,
-        "cdc_modify_column": q_cdc_modify_column,
-        "cdc_drop_column": q_cdc_drop_column,
-        "cdc_rename_column": q_cdc_rename_column,
-        "cdc_quarantine": q_cdc_quarantine,
-        "cdc_last_image_wins": q_cdc_last_image_wins,
-        "cdc_update_decompose": q_cdc_update_decompose,
-        "cdc_scd2_history": q_cdc_scd2_history,
-        "cdc_scd2_as_of": q_cdc_scd2_as_of,
-        "cdc_scd2_incremental": q_cdc_scd2_incremental,
-        "cdc_index_lookup": q_cdc_index_lookup,
-        "cdc_index_range_scan": q_cdc_index_range_scan,
-        "cdc_keyset_page": q_cdc_keyset_page,
-        "cdc_lsn_encode": q_cdc_lsn_encode,
-        "cdc_decode_types": q_cdc_decode_types,
-        "cdc_gtid_decode": q_cdc_gtid_decode,
-        "cdc_txn_payload": q_cdc_txn_payload,
-        "cdc_binlog_file_ingest": q_cdc_binlog_file_ingest,
-        "cdc_binlog_export_roundtrip": q_cdc_binlog_export_roundtrip,
-        "cdc_binlog_dir_tail": q_cdc_binlog_dir_tail,
-        "cdc_xa_transactions": q_cdc_xa_transactions,
-        "cdc_truncate": q_cdc_truncate,
-        "cdc_multi_table_txn": q_cdc_multi_table_txn,
-        "cdc_branch_backfill": q_cdc_branch_backfill,
-        "cdc_failover_promote": q_cdc_failover_promote,
-        "cdc_table_map_meta": q_cdc_table_map_meta,
-        "cdc_wire_ddl": q_cdc_wire_ddl,
-        "cdc_partial_json": q_cdc_partial_json,
-        "cdc_partial_json_minimal": q_cdc_partial_json_minimal,
-        "cdc_hash_anonymize": q_cdc_hash_anonymize,
         "cdc_config_projection": q_cdc_config_projection,
         "cdc_batch_metrics": q_cdc_batch_metrics,
         "json_extract_props": q_json_extract_props,
@@ -4757,6 +4714,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "cdc_apply_changelog": q_cdc_apply_changelog,
+        "cdc_merge_into_lake": q_cdc_merge_into_lake,
+        "cdc_time_slice_read": q_cdc_time_slice_read,
+        "cdc_table_checksum": q_cdc_table_checksum,
+        "cdc_zorder_compact": q_cdc_zorder_compact,
+        "cdc_read_asof": q_cdc_read_asof,
+        "cdc_charset_decode": q_cdc_charset_decode,
+        "cdc_expire_versions": q_cdc_expire_versions,
+        "cdc_wap_publish": q_cdc_wap_publish,
+        "cdc_minimal_image": q_cdc_minimal_image,
+        "cdc_rebucket_midstream": q_cdc_rebucket_midstream,
+        "cdc_key_range_scan": q_cdc_key_range_scan,
+        "agg_incremental_view": q_agg_incremental_view,
+        "cdc_jsonl_roundtrip": q_cdc_jsonl_roundtrip,
+        "cdc_dump_restore": q_cdc_dump_restore,
+        "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
+        "cdc_erase_keys": q_cdc_erase_keys,
+        "cdc_lake_changefeed": q_cdc_lake_changefeed,
+        "cdc_changefeed_compose": q_cdc_changefeed_compose,
+        "cdc_changefeed_tail": q_cdc_changefeed_tail,
+        "cdc_modify_column": q_cdc_modify_column,
+        "cdc_drop_column": q_cdc_drop_column,
+        "cdc_rename_column": q_cdc_rename_column,
+        "cdc_quarantine": q_cdc_quarantine,
+        "cdc_last_image_wins": q_cdc_last_image_wins,
+        "cdc_update_decompose": q_cdc_update_decompose,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_scd2_as_of": q_cdc_scd2_as_of,
+        "cdc_scd2_incremental": q_cdc_scd2_incremental,
+        "cdc_index_lookup": q_cdc_index_lookup,
+        "cdc_index_range_scan": q_cdc_index_range_scan,
+        "cdc_keyset_page": q_cdc_keyset_page,
+        "cdc_lsn_encode": q_cdc_lsn_encode,
+        "cdc_decode_types": q_cdc_decode_types,
+        "cdc_gtid_decode": q_cdc_gtid_decode,
+        "cdc_txn_payload": q_cdc_txn_payload,
+        "cdc_binlog_file_ingest": q_cdc_binlog_file_ingest,
+        "cdc_binlog_export_roundtrip": q_cdc_binlog_export_roundtrip,
+        "cdc_binlog_dir_tail": q_cdc_binlog_dir_tail,
+        "cdc_xa_transactions": q_cdc_xa_transactions,
+        "cdc_truncate": q_cdc_truncate,
+        "cdc_multi_table_txn": q_cdc_multi_table_txn,
+        "cdc_branch_backfill": q_cdc_branch_backfill,
+        "cdc_failover_promote": q_cdc_failover_promote,
+        "cdc_table_map_meta": q_cdc_table_map_meta,
+        "cdc_wire_ddl": q_cdc_wire_ddl,
+        "cdc_partial_json": q_cdc_partial_json,
+        "cdc_partial_json_minimal": q_cdc_partial_json_minimal,
+        "cdc_hash_anonymize": q_cdc_hash_anonymize,
     }
 
 

@@ -5297,7 +5297,9 @@ FROM scr
         # bigram-LM perplexity, self-scored: exact integer counts; the only
         # float ops (log2/avg/pow) are rounded well above double noise
         "text_ngram_ppl": f"""
-WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+WITH base AS (SELECT doc_id,
+              list_filter({_TOKS_SQL}, t -> t <> '') AS toks
+              FROM documents),
 uni AS (SELECT t AS gram, count(*) AS cnt
         FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
 v AS (SELECT count(*) AS vs FROM uni),

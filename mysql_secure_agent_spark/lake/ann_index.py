@@ -227,6 +227,10 @@ class AnnIndex(IncrementalIndexMaintainer):
         icommit = self.table.commit_at(resolve=False)
         mcommit = self.main.commit_at(resolve=False)
         keys = mcommit.key_cols
+        # the query-id column rides through three driver-built frames below;
+        # derive its type from the caller's schema instead of assuming long
+        # (a string query_id would otherwise die in createDataFrame)
+        qid_type = queries.schema["query_id"].dataType
         qrows = [
             (r["query_id"], list(map(float, r["query_vec"])))
             for r in queries.select("query_id", "query_vec").collect()
@@ -236,7 +240,7 @@ class AnnIndex(IncrementalIndexMaintainer):
         if not probes:
             empty = self.main.read(spark, buckets=[]).select(*keys)
             return empty.select(
-                F.lit(None).cast("long").alias("query_id"),
+                F.lit(None).cast(qid_type).alias("query_id"),
                 *keys,
                 F.lit(0.0).alias("cosine"),
                 F.lit(0).alias("rank"),
@@ -249,7 +253,15 @@ class AnnIndex(IncrementalIndexMaintainer):
         )
         # query_id ↔ band_bucket mapping (driver-built, tiny): a candidate is
         # a key sharing ANY band bucket with the query.
-        qb_df = spark.createDataFrame(qb, "query_id long, band_bucket int")
+        qb_df = spark.createDataFrame(
+            qb,
+            T.StructType(
+                [
+                    T.StructField("query_id", qid_type, True),
+                    T.StructField("band_bucket", T.IntegerType(), False),
+                ]
+            ),
+        )
         cand = (
             entries.join(F.broadcast(qb_df), "band_bucket")
             .select("query_id", *keys)
@@ -263,7 +275,7 @@ class AnnIndex(IncrementalIndexMaintainer):
             )
         if not matched:
             base = self.main.read(spark, buckets=[])
-        else:
+        elif set(mcommit.bucket_cols) <= set(keys):
             types = dict(mcommit.schema)
             mbuckets = sorted(
                 {
@@ -276,10 +288,15 @@ class AnnIndex(IncrementalIndexMaintainer):
                 }
             )
             base = self.main.read(spark, buckets=mbuckets)
+        else:
+            # candidate rows only carry key columns; a main table bucketed
+            # on a non-key column can't be pruned from them — fall back to
+            # the full read (the broadcast key join still bounds the work)
+            base = self.main.read(spark)
         cand_df = spark.createDataFrame(
             [tuple(r[c] for c in ["query_id", *keys]) for r in matched],
             T.StructType(
-                [T.StructField("query_id", T.LongType(), False)]
+                [T.StructField("query_id", qid_type, False)]
                 + [
                     T.StructField(c, _type_from_ddl(dict(mcommit.schema)[c]), False)
                     for c in keys
@@ -287,7 +304,13 @@ class AnnIndex(IncrementalIndexMaintainer):
             ),
         )
         qvecs = spark.createDataFrame(
-            [(qid, v) for qid, v in qrows], "query_id long, _qv array<double>"
+            [(qid, v) for qid, v in qrows],
+            T.StructType(
+                [
+                    T.StructField("query_id", qid_type, True),
+                    T.StructField("_qv", T.ArrayType(T.DoubleType()), False),
+                ]
+            ),
         )
         from pyspark.sql import Window as W
 

@@ -1142,29 +1142,50 @@ class LakeTable:
                 or commit.changefeed_floor != base_commit.changefeed_floor
             )
             if rewritten:
-                prev = base_commit
-                for w in range(since_version + 1, commit.version + 1):
-                    cw = self.commit_at(w)
-                    pprev = {
-                        e["path"] for es in prev.files.values() for e in es
+                # Walk the window on manifest NAMES (resolve=False): names
+                # are immutable once written (_load_manifest caches on that
+                # assumption), so path-set work is only paid at the rare
+                # versions that actually drop a manifest — not O(live files)
+                # per intermediate version. An expired/missing intermediate
+                # commit surfaces as the SAME documented full-resync error
+                # as a genuine rewrite, so every caller (maintainer.refresh
+                # catches ValueError) hits one recovery path.
+                def _paths_of(manifests: set[str]) -> set[str]:
+                    return {
+                        e["path"]
+                        for m in manifests
+                        for es in self._load_manifest(m).values()
+                        for e in es
                     }
-                    pcur = {e["path"] for es in cw.files.values() for e in es}
-                    dropped = pprev - pcur
-                    if dropped:
-                        if (
-                            cw.summary.get("operation") != "compact"
-                            or not dropped <= old_paths
-                        ):
-                            raise ValueError(
-                                f"history in versions ({since_version}, "
-                                f"{commit.version}] was rewritten "
-                                "(compaction of unconsumed deltas, rebucket, "
-                                "purge or modify) — an incremental read over "
-                                "the window is impossible; full-resync the "
-                                "consumer instead"
-                            )
-                        harmless_adds |= pcur - pprev
-                    prev = cw
+
+                _rewrite_err = ValueError(
+                    f"history in versions ({since_version}, "
+                    f"{commit.version}] was rewritten "
+                    "(compaction of unconsumed deltas, rebucket, "
+                    "purge, modify, or an expired intermediate "
+                    "version) — an incremental read over "
+                    "the window is impossible; full-resync the "
+                    "consumer instead"
+                )
+                prev_manifests = set(base_commit.manifests)
+                for w in range(since_version + 1, commit.version + 1):
+                    try:
+                        cw = self.commit_at(w, resolve=False)
+                    except (ValueError, OSError) as exc:
+                        raise _rewrite_err from exc
+                    cur_manifests = set(cw.manifests)
+                    if prev_manifests - cur_manifests:
+                        pprev = _paths_of(prev_manifests)
+                        pcur = _paths_of(cur_manifests)
+                        dropped = pprev - pcur
+                        if dropped:
+                            if (
+                                cw.summary.get("operation") != "compact"
+                                or not dropped <= old_paths
+                            ):
+                                raise _rewrite_err
+                            harmless_adds |= pcur - pprev
+                    prev_manifests = cur_manifests
             new_files = {
                 b: [
                     e

@@ -33,6 +33,15 @@ from pyspark.sql import DataFrame, functions as F
 from .text_dedup import tokens_col
 
 
+def _lm_tokens(text_col: str):
+    """LM tokenization: whitespace tokens with empty strings dropped — an
+    empty/whitespace-only document tokenizes as [''] under raw split, and
+    counting the '' token would inflate the unigram model and vocab_size
+    with a modeling artifact (same cleanup as quality_filter._clean_tokens;
+    the oracle mirrors the filter)."""
+    return F.filter(tokens_col(text_col), lambda t: t != F.lit(""))
+
+
 def _grams(toks, n: int):
     """Positions 1..len-n+1 → the n-token gram starting there (space-joined
     lowered tokens; empty for short docs — sequence(1,0) would descend)."""
@@ -51,7 +60,7 @@ def train_ngram_counts(
     corpus — ``(gram, cnt)``. One explode + one partial-agg shuffle."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = tokens_col(text_col)
+    toks = _lm_tokens(text_col)
     return (
         df.select(F.explode(_grams(toks, n)).alias("gram"))
         .groupBy("gram")
@@ -85,7 +94,7 @@ def perplexity_score(
     """
     if n < 2:
         raise ValueError("conditional scoring needs n >= 2")
-    toks = tokens_col(text_col)
+    toks = _lm_tokens(text_col)
     pairs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

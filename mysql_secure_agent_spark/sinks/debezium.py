@@ -137,13 +137,25 @@ def from_debezium_records(
     *,
     value_col: str = "value",
     rotate_every: int = 1_000_000,
+    partial_images: bool = False,
 ) -> DataFrame:
     """Debezium record lines → the engine changelog
     ``(op I|U|D, columns..., source_lsn)``. Tombstones (JSON-null value)
     are dropped — the delete event preceding them already carries the op.
     Records without a source position are REFUSED via a null source_lsn
     that the caller's merge will reject, because replay order is the
-    correctness contract (T4)."""
+    correctness contract (T4).
+
+    ROW-IMAGE CONTRACT: the feed is assumed to carry FULL after-images
+    (Debezium's default, binlog_row_image=full) — non-key columns take the
+    after-image verbatim on c/u/r, so an update-to-NULL is preserved. For
+    a binlog_row_image=minimal/noblob producer (unchanged columns omitted,
+    i.e. JSON-null in after), pass ``partial_images=True``: non-key columns
+    then coalesce after→before (an omitted column keeps its old value).
+    The two semantics are irreconcilable record-by-record — a JSON null is
+    either "set to NULL" (full) or "unchanged" (partial) — so the caller
+    must declare which feed it has; there is nothing in the record itself
+    to detect it from."""
     if any(n == "source_lsn" for n, _ in cols):
         raise ValueError(
             "cols are the ROW columns; source_lsn comes from the envelope"
@@ -183,6 +195,16 @@ def from_debezium_records(
     # columns must take the after-image AS IS on c/u/r — a coalesce onto
     # the before-image would resurrect the OLD value whenever a FULL-image
     # feed (Debezium's default binlog_row_image) updates a column to NULL.
+    def _nonkey(n: str):
+        after = F.col(f"r.value.after.{n}")
+        if partial_images:
+            # minimal/noblob feed: an omitted (null) after column means
+            # UNCHANGED — fall back to the before-image
+            after = F.coalesce(after, F.col(f"r.value.before.{n}"))
+        return F.when(
+            F.col("r.value.op") == "d", F.col(f"r.value.before.{n}")
+        ).otherwise(after)
+
     out_cols = [
         (
             F.coalesce(
@@ -191,9 +213,7 @@ def from_debezium_records(
                 F.col(f"r.value.before.{n}"),
             )
             if n in key_cols
-            else F.when(
-                F.col("r.value.op") == "d", F.col(f"r.value.before.{n}")
-            ).otherwise(F.col(f"r.value.after.{n}"))
+            else _nonkey(n)
         ).alias(n)
         for n, _ in cols
     ]

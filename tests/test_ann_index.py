@@ -83,10 +83,11 @@ def test_refresh_matches_signature_recompute(spark, tmp_path):
     m = idx.refresh(spark)
     assert not m.get("skipped")
     assert _index_pairs(spark, idx) == _expected_pairs(state)
-    # every vector contributes exactly B entries
-    assert len(_index_pairs(spark, idx)) == 20 * B or len(
-        _expected_pairs(state)
-    ) == len(_index_pairs(spark, idx))
+    # every vector contributes exactly B entries (band ids live in disjoint
+    # ranges band*2^r + sig, so the per-vector bucket set can never collapse
+    # across bands — a shrunken entry count means entries were LOST)
+    assert len(_expected_pairs(state)) == 20 * B
+    assert len(_index_pairs(spark, idx)) == 20 * B
     # idle refresh is a cheap skip
     assert idx.refresh(spark)["skipped"] is True
 

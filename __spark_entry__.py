@@ -3785,7 +3785,11 @@ def q_text_ngram_ppl(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     bi = train_ngram_counts(docs, n=2)
-    uni = train_ngram_counts(docs, n=1)
+    # vocab_size needs an action on the unigram model BEFORE the scoring
+    # plan runs; persist so the model explode+agg isn't recomputed inside
+    # the scoring join (at production scale the model is a persisted
+    # LakeTable artifact for the same reason)
+    uni = train_ngram_counts(docs, n=1).persist()
     v = uni.count()
     return perplexity_score(docs, bi, uni, v, n=2, k=0.5)
 

@@ -17,6 +17,15 @@ wall times.
 
 Usage: python tools/scale_check.py [feed_dir] [n_events_if_generating]
 Defaults to the bench feed location; generates 6.4M events if absent.
+
+With ``--maintainer`` the check adds the incremental-maintenance
+rehearsal (r4 verdict stretch item): replay the SAME feed in two halves
+against one table, refreshing a SecondaryIndex after each half. The
+first refresh is the O(table) backfill; the second must be O(second
+half's delta) — its wall and written-entry count are reported next to a
+forced full rebuild at the same head for direct comparison, and the
+final index state is hash-compared against the main table's projection
+(order-insensitive content hash, no driver collect).
 """
 
 from __future__ import annotations
@@ -61,8 +70,10 @@ def main() -> None:
     from mysql_secure_agent_spark.sources.changelog_spark import write_feed_spark
     from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
 
-    feed = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/cdc_bench_sf0.1/feed"
-    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 6_400_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run_maintainer = "--maintainer" in sys.argv
+    feed = args[0] if args else "/dev/shm/cdc_bench_sf0.1/feed"
+    n_events = int(args[1]) if len(args) > 1 else 6_400_000
     work = "/dev/shm/scale_check"
     os.makedirs(work, exist_ok=True)
 
@@ -115,6 +126,10 @@ def main() -> None:
     # Driver-memory + commit-metadata footprint: the merge path must stay
     # O(batch) in driver memory and O(MAX_MANIFESTS) in commit size no
     # matter the event count — compare these numbers across 64M/640M runs.
+    maintainer_out = None
+    if run_maintainer:
+        maintainer_out = _maintainer_rehearsal(spark, feed, work)
+
     import resource
 
     py_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
@@ -134,13 +149,100 @@ def main() -> None:
                 "feed": feed,
                 "strategies": out,
                 "state_match": match,
+                "maintainer": maintainer_out,
                 "driver_python_peak_rss_mb": py_rss_mb,
                 "driver_jvm_peak_rss_mb": jvm_hwm_mb,
             }
         )
     )
     spark.stop()
-    sys.exit(0 if match else 1)
+    ok = match and (maintainer_out is None or maintainer_out["index_match"])
+    sys.exit(0 if ok else 1)
+
+
+def _maintainer_rehearsal(spark, feed: str, work: str) -> dict:
+    """Two-half replay with a SecondaryIndex refreshed after each half.
+    Reports: backfill wall (refresh #1 = O(table) by design), incremental
+    wall (refresh #2 — must be O(delta)), a forced full rebuild wall at
+    the same head (the O(table) yardstick refresh #2 must beat), and the
+    index-vs-main-projection content-hash match."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mysql_secure_agent_spark.lake.index import SecondaryIndex
+    from mysql_secure_agent_spark.lake.table import LakeTable
+    from mysql_secure_agent_spark.schemas import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+    from mysql_secure_agent_spark.streaming.pipeline import CdcPipeline
+
+    src = sorted(glob.glob(os.path.join(feed, "data", "*.parquet")))
+    if len(src) < 2:
+        raise RuntimeError(f"need >=2 feed files for a two-half replay, got {len(src)}")
+    stage = os.path.join(work, "mfeed", "data")
+    tbl_dir = os.path.join(work, "mtbl")
+    idx_dir = os.path.join(work, "midx")
+    ck_dir = os.path.join(work, "mck")
+    for d in (os.path.dirname(stage), tbl_dir, idx_dir, ck_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(stage)
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+
+    def link(files):
+        for f in files:
+            os.link(f, os.path.join(stage, os.path.basename(f)))
+
+    table = LakeTable.create(
+        tbl_dir, TRANSCRIPT_SCHEMA, PRIMARY_KEY, n_buckets=64, overwrite=True
+    )
+    pipe = CdcPipeline(
+        table, os.path.dirname(stage), normalize=True,
+        dedup_strategy="max_by_partial",
+    )
+    half = len(src) // 2
+    out: dict = {}
+
+    link(src[:half])
+    pipe.run_stream(spark, ck_dir, max_files_per_trigger=64)
+    # high-cardinality value column: a low-cardinality col (role) would
+    # collapse the index onto 4 buckets and measure skew, not refresh
+    idx = SecondaryIndex.create(idx_dir, table, "ts", n_buckets=16)
+    t0 = time.time()
+    m1 = idx.refresh(spark)
+    out["backfill_wall_s"] = round(time.time() - t0, 2)
+    out["backfill_metrics"] = {
+        k: m1[k] for k in ("rows_in", "upserts", "deletes") if k in m1
+    }
+
+    link(src[half:])
+    pipe.run_stream(spark, ck_dir, max_files_per_trigger=64)
+    head = table.commit_at(resolve=False).version
+    t0 = time.time()
+    m2 = idx.refresh(spark)
+    out["incremental_wall_s"] = round(time.time() - t0, 2)
+    out["incremental_metrics"] = {
+        k: m2[k]
+        for k in ("rows_in", "upserts", "deletes", "index_buckets_pruned_read")
+        if k in m2
+    }
+    out["head_version"] = head
+    out["incremental_was_rebuild"] = bool(m2.get("rebuild"))
+
+    # the O(table) yardstick: a forced rebuild at the SAME head
+    t0 = time.time()
+    idx._rebuild(spark)
+    out["full_rebuild_wall_s"] = round(time.time() - t0, 2)
+
+    n_i, h_i = content_hash(
+        idx.table.read(spark).select("ts", *PRIMARY_KEY)
+    )
+    n_m, h_m = content_hash(
+        table.read(spark).select("ts", *PRIMARY_KEY)
+    )
+    out["index_rows"], out["main_rows"] = n_i, n_m
+    out["index_match"] = (n_i, h_i) == (n_m, h_m)
+    for d in (os.path.dirname(stage), tbl_dir, idx_dir, ck_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -1889,25 +1889,25 @@ def q_cdc_charset_decode(spark, sf_dir):
     )
 
 
-def q_cdc_binlog_file_ingest(spark, sf_dir):
-    """On-disk binlog FILE ingest, end to end: the change feed is encoded
-    into four rotated ``mysql-bin.NNNNNN`` files on disk — real file
-    framing: 4-byte magic, a FORMAT_DESCRIPTION first event announcing
-    CRC32, per-event checksums, end_log_pos chaining, a trailing ROTATE
-    naming the successor, 16-row transactions (TABLE_MAP + EXT_*_ROWS +
-    XID) inside — then decoded DISTRIBUTED via
-    ``sources.binlog_file.read_binlog_files`` (binaryFile listing → one
-    decode task per file, CRC verified; a binlog file cannot be split
-    mid-stream, so per-FILE parallelism is the scale unit — exactly how
-    servers rotate) and reduced to the final table state. The reference
-    can only consume a live socket (client/EventReader.java,
-    BinlogChannel.java:43-236); bulk-decoding archived files in parallel
-    exceeds it. Oracle = the plain relational replay, so file framing,
-    checksum config self-discovery, rotation, and cross-file ordering are
-    all hash-gated. The authoritative lsn rides IN the row image (file
-    assignment here is a range split, and the merge must not depend on
-    it); the file-derived (file_no, end_log_pos) lsn is asserted monotone
-    by the reader."""
+_BINLOG_FILES_CACHE: dict[str, str] = {}
+
+
+def _encode_events_binlog_files(spark, sf_dir) -> str:
+    """Encode the events change feed into four rotated ``mysql-bin.NNNNNN``
+    files on disk (distributed applyInPandas, one encode task per file) —
+    real file framing: 4-byte magic, a FORMAT_DESCRIPTION first event
+    announcing CRC32, per-event checksums, end_log_pos chaining, a
+    trailing ROTATE naming the successor, 16-row transactions (TABLE_MAP
+    + EXT_*_ROWS + XID) inside. Shared transport fixture for
+    ``cdc_binlog_file_ingest`` (direct distributed file read) and
+    ``cdc_socket_ingest`` (the same files served over the replication
+    protocol) — the encode is deterministic (rows lsn-sorted per file),
+    so one build per (process, sf_dir) serves both queries and each
+    still hash-gates its own decode path end to end. Returns the
+    directory holding the files."""
+    cached = _BINLOG_FILES_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     import struct as st
 
     import pandas as pd
@@ -2006,12 +2006,22 @@ def q_cdc_binlog_file_ingest(spark, sf_dir):
     with_file.groupBy("file_no").applyInPandas(
         write_file, "file_no int, n_events long"
     ).collect()
+    _BINLOG_FILES_CACHE[sf_dir] = out_dir
+    return out_dir
 
+
+def _decode_binlog_dir_to_state(spark, log_dir: str):
+    """Distributed decode of a ``mysql-bin.*`` directory (one CRC-verified
+    task per file) reduced to the final table state — shared tail of the
+    file-transport queries. The authoritative lsn rides IN the row image
+    (file assignment was a range split; the merge must not depend on it);
+    the file-derived (file_no, end_log_pos) lsn is asserted monotone by
+    the reader."""
     from mysql_secure_agent_spark.sources.binlog_file import read_binlog_files
 
     decoded = read_binlog_files(
         spark,
-        os.path.join(out_dir, "mysql-bin.*"),
+        os.path.join(log_dir, "mysql-bin.*"),
         "s",
         "t",
         ["user_id", "slot", "event_type", "value", "lsn"],
@@ -2029,6 +2039,58 @@ def q_cdc_binlog_file_ingest(spark, sf_dir):
         F.col("value").alias("last_value"),
         F.col("source_lsn").alias("last_lsn"),
     )
+
+
+def q_cdc_binlog_file_ingest(spark, sf_dir):
+    """On-disk binlog FILE ingest, end to end: the change feed is encoded
+    into four rotated ``mysql-bin.NNNNNN`` files on disk
+    (``_encode_events_binlog_files``) — then decoded DISTRIBUTED via
+    ``sources.binlog_file.read_binlog_files`` (binaryFile listing → one
+    decode task per file, CRC verified; a binlog file cannot be split
+    mid-stream, so per-FILE parallelism is the scale unit — exactly how
+    servers rotate) and reduced to the final table state. The reference
+    can only consume a live socket (client/EventReader.java,
+    BinlogChannel.java:43-236); bulk-decoding archived files in parallel
+    exceeds it. Oracle = the plain relational replay, so file framing,
+    checksum config self-discovery, rotation, and cross-file ordering are
+    all hash-gated."""
+    return _decode_binlog_dir_to_state(
+        spark, _encode_events_binlog_files(spark, sf_dir)
+    )
+
+
+def q_cdc_socket_ingest(spark, sf_dir):
+    """LIVE-SOCKET ingest, end to end over the wire protocol (S5's network
+    path — the one transport the reference uses exclusively,
+    BinlogClient.java:104-189): the change feed is encoded into four
+    rotated binlog files, served over the public MySQL replication
+    protocol by the in-repo replay server (socketpair transport:
+    handshake v10 + mysql_native_password scramble, checksum negotiation,
+    ``@@server_id``, COM_BINLOG_DUMP, artificial start ROTATE,
+    0x00-marked CRC32-checksummed event packets, mid-file rotation),
+    tailed by ``BinlogSocketClient`` and SPOOLED into on-disk segments
+    byte-identical to the served files, then decoded DISTRIBUTED
+    (one CRC-verified task per spooled file) and reduced to final state.
+    Oracle = the plain relational replay — handshake, auth, framing,
+    negotiation, position tracking, spool framing, and distributed decode
+    are all under the hash. The socket is a single-connection driver-side
+    tail by nature (the reference reads it on one node too); everything
+    downstream of the spool is file-parallel."""
+    from mysql_secure_agent_spark.sources.binlog_replay_server import (
+        BinlogReplayServer,
+    )
+    from mysql_secure_agent_spark.sources.binlog_socket import (
+        BinlogSocketClient,
+    )
+
+    files_dir = _encode_events_binlog_files(spark, sf_dir)
+    srv = BinlogReplayServer(files_dir, user="repl", password="secret")
+    client = BinlogSocketClient(srv.connect_factory(), "repl", "secret")
+    spool_dir = tempfile.mkdtemp(prefix="binlog_spool_")
+    client.spool(spool_dir, "mysql-bin.000001")
+    if srv.error is not None:
+        raise srv.error
+    return _decode_binlog_dir_to_state(spark, spool_dir)
 
 
 def q_cdc_binlog_export_roundtrip(spark, sf_dir):
@@ -4656,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in order and stops when its budget runs out - never-verified
         # queries must meet it first.
         "cdc_stmt_lineage": q_cdc_stmt_lineage,
+        "cdc_socket_ingest": q_cdc_socket_ingest,  # new in r5
         "cdc_config_projection": q_cdc_config_projection,
         "cdc_batch_metrics": q_cdc_batch_metrics,
         "json_extract_props": q_json_extract_props,
@@ -5365,6 +5428,10 @@ SELECT 'value', count(*),
         # file framing/rotation/checksums are transport: the final state is
         # the plain replay, so any framing bug breaks the hash
         "cdc_binlog_file_ingest": final_state_sql,
+        # socket transport changes nothing about the relational content —
+        # the wire protocol, spool framing, and distributed decode are all
+        # under the same final-state hash
+        "cdc_socket_ingest": final_state_sql,
         "cdc_binlog_export_roundtrip": final_state_sql,
         "cdc_binlog_dir_tail": final_state_sql,
         # rolled-back XA transactions (txn = lsn//16, txn % 5 == 4) never

@@ -136,24 +136,30 @@ class Greeting:
 
 class PacketChannel:
     """MySQL packet framing over a connected socket-like object (needs
-    ``recv(n) -> bytes`` and ``sendall(bytes)``)."""
+    ``recv(n) -> bytes`` and ``sendall(bytes)``). Reads are buffered —
+    the event stream is tens of thousands of small packets, and a recv
+    syscall per 4-byte header would cap the tail's throughput far below
+    what the downstream file-parallel decode sustains."""
+
+    READ_CHUNK = 1 << 16
 
     def __init__(self, sock: Any):
         self._sock = sock
+        self._rbuf = bytearray()
 
     # ----------------------------------------------------------- transport
     def _read_exact(self, n: int) -> bytes:
-        chunks = []
-        got = 0
-        while got < n:
-            b = self._sock.recv(n - got)
+        buf = self._rbuf
+        while len(buf) < n:
+            b = self._sock.recv(max(self.READ_CHUNK, n - len(buf)))
             if not b:
                 raise EOFError(
-                    f"socket closed mid-read ({got}/{n} bytes received)"
+                    f"socket closed mid-read ({len(buf)}/{n} bytes received)"
                 )
-            chunks.append(b)
-            got += len(b)
-        return b"".join(chunks)
+            buf += b
+        out = bytes(buf[:n])
+        del buf[:n]
+        return out
 
     def read_packet(self) -> bytes:
         """One logical packet, reassembled across 16 MiB continuations."""

@@ -72,6 +72,11 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     run_maintainer = "--maintainer" in sys.argv
+    # --maintainer-only: skip the two-strategy replay (its 640M hash
+    # equality is already on record from the r4 rehearsal) and run just
+    # the maintainer phase against the given feed
+    maintainer_only = "--maintainer-only" in sys.argv
+    run_maintainer = run_maintainer or maintainer_only
     feed = args[0] if args else "/dev/shm/cdc_bench_sf0.1/feed"
     n_events = int(args[1]) if len(args) > 1 else 6_400_000
     work = "/dev/shm/scale_check"
@@ -91,7 +96,7 @@ def main() -> None:
             )
 
     out: dict[str, dict] = {}
-    for strategy in ["window", "max_by_partial"]:
+    for strategy in [] if maintainer_only else ["window", "max_by_partial"]:
         tbl_dir = os.path.join(work, f"tbl_{strategy}")
         ck_dir = os.path.join(work, f"ck_{strategy}")
         shutil.rmtree(tbl_dir, ignore_errors=True)
@@ -118,7 +123,7 @@ def main() -> None:
         shutil.rmtree(tbl_dir, ignore_errors=True)
         shutil.rmtree(ck_dir, ignore_errors=True)
 
-    match = (
+    match = maintainer_only or (
         out["window"]["rows"] == out["max_by_partial"]["rows"]
         and out["window"]["hash"] == out["max_by_partial"]["hash"]
     )

@@ -173,6 +173,63 @@ class BinlogReplayServer:
         fname = payload[11:].decode() or next(iter(self.files))
         if fname not in self.files:
             raise ValueError(f"unknown binlog file {fname!r}")
+        self._stream_from(ch, fname, pos)
+
+    def _serve_dump_gtid(self, ch: PacketChannel, payload: bytes) -> None:
+        """COM_BINLOG_DUMP_GTID: auto-position from the client's
+        gtid_executed set. Whole-file granularity (the replay analog of
+        ``binlog_file.prune_binlog_files``): file *i* is skippable iff
+        file *i+1*'s PREVIOUS_GTIDS head is covered by the executed set;
+        serve from the first non-skippable file. Clients must tolerate
+        replayed covered transactions from that file's head — GTID
+        consumers are idempotent by contract."""
+        from .binlog_file import gtid_set_covers
+        from .binlog_packets import (
+            PREVIOUS_GTIDS_EVENT,
+            parse_previous_gtids,
+        )
+
+        if self.drop_after == 0:
+            ch.close()
+            return
+        flags, _sid = struct.unpack("<HI", payload[1:7])
+        off = 7
+        name_len = int.from_bytes(payload[off : off + 4], "little")
+        off += 4 + name_len
+        off += 8  # position — auto-positioning ignores it
+        executed: dict = {}
+        if flags & 0x04:  # BINLOG_THROUGH_GTID
+            data_len = int.from_bytes(payload[off : off + 4], "little")
+            off += 4
+            executed = parse_previous_gtids(
+                payload[off : off + data_len]
+            ).intervals
+
+        def head_gtids(data: bytes):
+            crc = 4 if self.checksum == "CRC32" else 0
+            for i, (h, body) in enumerate(iter_binlog_events(data)):
+                if h.type_code == PREVIOUS_GTIDS_EVENT:
+                    return parse_previous_gtids(
+                        body[:-crc] if crc else body
+                    ).intervals
+                if i >= 3:
+                    break
+            return None
+
+        names = list(self.files)
+        start = names[-1]
+        for i, name in enumerate(names):
+            nxt = (
+                head_gtids(self.files[names[i + 1]])
+                if i + 1 < len(names)
+                else None
+            )
+            if not (nxt is not None and gtid_set_covers(executed, nxt)):
+                start = name
+                break
+        self._stream_from(ch, start, 4)
+
+    def _stream_from(self, ch: PacketChannel, fname: str, pos: int) -> None:
         # artificial start rotate: ts 0, log_pos 0, ARTIFICIAL flag — then
         # the requested file from pos (its FDE always re-sent first, the
         # way a server replays it), then every successor in order
@@ -237,6 +294,9 @@ class BinlogReplayServer:
                     self._serve_query(ch, pkt[1:].decode())
                 elif pkt[0] == 0x12:  # COM_BINLOG_DUMP
                     self._serve_dump(ch, pkt)
+                    return
+                elif pkt[0] == 0x1E:  # COM_BINLOG_DUMP_GTID
+                    self._serve_dump_gtid(ch, pkt)
                     return
                 else:
                     raise ValueError(f"unexpected command {pkt[0]:#x}")

@@ -57,6 +57,10 @@ BINLOG_MAGIC = b"\xfebin"
 # public command bytes (MySQL Internals: COM_* command phase)
 COM_QUERY = 0x03
 COM_BINLOG_DUMP = 0x12
+COM_BINLOG_DUMP_GTID = 0x1E
+
+# COM_BINLOG_DUMP_GTID flags
+BINLOG_THROUGH_GTID = 0x04
 
 # public capability flags (HandshakeResponse41)
 CLIENT_LONG_FLAG = 0x0004
@@ -356,26 +360,51 @@ class BinlogSocketClient:
             return 0
         raise BinlogSocketError(f"unknown binlog_checksum type {value!r}")
 
-    def _request_dump(
-        self, ch: PacketChannel, fname: str, pos: int
-    ) -> None:
+    def _server_id(self, ch: PacketChannel) -> int:
         rows = ch.query_rows("select @@server_id")
         if len(rows) != 1:
             raise BinlogSocketError("unable to read @@server_id")
-        server_id = int(rows[0][0])
+        return int(rows[0][0])
+
+    def _request_dump(
+        self, ch: PacketChannel, fname: str, pos: int
+    ) -> None:
         payload = (
             bytes([COM_BINLOG_DUMP])
-            + struct.pack("<IHI", pos, 0, server_id)
+            + struct.pack("<IHI", pos, 0, self._server_id(ch))
             + fname.encode()
+        )
+        ch.write_packet(payload, 0)
+
+    def _request_dump_gtid(self, ch: PacketChannel, executed) -> None:
+        """GTID auto-positioning (COM_BINLOG_DUMP_GTID, public layout:
+        flags:2 server_id:4 name_len:4 name pos:8 data_len:4 sid-block):
+        the client states what it already HAS (gtid_executed) and the
+        server chooses the start — no (file, pos) bookkeeping across
+        failover. The SID block is the same wire layout as a
+        PREVIOUS_GTIDS body (``encode_previous_gtids``)."""
+        from .binlog_file import encode_previous_gtids, parse_gtid_set_string
+
+        if isinstance(executed, str):
+            executed = parse_gtid_set_string(executed)
+        sid_block = encode_previous_gtids(executed)
+        payload = (
+            bytes([COM_BINLOG_DUMP_GTID])
+            + struct.pack("<HI", BINLOG_THROUGH_GTID, self._server_id(ch))
+            + struct.pack("<I", 0)  # empty filename: auto-position
+            + struct.pack("<Q", BINLOG_STARTING_POSITION)
+            + struct.pack("<I", len(sid_block))
+            + sid_block
         )
         ch.write_packet(payload, 0)
 
     # --------------------------------------------------------- event stream
     def events(
         self,
-        start_file: str,
+        start_file: str | None = None,
         start_pos: int = BINLOG_STARTING_POSITION,
         *,
+        gtid_executed=None,
         reconnect: bool = True,
         max_reconnects: int = 8,
     ) -> Iterator[tuple[int, bytes, bytes]]:
@@ -387,14 +416,33 @@ class BinlogSocketClient:
         timeout or dropped connection reconnects from the latest position
         (EventReader.readEvent semantics) up to ``max_reconnects`` times.
         The stream ends only on a server EOF packet (or reconnect budget
-        exhaustion when ``reconnect`` is off it raises instead)."""
-        self.position = (start_file, max(start_pos, BINLOG_STARTING_POSITION))
+        exhaustion when ``reconnect`` is off it raises instead).
+
+        With ``gtid_executed`` (a ``sid:1-5,...`` string or parsed
+        intervals) the INITIAL request is GTID auto-positioning
+        (COM_BINLOG_DUMP_GTID) — the server picks the start and its
+        artificial ROTATE tells us where we are; ``start_file`` may be
+        omitted. Whole-file granularity here: the stream may replay
+        already-covered transactions from the head of the chosen file —
+        GTID consumers are idempotent by contract (this engine's merges
+        dedupe on lsn regardless). After any progress, a reconnect
+        resumes from the concrete tracked (file, pos)."""
+        if start_file is None and gtid_executed is None:
+            raise ValueError("need start_file or gtid_executed")
+        self.position = (
+            start_file or "",
+            max(start_pos, BINLOG_STARTING_POSITION),
+        )
         attempts = 0
+        use_gtid = gtid_executed is not None
         while True:
             ch = self.connect()
             try:
                 self.checksum_length = self._negotiate_checksum(ch)
-                self._request_dump(ch, self.position[0], self.position[1])
+                if use_gtid and not self.position[0]:
+                    self._request_dump_gtid(ch, gtid_executed)
+                else:
+                    self._request_dump(ch, self.position[0], self.position[1])
                 while True:
                     payload = ch._raise_if_err(ch.read_packet())
                     if PacketChannel._is_eof(payload):
@@ -434,7 +482,7 @@ class BinlogSocketClient:
     def spool(
         self,
         out_dir: str,
-        start_file: str,
+        start_file: str | None = None,
         start_pos: int = BINLOG_STARTING_POSITION,
         *,
         max_events: int | None = None,

@@ -186,3 +186,66 @@ def test_spooled_segments_feed_directory_tail(two_files, tmp_path, spark):
     tail.run(spark, str(tmp_path / "ck"))
     got = {r["id"] for r in tbl.read(spark).collect()}
     assert got == {1, 2, 3, 4, 5}
+
+
+def test_gtid_auto_positioning(tmp_path):
+    """COM_BINLOG_DUMP_GTID: the client states gtid_executed and the
+    server auto-positions — whole-file pruning off PREVIOUS_GTIDS heads
+    (file i skipped iff file i+1's head is covered), the replay analog of
+    binlog_file.prune_binlog_files."""
+    from mysql_secure_agent_spark.sources.binlog_file import (
+        encode_previous_gtids,
+        parse_gtid_set_string,
+    )
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        PREVIOUS_GTIDS_EVENT,
+    )
+
+    sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+    def gfile(ids, prev, next_file=None):
+        evs = [
+            (
+                PREVIOUS_GTIDS_EVENT,
+                encode_previous_gtids(parse_gtid_set_string(prev) if prev else {}),
+            )
+        ] + _events(ids)
+        return encode_binlog_file(evs, checksum=True, next_file=next_file)
+
+    files = {
+        "mysql-bin.000001": gfile([1, 2], "", next_file="mysql-bin.000002"),
+        "mysql-bin.000002": gfile(
+            [3, 4], f"{sid}:1-3", next_file="mysql-bin.000003"
+        ),
+        "mysql-bin.000003": gfile([5, 6], f"{sid}:1-6"),
+    }
+    srv = BinlogReplayServer(files)
+
+    # executed 1-3 covers file2's head but not file3's: files 2+3 served
+    c = _client(srv)
+    packets = [
+        (t, b) for t, _h, b in c.events(gtid_executed=f"{sid}:1-3")
+    ]
+    rows = packets_to_changelog(
+        packets, "s", "t", COLS, checksum_length=c.checksum_length
+    )
+    assert list(rows["id"]) == [3, 4, 5, 6]
+    assert srv.error is None
+
+    # executed 1-6 covers file3's head too: only the last file served
+    c2 = _client(srv)
+    packets2 = [
+        (t, b) for t, _h, b in c2.events(gtid_executed=f"{sid}:1-6")
+    ]
+    rows2 = packets_to_changelog(
+        packets2, "s", "t", COLS, checksum_length=c2.checksum_length
+    )
+    assert list(rows2["id"]) == [5, 6]
+
+    # nothing executed: everything from the first file
+    c3 = _client(srv)
+    packets3 = [(t, b) for t, _h, b in c3.events(gtid_executed="")]
+    rows3 = packets_to_changelog(
+        packets3, "s", "t", COLS, checksum_length=c3.checksum_length
+    )
+    assert list(rows3["id"]) == [1, 2, 3, 4, 5, 6]

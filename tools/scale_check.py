@@ -203,7 +203,15 @@ def _maintainer_rehearsal(spark, feed: str, work: str) -> dict:
         table, os.path.dirname(stage), normalize=True,
         dedup_strategy="max_by_partial",
     )
-    half = len(src) // 2
+    # Uneven split ON PURPOSE: bulk first, a small tail as the delta. A
+    # half/half split makes the "delta" the size of the table, where a
+    # full rebuild legitimately wins (measured: 13.2 s incremental vs
+    # 6.7 s rebuild at 640M events) — the O(delta) claim is about the
+    # steady state, where a refresh consumes a FEW commits against a big
+    # table, so the rehearsal models exactly that: ~1/16 of the feed as
+    # the increment.
+    n_tail = max(1, len(src) // 16)
+    half = len(src) - n_tail
     out: dict = {}
 
     link(src[:half])

@@ -1668,14 +1668,9 @@ def q_cdc_txn_payload(spark, sf_dir):
         def inner(tc: int, body: bytes) -> bytes:
             return st.pack("<IBIIIH", 0, tc, 1, 19 + len(body), 0, 0) + body
 
-        def container(inner_bytes: bytes) -> bytes:
-            vc, vs = packed(0xFF), packed(len(inner_bytes))
-            return (
-                packed(2) + packed(len(vc)) + vc      # compression = NONE
-                + packed(1) + packed(len(vs)) + vs    # payload size
-                + packed(3) + packed(len(vs)) + vs    # uncompressed size
-                + packed(0) + inner_bytes             # END_MARK + events
-            )
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            build_transaction_payload,
+        )
 
         cols = ["user_id", "slot", "event_type", "value", "lsn"]
         for pdf in batches:
@@ -1696,7 +1691,18 @@ def q_cdc_txn_payload(spark, sf_dir):
                         ib += inner(EXT_UPDATE_ROWS,
                                     rows_body([img, img], n_images=2))
                 ib += inner(XID_EVENT, (1).to_bytes(8, "little"))
-                packets.append((TRANSACTION_PAYLOAD_EVENT, container(ib)))
+                # alternate REAL ZSTD containers (what
+                # binlog_transaction_compression=ON servers ship; inflated
+                # through pyarrow's bundled codec) with NONE containers —
+                # both under the same oracle hash
+                packets.append(
+                    (
+                        TRANSACTION_PAYLOAD_EVENT,
+                        build_transaction_payload(
+                            ib, compress=(i // 16) % 2 == 0
+                        ),
+                    )
+                )
             df = packets_to_changelog(packets, "s", "t", cols)
             # the authoritative lsn rides IN the row image (packet order is
             # per-batch only and meaningless across partitions)

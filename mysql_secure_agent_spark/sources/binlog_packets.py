@@ -920,6 +920,85 @@ def parse_previous_gtids(buf: bytes) -> PreviousGtids:
     return PreviousGtids(out)
 
 
+def _zstd_decompress(payload: bytes, uncompressed: int | None) -> bytes:
+    """Inflate a ZSTD transaction payload with whatever codec exists:
+    ``zstandard`` when installed, else pyarrow's bundled zstd (always
+    present next to Spark's Arrow path). pyarrow's frame decompressor
+    requires the output size — which the payload header carries as
+    OTW field 3, so the wire gives us exactly what the codec needs."""
+    try:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=uncompressed or 0
+        )
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+    except ImportError as e:
+        raise NotImplementedError(
+            "zstd-compressed TRANSACTION_PAYLOAD needs the 'zstandard' "
+            "module or pyarrow (neither importable)"
+        ) from e
+    if uncompressed is None:
+        raise ValueError(
+            "ZSTD payload without an uncompressed-size header field "
+            "cannot be inflated through pyarrow (size required)"
+        )
+    return pa.Codec("zstd").decompress(
+        payload, decompressed_size=uncompressed, asbytes=True
+    )
+
+
+def _zstd_compress(payload: bytes) -> bytes:
+    try:
+        import zstandard
+
+        return zstandard.ZstdCompressor().compress(payload)
+    except ImportError:
+        import pyarrow as pa
+
+        return pa.Codec("zstd").compress(payload, asbytes=True)
+
+
+def build_transaction_payload(inner: bytes, *, compress: bool = True) -> bytes:
+    """Write-side inverse of :func:`parse_transaction_payload`: frame a
+    concatenation of inner events (19-byte headers + bodies, NO per-event
+    checksums — the container is checksummed as one event) into a
+    TRANSACTION_PAYLOAD body. ``compress=True`` emits a real ZSTD
+    payload (what ``binlog_transaction_compression=ON`` servers ship);
+    ``compress=False`` the NONE container."""
+    def field(ftype: int, value_packed: bytes) -> bytes:
+        return bytes([ftype, len(value_packed)]) + value_packed
+
+    if compress:
+        comp = _zstd_compress(inner)
+        return (
+            field(2, _packed_int_bytes(PAYLOAD_COMPRESSION_ZSTD))
+            + field(3, _packed_int_bytes(len(inner)))
+            + field(1, _packed_int_bytes(len(comp)))
+            + bytes([0])  # END_MARK
+            + comp
+        )
+    return (
+        field(2, _packed_int_bytes(PAYLOAD_COMPRESSION_NONE))
+        + field(1, _packed_int_bytes(len(inner)))
+        + bytes([0])
+        + inner
+    )
+
+
+def _packed_int_bytes(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + n.to_bytes(2, "little")
+    if n < 1 << 24:
+        return b"\xfd" + n.to_bytes(3, "little")
+    return b"\xfe" + n.to_bytes(8, "little")
+
+
 def parse_transaction_payload(buf: bytes) -> TransactionPayload:
     """TRANSACTION_PAYLOAD body (libbinlogevents codecs/binary.cpp,
     binary::Transaction_payload::decode): a TLV header — per field a packed
@@ -931,9 +1010,11 @@ def parse_transaction_payload(buf: bytes) -> TransactionPayload:
     Integer field values are themselves packed ints inside the value bytes.
     Unknown field types are skipped by length (forward compatibility).
 
-    The NONE path decodes with the stdlib alone; ZSTD needs the
-    ``zstandard`` module and raises ``NotImplementedError`` when it is
-    missing rather than returning garbage."""
+    The NONE path decodes with the stdlib alone; ZSTD inflates through
+    whichever codec the environment provides (``zstandard`` if present,
+    else pyarrow's bundled zstd — the wire's uncompressed-size field is
+    exactly what pyarrow's frame decompressor requires), raising
+    ``NotImplementedError`` only when neither exists."""
     r = BinlogReader(buf)
     compression = PAYLOAD_COMPRESSION_NONE
     payload_size: int | None = None
@@ -959,16 +1040,7 @@ def parse_transaction_payload(buf: bytes) -> TransactionPayload:
             f"bytes, {len(payload)} present"
         )
     if compression == PAYLOAD_COMPRESSION_ZSTD:
-        try:
-            import zstandard  # not in this container; gate, don't fake
-        except ImportError as e:
-            raise NotImplementedError(
-                "zstd-compressed TRANSACTION_PAYLOAD needs the 'zstandard' "
-                "module (binlog_transaction_compression uses ZSTD only)"
-            ) from e
-        payload = zstandard.ZstdDecompressor().decompress(
-            payload, max_output_size=uncompressed or 0
-        )
+        payload = _zstd_decompress(payload, uncompressed)
     elif compression != PAYLOAD_COMPRESSION_NONE:
         raise ValueError(f"unknown payload compression {compression:#04x}")
     if uncompressed is not None and len(payload) != uncompressed:

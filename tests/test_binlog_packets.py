@@ -621,3 +621,59 @@ def test_stmt_lineage_attaches_and_scopes():
     # default off: no _stmt column
     cl2 = packets_to_changelog(packets, "s", "t", ["id", "name", "amt", "d"])
     assert "_stmt" not in cl2.columns
+
+
+def test_transaction_payload_zstd_roundtrip():
+    """binlog_transaction_compression=ON: a REAL zstd-compressed container
+    (inflated through pyarrow's bundled codec — the wire's
+    uncompressed-size field is exactly the size pyarrow requires) decodes
+    to the same rows as the NONE container. build_transaction_payload is
+    the write-side inverse, exercised both ways."""
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        TRANSACTION_PAYLOAD_EVENT,
+        TransactionPayload,
+        build_transaction_payload,
+        packets_to_changelog,
+        parse_event_body,
+    )
+
+    row = _row(11, "zstd", Decimal("7.75"), dt.date(2026, 4, 2))
+    inner = _inner_event(TABLE_MAP_EVENT, _synthetic_table_map())
+    inner += _inner_event(EXT_WRITE_ROWS, _rows_body([row]))
+
+    for compress in (True, False):
+        body = build_transaction_payload(inner, compress=compress)
+        tp = parse_event_body(body, TRANSACTION_PAYLOAD_EVENT, {})
+        assert isinstance(tp, TransactionPayload)
+        assert tp.compression_type == (0x00 if compress else 0xFF)
+        assert len(tp.events) == 2
+        df = packets_to_changelog(
+            [(TRANSACTION_PAYLOAD_EVENT, body)], "s", "t",
+            ["id", "name", "amt", "d"],
+        )
+        assert df.to_dict("records") == [
+            {"op": "I", "id": 11, "name": "zstd", "amt": Decimal("7.75"),
+             "d": dt.date(2026, 4, 2), "source_lsn": 1}
+        ]
+
+
+def test_transaction_payload_zstd_size_mismatch_guard():
+    from mysql_secure_agent_spark.sources.binlog_packets import (
+        _packed_int_bytes,
+        _zstd_compress,
+        parse_transaction_payload,
+    )
+
+    inner = _inner_event(XID_EVENT, b"\x01\x00\x00\x00\x00\x00\x00\x00")
+    comp = _zstd_compress(inner)
+    lying = (
+        bytes([2, 1, 0x00])
+        + bytes([3, len(_packed_int_bytes(len(inner) + 7))])
+        + _packed_int_bytes(len(inner) + 7)
+        + bytes([1, len(_packed_int_bytes(len(comp)))])
+        + _packed_int_bytes(len(comp))
+        + bytes([0])
+        + comp
+    )
+    with pytest.raises(Exception):  # inflate mismatch or codec error
+        parse_transaction_payload(lying)

@@ -1937,15 +1937,8 @@ def _encode_events_binlog_files(spark, sf_dir) -> str:
         )
         from mysql_secure_agent_spark.sources.binlog_packets import (
             EXT_DELETE_ROWS, EXT_UPDATE_ROWS, EXT_WRITE_ROWS,
-            TABLE_MAP_EVENT, XID_EVENT,
+            TABLE_MAP_EVENT, XID_EVENT, _packed_int_bytes as packed,
         )
-
-        def packed(n: int) -> bytes:
-            if n < 0xFB:
-                return bytes([n])
-            if n < 1 << 16:
-                return b"\xfc" + n.to_bytes(2, "little")
-            return b"\xfd" + n.to_bytes(3, "little")
 
         # table t: (user_id LONGLONG, slot LONG, event_type VARCHAR(20),
         # value DOUBLE, lsn LONGLONG) — same wire shape as cdc_txn_payload
@@ -3853,11 +3846,11 @@ def q_text_ngram_ppl(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     bi = train_ngram_counts(docs, n=2)
-    # vocab_size needs an action on the unigram model BEFORE the scoring
-    # plan runs; persist so the model explode+agg isn't recomputed inside
-    # the scoring join (at production scale the model is a persisted
-    # LakeTable artifact for the same reason)
-    uni = train_ngram_counts(docs, n=1).persist()
+    # no persist: measured neutral at sf0.1, and the returned plan is
+    # consumed by a caller that never unpersists — a cached-block leak in
+    # the driver's multi-query correctness runner. At production scale
+    # the model is a persisted LakeTable artifact instead.
+    uni = train_ngram_counts(docs, n=1)
     v = uni.count()
     return perplexity_score(docs, bi, uni, v, n=2, k=0.5)
 
@@ -5195,7 +5188,9 @@ WHERE rn <= 10
         + ") % 2001 - 1000"
     )
     corpus_report_sql = f"""
-WITH base AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+WITH base AS (SELECT doc_id, text, {_TOKS_SQL} AS toks,
+              list_filter({_TOKS_SQL}, t -> t <> '') AS lmtoks
+              FROM documents),
 lng AS (SELECT doc_id, {score_exprs} FROM base),
 lang AS (SELECT doc_id,
   CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
@@ -5217,10 +5212,11 @@ q AS (SELECT doc_id,
   round(1.0 / (1.0 + exp(-((sum_milli / 1000.0) / greatest(n_toks, 1)))), 6)
     AS score FROM qs),
 uni AS (SELECT t AS gram, count(*) AS cnt
-        FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
+        FROM (SELECT unnest(lmtoks) AS t FROM base) GROUP BY t),
 v AS (SELECT count(*) AS vs FROM uni),
-bi0 AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram, toks[i] AS ctx
-        FROM base, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+bi0 AS (SELECT doc_id, lmtoks[i] || ' ' || lmtoks[i + 1] AS gram,
+               lmtoks[i] AS ctx
+        FROM base, unnest(range(1, greatest(len(lmtoks), 1))) AS u(i)),
 bi AS (SELECT gram, count(*) AS cnt FROM bi0 GROUP BY gram),
 plp AS (SELECT b.doc_id,
           log2((COALESCE(g.cnt, 0) + 0.5)

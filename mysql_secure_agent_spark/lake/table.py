@@ -1183,6 +1183,18 @@ class LakeTable:
                     "the window is impossible; full-resync the "
                     "consumer instead"
                 )
+                def _commit_paths(c: "Commit") -> set[str]:
+                    # legacy pre-manifest-list commits inline their file
+                    # listing (manifests == []); their paths are already in
+                    # memory — the manifest-name fast path must not treat
+                    # two empty name-sets as "nothing changed"
+                    if c.manifests:
+                        return _paths_of(set(c.manifests))
+                    return {
+                        e["path"] for es in c.files.values() for e in es
+                    }
+
+                prev_c = base_commit
                 prev_manifests = set(base_commit.manifests)
                 for w in range(since_version + 1, commit.version + 1):
                     try:
@@ -1190,9 +1202,14 @@ class LakeTable:
                     except (ValueError, OSError) as exc:
                         raise _rewrite_err from exc
                     cur_manifests = set(cw.manifests)
-                    if prev_manifests - cur_manifests:
-                        pprev = _paths_of(prev_manifests)
-                        pcur = _paths_of(cur_manifests)
+                    fast_skip = (
+                        prev_manifests
+                        and cur_manifests
+                        and not (prev_manifests - cur_manifests)
+                    )
+                    if not fast_skip:
+                        pprev = _commit_paths(prev_c)
+                        pcur = _commit_paths(cw)
                         dropped = pprev - pcur
                         if dropped:
                             if (
@@ -1201,6 +1218,7 @@ class LakeTable:
                             ):
                                 raise _rewrite_err
                             harmless_adds |= pcur - pprev
+                    prev_c = cw
                     prev_manifests = cur_manifests
             new_files = {
                 b: [

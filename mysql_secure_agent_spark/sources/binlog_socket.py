@@ -436,8 +436,12 @@ class BinlogSocketClient:
         attempts = 0
         use_gtid = gtid_executed is not None
         while True:
-            ch = self.connect()
+            ch = None
             try:
+                # connect() inside the try: a refused/reset RE-connection
+                # must consume the reconnect budget like any mid-stream
+                # drop, not escape as a raw exception
+                ch = self.connect()
                 self.checksum_length = self._negotiate_checksum(ch)
                 if use_gtid and not self.position[0]:
                     self._request_dump_gtid(ch, gtid_executed)
@@ -455,8 +459,13 @@ class BinlogSocketClient:
                     raw = payload[1:]
                     header = parse_event_header(raw[:19])
                     body = raw[19:]
+                    before = self.position
                     self._track_position(header.type_code, header, body)
-                    attempts = 0  # progress resets the reconnect budget
+                    if self.position != before:
+                        # only POSITION ADVANCEMENT resets the reconnect
+                        # budget — a server that replays the same FDE and
+                        # drops would otherwise loop forever
+                        attempts = 0
                     yield header.type_code, raw[:19], body
             except (socket.timeout, ConnectionError, EOFError, OSError) as e:
                 if not reconnect or attempts >= max_reconnects:
@@ -465,17 +474,22 @@ class BinlogSocketClient:
                     ) from e
                 attempts += 1
             finally:
-                ch.close()
+                if ch is not None:
+                    ch.close()
 
     def _track_position(self, type_code: int, header, body: bytes) -> None:
-        fname, _ = self.position
+        fname, cur = self.position
         if type_code == ROTATE_EVENT:
             # body: 8-byte next position + successor filename (+ checksum)
             tail = self.checksum_length
             next_pos = int.from_bytes(body[:8], "little")
             next_name = body[8 : len(body) - tail if tail else len(body)]
             self.position = (next_name.decode("latin1"), next_pos)
-        elif header.next_position > 0:
+        elif header.next_position > cur:
+            # forward only: after a mid-file reconnect the server replays
+            # the file's FDE byte-faithfully, whose next_position is its
+            # ORIGINAL head offset — adopting it would rewind the cursor
+            # and re-deliver most of the file on the next drop
             self.position = (fname, header.next_position)
 
     # --------------------------------------------------------------- spool
@@ -533,6 +547,12 @@ class BinlogSocketClient:
                             "segment must open with a FORMAT_DESCRIPTION "
                             f"event, got type {type_code:#x}"
                         )
+                elif type_code == FORMAT_DESCRIPTION_EVENT:
+                    # an FDE while a segment is open is the server replaying
+                    # the file head after a mid-segment reconnect — file
+                    # content has exactly one FDE; writing this one mid-file
+                    # would break the segment's end_log_pos chain
+                    continue
                 fh.write(raw_header)
                 fh.write(body)
                 if type_code == ROTATE_EVENT:

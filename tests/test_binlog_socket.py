@@ -249,3 +249,30 @@ def test_gtid_auto_positioning(tmp_path):
         packets3, "s", "t", COLS, checksum_length=c3.checksum_length
     )
     assert list(rows3["id"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_spool_through_reconnect_yields_decodable_segments(two_files, tmp_path):
+    """Chaos spool: every connection drops after 3 streamed packets. The
+    replayed FDE on each resume must NOT be written mid-segment (it would
+    break the end_log_pos chain), the cursor must never rewind to the
+    replayed FDE's original offset (duplicate re-delivery), and the final
+    segments must decode cleanly with every row exactly once."""
+    from mysql_secure_agent_spark.sources.binlog_file import (
+        binlog_file_to_packets,
+    )
+
+    srv = BinlogReplayServer(two_files, drop_after=3)
+    c = _client(srv)
+    out = str(tmp_path / "spool")
+    paths = c.spool(out, "mysql-bin.000001")
+    assert [os.path.basename(p) for p in paths] == list(two_files)
+    ids = []
+    for p in paths:
+        with open(p, "rb") as f:
+            data = f.read()
+        rows = packets_to_changelog(
+            binlog_file_to_packets(data, verify_checksum=True), "s", "t", COLS
+        )
+        ids.extend(rows["id"])
+    assert ids == [1, 2, 3, 4, 5]
+    assert srv.error is None

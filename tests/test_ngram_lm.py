@@ -78,3 +78,23 @@ def test_short_docs_null_scores(spark):
     assert out[1].ppl is None and out[1].n_scored == 0
     assert out[2].ppl is None
     assert out[3].ppl is not None
+
+
+def test_empty_docs_do_not_inflate_model(spark):
+    """An empty/whitespace-only document tokenizes as [''] under raw
+    split; _lm_tokens must drop it so the '' token never enters the
+    unigram model or vocab_size (review finding r4-ADVICE)."""
+    ref = _docs(spark, [(1, "a b"), (2, ""), (3, "   "), (4, None)])
+    uni = {r.gram: r.cnt for r in train_ngram_counts(ref, n=1).collect()}
+    assert uni == {"a": 1, "b": 1}  # no '' gram, vocab_size 2
+    bi, uni_df, v = _model(spark, ref)
+    assert v == 2
+    out = {
+        r.doc_id: r
+        for r in perplexity_score(
+            _docs(spark, [(10, "a b"), (11, "")]), bi, uni_df, v, n=2, k=0.5
+        ).collect()
+    }
+    assert out[10].n_scored == 1 and out[10].ppl is not None
+    # the empty doc has nothing to score: NULL, never invented fluency
+    assert out[11].n_scored == 0 and out[11].ppl is None

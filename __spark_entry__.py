@@ -3937,10 +3937,11 @@ def q_multimodal_meta(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL pixel/sample decode (operators/multimodal.py pure-numpy codecs
-    — no PIL/ffmpeg): deterministic PPM/BMP/PNG/WAV payloads are synthesized
-    per doc_id, Spark PARSES the actual bytes (netpbm header scan, BMP
-    bottom-up+padding+BGR undo, PNG chunk walk + zlib inflate + all five
-    row filters, RIFF chunk walk), and emits dims/sample counts plus a
+    — no PIL/ffmpeg): deterministic PPM/BMP/PNG/GIF/WAV payloads are
+    synthesized per doc_id, Spark PARSES the actual bytes (netpbm header
+    scan, BMP bottom-up+padding+BGR undo, PNG chunk walk + zlib inflate +
+    all five row filters, GIF LZW inflate + palette + 4-pass interlace
+    reorder, RIFF chunk walk), and emits dims/sample counts plus a
     byte-sum checksum. The oracle states the same checksum in closed form
     (payload values are affine with no mod-256 wraparound), so a header
     mis-parse, row-order bug, padding leak or unfilter bug all
@@ -3952,6 +3953,7 @@ def q_multimodal_decode(spark, sf_dir):
         decode_audio_batch,
         decode_image_batch,
         encode_bmp,
+        encode_gif,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -3964,7 +3966,7 @@ def q_multimodal_decode(spark, sf_dir):
             rows = []
             for did in pdf["doc_id"].astype("int64"):
                 did = int(did)
-                fmt = did % 4
+                fmt = did % 5
                 if fmt == 0:
                     p = encode_ppm(4 + did % 5, 3 + did % 7, did % 200)
                 elif fmt == 1:
@@ -3972,9 +3974,13 @@ def q_multimodal_decode(spark, sf_dir):
                 elif fmt == 2:
                     # rows cycle through every PNG filter type
                     p = encode_png(4 + did % 5, 3 + did % 7, did % 200)
+                elif fmt == 3:
+                    # real LZW; alternate the 4-pass interlaced layout
+                    p = encode_gif(4 + did % 5, 3 + did % 7, did % 200,
+                                   interlace=(did // 5) % 2 == 0)
                 else:
                     p = encode_wav(150 + did % 50, did % 100)
-                rows.append((did, "audio" if fmt == 3 else "image", p, None))
+                rows.append((did, "audio" if fmt == 4 else "image", p, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
@@ -3982,9 +3988,10 @@ def q_multimodal_decode(spark, sf_dir):
     media = d.mapInPandas(gen, MEDIA_SCHEMA)
     imgs = decode_image_batch(media.filter(F.col("kind") == "image")).select(
         "media_id",
-        F.when(F.pmod("media_id", F.lit(4)) == 0, F.lit("ppm"))
-        .when(F.pmod("media_id", F.lit(4)) == 1, F.lit("bmp"))
-        .otherwise(F.lit("png"))
+        F.when(F.pmod("media_id", F.lit(5)) == 0, F.lit("ppm"))
+        .when(F.pmod("media_id", F.lit(5)) == 1, F.lit("bmp"))
+        .when(F.pmod("media_id", F.lit(5)) == 2, F.lit("png"))
+        .otherwise(F.lit("gif"))
         .alias("kind"),
         F.col("width"),
         F.col("height"),
@@ -6583,17 +6590,17 @@ FROM documents
         # WAV sample k = s+k so the sum is n*s + n(n-1)/2
         "multimodal_decode": """
 WITH m AS (
-  SELECT doc_id, doc_id % 4 AS fmt,
+  SELECT doc_id, doc_id % 5 AS fmt,
          4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h,
          doc_id % 200 AS si, 150 + doc_id % 50 AS n, doc_id % 100 AS sa
   FROM documents)
 SELECT doc_id AS media_id,
   CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' WHEN 2 THEN 'png'
-           ELSE 'wav' END AS kind,
-  CASE WHEN fmt < 3 THEN CAST(w AS INTEGER) END AS width,
-  CASE WHEN fmt < 3 THEN CAST(h AS INTEGER) END AS height,
-  CASE WHEN fmt = 3 THEN CAST(n AS BIGINT) END AS n_samples,
-  CAST(CASE WHEN fmt < 3
+           WHEN 3 THEN 'gif' ELSE 'wav' END AS kind,
+  CASE WHEN fmt < 4 THEN CAST(w AS INTEGER) END AS width,
+  CASE WHEN fmt < 4 THEN CAST(h AS INTEGER) END AS height,
+  CASE WHEN fmt = 4 THEN CAST(n AS BIGINT) END AS n_samples,
+  CAST(CASE WHEN fmt < 4
        THEN 3*w*h*si + 3*h*(w*(w-1)//2) + 3*w*(h*(h-1)//2) + 3*w*h
        ELSE n*sa + n*(n-1)//2 END AS BIGINT) AS checksum
 FROM m

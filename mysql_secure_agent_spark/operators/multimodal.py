@@ -257,16 +257,132 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA minus alpha
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW (LSB-first variable-width codes, CLEAR/EOI, width
+    grows after the dictionary fills a width, capped at 12 bits) →
+    palette-index stream. Public algorithm per the GIF89a specification
+    (CompuServe 1990, appendix F)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    # bit reader over the concatenated sub-block bytes
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return eoi  # torn stream: treat as end
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(1 << min_code_size)] + [[], []]
+    prev: list[int] | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table = table[: (1 << min_code_size) + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # deferred-clear: table freezes at 12 bits
+                table.append(prev + [entry[0]])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + [prev[0]]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond table")
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → (h, w, 3) uint8: logical screen + color
+    tables, extension-block skipping, sub-block reassembly, LZW inflate,
+    interlace reordering, palette mapping. Animation is out of scope —
+    frame 1 is the still image contract (same as the PNG path's single
+    IDAT image)."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block {block:#04x} at {pos - 1}")
+        _lx, _ty, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(b"".join(chunks), mcs), dtype=np.int32)
+        if len(idx) < w * h:
+            raise ValueError(
+                f"GIF pixel stream short: {len(idx)} of {w * h}"
+            )
+        rows = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            derows = np.empty_like(rows)
+            derows[order] = rows
+            rows = derows
+        return np.ascontiguousarray(pal[rows])
+    raise ValueError("GIF payload holds no image block")
+
+
 def _decode_pixels(payload: bytes, mime: str) -> np.ndarray:
-    """Decode an image payload to (h, w, 3) uint8. Real for PPM/BMP/PNG
-    (PNG via stdlib zlib); JPEG/GIF stay environment-blocked (no PIL in
-    this container) — plug them in here."""
+    """Decode an image payload to (h, w, 3) uint8. Real for PPM/BMP/PNG/
+    GIF (PNG via stdlib zlib, GIF via the in-repo LZW); JPEG stays
+    environment-blocked (no PIL in this container) — plug it in here."""
     if mime == "image/x-portable-pixmap":
         return _decode_ppm(payload)
     if mime == "image/bmp":
         return _decode_bmp(payload)
     if mime == "image/png":
         return _decode_png(payload)
+    if mime == "image/gif":
+        return _decode_gif(payload)
     raise NotImplementedError(
         f"media codec for {mime} not available in this environment; "
         "plug PIL/ffmpeg into multimodal._decode_pixels"
@@ -301,6 +417,95 @@ def encode_bmp(w: int, h: int, start: int) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h,
                        2835, 2835, 0, 0)
     return header + info + raster.tobytes()
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (inverse of ``_lzw_decode``): LSB-first
+    variable-width codes, leading CLEAR, CLEAR again whenever the table
+    would pass 4096 (no deferred-clear on the write side), trailing EOI."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    width = min_code_size + 1
+    table = {(i,): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for k in map(int, indices):
+        cand = seq + (k,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder's table runs ONE ENTRY BEHIND the encoder's (its
+        # first data code adds nothing), so the encoder widens one step
+        # later than its own table size suggests — the classic GIF-LZW
+        # off-by-one
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            width = min_code_size + 1
+            table = {(i,): i for i in range(1 << min_code_size)}
+            next_code = eoi + 1
+        seq = (k,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(w: int, h: int, start: int, *, interlace: bool = False) -> bytes:
+    """GIF89a with pixel(x, y, c) = start + x + y + c — the SAME decoded
+    content as ``encode_ppm`` (palette entry i = (i, i+1, i+2); caller
+    keeps start + w + h + 2 <= 255 so the palette stays affine). Global
+    256-color table, a no-op graphics-control extension (exercises the
+    skip path), real LZW, optional 4-pass interlacing."""
+    if start + w + h + 2 > 255:
+        raise ValueError("start + w + h + 2 must stay <= 255")
+    y, x = np.ogrid[0:h, 0:w]
+    idx = (start + x + y).astype(np.uint8)
+    rows = np.arange(h)
+    ipacked = 0
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        idx = idx[order]
+        ipacked = 0x40
+    pal = np.empty((256, 3), dtype=np.uint16)
+    pal[:, 0] = np.arange(256)
+    pal[:, 1] = np.arange(256) + 1
+    pal[:, 2] = np.arange(256) + 2
+    pal = np.minimum(pal, 255).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += pal.tobytes()
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # GCE, no transparency
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    out += bytes([8])  # LZW min code size
+    lzw = _lzw_encode(idx.reshape(-1), 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
 
 
 def encode_png(

@@ -198,3 +198,69 @@ def test_decode_image_batch_includes_png(spark):
         3 * w * h * s + 3 * h * (w * (w - 1) // 2) + 3 * w * (h * (h - 1) // 2)
         + 3 * w * h
     )
+
+
+# ------------------------------------------------------------------- GIF
+def test_lzw_roundtrip_exhausts_table():
+    """LZW at every interesting regime: tiny alphabet, width growth
+    through 12 bits, table-full CLEAR cycles, single symbol."""
+    from mysql_secure_agent_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, alphabet in [(1, 2), (10, 4), (5000, 16), (120000, 256),
+                        (40000, 2)]:
+        data = rng.integers(0, alphabet, n).tolist()
+        mcs = max(2, (alphabet - 1).bit_length())
+        assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+
+
+def test_gif_matches_ppm_content_both_layouts():
+    """encode_gif carries the SAME affine pixel content as encode_ppm
+    (palette entry i = (i, i+1, i+2)); sequential and 4-pass interlaced
+    layouts must decode identically."""
+    from mysql_secure_agent_spark.operators.multimodal import (
+        _decode_gif,
+        _decode_ppm,
+        encode_gif,
+        encode_ppm,
+    )
+
+    ref = _decode_ppm(encode_ppm(37, 23, 5))
+    for interlace in (False, True):
+        img = _decode_gif(encode_gif(37, 23, 5, interlace=interlace))
+        assert img.shape == (23, 37, 3)
+        assert (img == ref).all()
+
+
+def test_gif_guards():
+    from mysql_secure_agent_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"NOPE" + bytes(32))
+    # truncated pixel stream fails loudly, never returns a short image
+    g = bytearray(encode_gif(16, 16, 3))
+    # chop the last data sub-block down (keep terminator + trailer)
+    with pytest.raises(ValueError):
+        _decode_gif(bytes(g[:60]) + bytes([0, 0x3B]))
+
+
+def test_decode_image_batch_includes_gif(spark):
+    from mysql_secure_agent_spark.operators.multimodal import encode_gif
+
+    df = spark.createDataFrame(
+        [(13, "image", encode_gif(6, 5, 40, interlace=True), None)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    row = decode_image_batch(df).collect()[0]
+    assert (row["width"], row["height"]) == (6, 5)
+    w, h, s = 6, 5, 40
+    assert row["pix_sum"] == (
+        3 * w * h * s + 3 * h * (w * (w - 1) // 2) + 3 * w * (h * (h - 1) // 2)
+        + 3 * w * h
+    )

@@ -11,15 +11,21 @@ tested. The codec layer is two-tier:
   tier actually uses for decoded tensors at rest.
 * PNG decodes for real too — stdlib zlib + numpy (chunk walk, inflate, all
   five row filters unfiltered): 8-bit gray/RGB/GA/RGBA, no interlace.
-* The remaining COMPRESSED formats (JPEG/GIF/OGG/MP4) raise
-  ``NotImplementedError`` from ``_decode_pixels`` — those codecs aren't in
-  this container. Swap in a PIL/ffmpeg call there; nothing else changes.
+* GIF decodes for real — in-repo LZW (variable-width codes, CLEAR/EOI,
+  deferred-clear freeze), color tables, 4-pass interlace (``_decode_gif``).
+* JPEG decodes for real — baseline sequential DCT per ITU T.81 in pure
+  numpy (``operators.jpeg``): file-embedded DQT/DHT tables, any sampling
+  factors, byte-stuffing, DRI/RSTn. Progressive/arithmetic refused loudly.
+* Only OGG/MP4 (audio/video containers) still raise
+  ``NotImplementedError`` from the decode path — no ffmpeg in this
+  container. Swap in an ffmpeg call there; nothing else changes.
 
-``encode_ppm`` / ``encode_bmp`` / ``encode_png`` / ``encode_wav`` synthesize deterministic
-payloads (used by tests and the oracle-gated entry query: pixel values are
-affine in (x, y, channel) with no mod-256 wraparound, so a SQL oracle can
-verify the decoded checksum in closed form while Spark genuinely parses the
-bytes).
+``encode_ppm`` / ``encode_bmp`` / ``encode_png`` / ``encode_gif`` /
+``encode_wav`` synthesize deterministic payloads (used by tests and the
+oracle-gated entry query: pixel values are affine in (x, y, channel) with no
+mod-256 wraparound, so a SQL oracle can verify the decoded checksum in
+closed form while Spark genuinely parses the bytes); ``jpeg.encode_jpeg``
+is the lossy one, roundtrip-tested by error bound instead.
 
 Scale notes: media rows are large and skew-prone (one 4 GB video vs thousands
 of thumbnails). ``repartition_by_size`` packs rows into balanced partitions by
@@ -383,6 +389,10 @@ def _decode_pixels(payload: bytes, mime: str) -> np.ndarray:
         return _decode_png(payload)
     if mime == "image/gif":
         return _decode_gif(payload)
+    if mime == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"media codec for {mime} not available in this environment; "
         "plug PIL/ffmpeg into multimodal._decode_pixels"

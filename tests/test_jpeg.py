@@ -1,0 +1,84 @@
+"""Baseline JPEG codec (operators/jpeg.py, pure numpy, ITU T.81):
+lossy roundtrips bounded by error, sampling/restart variants, marker
+guards, and the Arrow decode-batch integration."""
+
+import numpy as np
+import pytest
+
+from mysql_secure_agent_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (40 + x * 2).clip(0, 255),
+            (30 + y * 3).clip(0, 255),
+            (20 + x + y).clip(0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_roundtrip_444_noise_tight():
+    """4:4:4 at q=1 keeps even white noise within colorspace-rounding
+    error — the codec itself (DCT, Huffman, stuffing) is exact."""
+    img = np.random.default_rng(3).integers(0, 256, (33, 47, 3)).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(img, q=1))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_roundtrip_variants_on_smooth_content():
+    img = _gradient(40, 56)
+    for kw in (
+        dict(),
+        dict(subsample=True),
+        dict(restart_interval=3),
+        dict(subsample=True, restart_interval=2),
+        dict(q=8),
+    ):
+        out = decode_jpeg(encode_jpeg(img, **kw))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 24, kw  # q=8 quantization bound
+        assert err.mean() < 4, kw
+
+
+def test_odd_dimensions_and_tiny():
+    for h, w in ((1, 1), (7, 9), (8, 8), (17, 23)):
+        img = _gradient(h, w)
+        out = decode_jpeg(encode_jpeg(img, q=2, subsample=True))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_guards():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img))
+    # flip SOF0 to SOF2 (progressive): refused loudly, not garbage
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        decode_jpeg(bytes(data))
+
+
+def test_decode_image_batch_includes_jpeg(spark):
+    from mysql_secure_agent_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+
+    img = _gradient(24, 32)
+    df = spark.createDataFrame(
+        [(21, "image", encode_jpeg(img, q=2), None)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    row = decode_image_batch(df).collect()[0]
+    assert (row["width"], row["height"]) == (32, 24)
+    # lossy: pix_sum within (max_err * n_samples) of the exact content sum
+    exact = int(img.astype(np.int64).sum())
+    assert abs(row["pix_sum"] - exact) <= 3 * img.size

@@ -121,12 +121,14 @@ def test_decode_audio_batch(spark):
     assert row["amp_sum"] == 200 * 50 + 200 * 199 // 2
 
 
-def test_compressed_formats_still_raise(spark):
+def test_torn_jpeg_fails_loudly_not_garbage(spark):
+    # JPEG now decodes for real (operators/jpeg.py) — a torn payload must
+    # error out of the decode batch, never yield fabricated pixels
     df = spark.createDataFrame(
         [(1, "image", b"\xff\xd8\xff\xe0fakejpeg", None)],
         "media_id long, kind string, payload binary, meta map<string,string>",
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception):
         decode_image_batch(df).collect()
 
 

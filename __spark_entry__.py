@@ -3935,6 +3935,81 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_media_jpeg_roundtrip(spark, sf_dir):
+    """Baseline-JPEG codec under the driver hash (operators/jpeg.py, pure
+    numpy, ITU T.81): per doc a deterministic smooth image is synthesized,
+    ENCODED (quality step / 4:2:0 / restart interval all cycling by
+    doc_id), DECODED, and reduced to dims + two exact booleans (max pixel
+    error within the quantization bound, mean error small). Every stage —
+    colorspace, FDCT, quantization, Huffman code assignment, byte
+    stuffing, restart markers, the decoder's DHT/DQT walk, IDCT,
+    upsample — is deterministic numpy, so a single-bit defect anywhere
+    flips a boolean and the hash. The oracle states the dims and TRUE
+    bounds in closed form (a lossy codec's exact pixels are not
+    SQL-stateable; its correctness contract is)."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def rt(batches):
+        import numpy as np
+
+        from mysql_secure_agent_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                h, w = 9 + did % 8, 12 + did % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (30 + xx * 2 + did % 50).clip(0, 255),
+                        (20 + yy * 3).clip(0, 255),
+                        (10 + xx + yy).clip(0, 255),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                q = 1 + did % 3
+                sub = did % 2 == 0
+                ri = (did % 4) or 0
+                data = encode_jpeg(
+                    img, q=q, subsample=sub, restart_interval=ri
+                )
+                out = decode_jpeg(data)
+                err = np.abs(out.astype(int) - img.astype(int))
+                rows.append(
+                    (
+                        did,
+                        out.shape[1],
+                        out.shape[0],
+                        bool(err.max() <= 8 * q),
+                        bool(err.mean() < 2.0 * q),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "max_err_ok", "mean_err_ok"
+                ],
+            )
+
+    from mysql_secure_agent_spark.operators.text_dedup import (
+        _with_min_parallelism,
+    )
+
+    return _with_min_parallelism(d).mapInPandas(
+        rt,
+        schema=(
+            "media_id long, width int, height int, "
+            "max_err_ok boolean, mean_err_ok boolean"
+        ),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL pixel/sample decode (operators/multimodal.py pure-numpy codecs
     — no PIL/ffmpeg): deterministic PPM/BMP/PNG/GIF/WAV payloads are
@@ -4787,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_time_slice_read": q_cdc_time_slice_read,
@@ -6588,6 +6664,13 @@ FROM documents
         # pure-numpy codecs: pixel(x,y,c) = s+x+y+c (no mod-256 wraparound),
         # so sum over the raster is 3whs + 3h*C(w,2)*... expanded below;
         # WAV sample k = s+k so the sum is n*s + n(n-1)/2
+        "media_jpeg_roundtrip": """
+SELECT doc_id AS media_id,
+       CAST(12 + doc_id % 11 AS INTEGER) AS width,
+       CAST(9 + doc_id % 8 AS INTEGER) AS height,
+       TRUE AS max_err_ok, TRUE AS mean_err_ok
+FROM documents
+""",
         "multimodal_decode": """
 WITH m AS (
   SELECT doc_id, doc_id % 5 AS fmt,

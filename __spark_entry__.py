@@ -3935,6 +3935,106 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_media_container_meta(spark, sf_dir):
+    """Media CONTAINER metadata under the driver hash (operators/
+    containers.py): per doc a real Ogg stream (RFC 3533 pages, 255-lacing
+    packet splits, spec CRC-32 — poly 0x04C11DB7 unreflected, NOT zlib's)
+    or a real MP4 (ISO-BMFF box tree: ftyp/moov/mvhd/trak/mdhd/hdlr/stbl)
+    is SYNTHESIZED, then PARSED back — page/box walks, CRC verification,
+    packet reassembly, per-track duration math all under the oracle hash,
+    which states the expected metadata in closed form. The codec payloads
+    stay opaque by design: cataloging/filtering media at corpus scale
+    needs the container layer, not a decoder."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def rt(batches):
+        from mysql_secure_agent_spark.operators.containers import (
+            build_mp4,
+            build_ogg,
+            parse_mp4,
+            parse_ogg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                if did % 2 == 0:
+                    n_pkts = 3 + did % 5
+                    pkts = [
+                        bytes([i % 251]) * (40 + 100 * (did % 7) + i)
+                        for i in range(n_pkts)
+                    ]
+                    data = build_ogg(
+                        pkts, serial=did % 1000, granule_step=480
+                    )
+                    info = parse_ogg(data, verify_crc=True)
+                    rows.append(
+                        (
+                            did,
+                            "ogg",
+                            len(info["serials"]),
+                            len(info["packets"]),
+                            round(info["final_granule"] / 48000.0, 6),
+                        )
+                    )
+                else:
+                    n_tracks = 1 + did % 2
+                    dur_ms = 1000 + did % 500
+                    tracks = [
+                        {
+                            "handler": "vide",
+                            "codec": "avc1",
+                            "timescale": 30000,
+                            "duration": dur_ms * 30,
+                            "n_samples": 30 + did % 20,
+                        }
+                    ]
+                    if n_tracks == 2:
+                        tracks.append(
+                            {
+                                "handler": "soun",
+                                "codec": "mp4a",
+                                "timescale": 48000,
+                                "duration": dur_ms * 48,
+                                "n_samples": 43 + did % 9,
+                            }
+                        )
+                    data = build_mp4(
+                        timescale=1000, duration=dur_ms, tracks=tracks
+                    )
+                    info = parse_mp4(data)
+                    rows.append(
+                        (
+                            did,
+                            "mp4",
+                            len(info["tracks"]),
+                            sum(t["n_samples"] for t in info["tracks"]),
+                            info["duration_s"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_tracks", "n_units", "duration_s"
+                ],
+            )
+
+    from mysql_secure_agent_spark.operators.text_dedup import (
+        _with_min_parallelism,
+    )
+
+    return _with_min_parallelism(d).mapInPandas(
+        rt,
+        schema=(
+            "media_id long, kind string, n_tracks int, n_units int, "
+            "duration_s double"
+        ),
+    )
+
+
 def q_media_jpeg_roundtrip(spark, sf_dir):
     """Baseline-JPEG codec under the driver hash (operators/jpeg.py, pure
     numpy, ITU T.81): per doc a deterministic smooth image is synthesized,
@@ -4863,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
+        "media_container_meta": q_media_container_meta,
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_merge_into_lake": q_cdc_merge_into_lake,
         "cdc_time_slice_read": q_cdc_time_slice_read,
@@ -6664,6 +6765,21 @@ FROM documents
         # pure-numpy codecs: pixel(x,y,c) = s+x+y+c (no mod-256 wraparound),
         # so sum over the raster is 3whs + 3h*C(w,2)*... expanded below;
         # WAV sample k = s+k so the sum is n*s + n(n-1)/2
+        "media_container_meta": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ogg' ELSE 'mp4' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                 ELSE 1 + doc_id % 2 END AS INTEGER) AS n_tracks,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 5
+                 ELSE (30 + doc_id % 20)
+                      + CASE WHEN doc_id % 2 = 1 AND 1 + doc_id % 2 = 2
+                             THEN 43 + doc_id % 9 ELSE 0 END
+            END AS INTEGER) AS n_units,
+       round(CASE WHEN doc_id % 2 = 0
+                  THEN (3 + doc_id % 5) * 480 / 48000.0
+                  ELSE (1000 + doc_id % 500) / 1000.0 END, 6) AS duration_s
+FROM documents
+""",
         "media_jpeg_roundtrip": """
 SELECT doc_id AS media_id,
        CAST(12 + doc_id % 11 AS INTEGER) AS width,

@@ -1,0 +1,327 @@
+"""Media CONTAINER parsing in pure stdlib/numpy — Ogg (RFC 3533) and MP4
+(ISO/IEC 14496-12 ISO base media file format).
+
+A training-data pipeline rarely needs to DECODE audio/video to filter,
+dedupe, or catalog it — it needs the container layer: durations, track
+counts, codecs, sample tables, integrity. That layer is plain structured
+bytes and decodes for real here; only the compressed codec payloads
+(Vorbis/Opus/H.264...) remain environment-gated (no ffmpeg in this
+container), now at the PAYLOAD level instead of the file level.
+
+* Ogg: page walk — capture pattern, version, header-type flags, granule
+  position, bitstream serial, page sequence, segment lacing, PACKET
+  reassembly across pages (255-lacing continuation and the
+  continued-packet flag), and the spec's CRC-32 (poly 0x04C11DB7,
+  UNreflected, init/xorout 0 — zlib's reflected CRC does not apply)
+  verified per page.
+* MP4: box walk — 32-bit and 64-bit (largesize) boxes, nesting, and the
+  metadata chain ftyp / moov / mvhd / trak / tkhd / mdia / mdhd / hdlr /
+  minf / stbl / stsd+stts+stsz: per-track handler, timescale, duration,
+  sample count, codec fourcc.
+
+Write-side synthesizers exist for both (tests + the oracle-gated entry
+query) — payload packets are opaque deterministic bytes by design.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "parse_ogg",
+    "build_ogg",
+    "parse_mp4",
+    "build_mp4",
+    "ogg_crc",
+]
+
+
+# ------------------------------------------------------------------- Ogg
+def _ogg_crc_table() -> list[int]:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            r &= 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    """RFC 3533 CRC-32: polynomial 0x04C11DB7, not reflected, zero
+    init and xorout (deliberately NOT zlib.crc32)."""
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def parse_ogg(payload: bytes, *, verify_crc: bool = True) -> dict:
+    """Walk every page, verify CRCs, reassemble packets. Returns
+    ``{"n_pages", "serials": [..], "final_granule", "packets":
+    [bytes, ...], "bos_pages", "eos_pages"}``. Raises on a bad capture
+    pattern, version, truncation, or CRC mismatch."""
+    pos = 0
+    n_pages = 0
+    serials: list[int] = []
+    packets: list[bytes] = []
+    pending = b""
+    final_granule = 0
+    bos = eos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"bad Ogg capture pattern at {pos}")
+        if payload[pos + 4] != 0:
+            raise ValueError(f"unknown Ogg version {payload[pos + 4]}")
+        htype = payload[pos + 5]
+        granule, serial, _seq, crc, nsegs = struct.unpack_from(
+            "<qIIIB", payload, pos + 6
+        )
+        lacing = payload[pos + 27 : pos + 27 + nsegs]
+        body_len = sum(lacing)
+        header_end = pos + 27 + nsegs
+        body = payload[header_end : header_end + body_len]
+        if len(body) != body_len:
+            raise ValueError("torn Ogg page body")
+        if verify_crc:
+            page = bytearray(payload[pos : header_end + body_len])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if ogg_crc(bytes(page)) != crc:
+                raise ValueError(f"Ogg page CRC mismatch at {pos}")
+        if not (htype & 0x01) and pending:
+            # new page does not continue a packet but one is pending
+            raise ValueError("Ogg continued-packet flag inconsistency")
+        if htype & 0x02:
+            bos += 1
+        if htype & 0x04:
+            eos += 1
+        off = 0
+        for seg in lacing:
+            pending += body[off : off + seg]
+            off += seg
+            if seg < 255:  # packet ends here
+                packets.append(pending)
+                pending = b""
+        n_pages += 1
+        if serial not in serials:
+            serials.append(serial)
+        if granule != -1:
+            final_granule = granule
+        pos = header_end + body_len
+    if pending:
+        raise ValueError("Ogg stream ends mid-packet")
+    return {
+        "n_pages": n_pages,
+        "serials": serials,
+        "final_granule": final_granule,
+        "packets": packets,
+        "bos_pages": bos,
+        "eos_pages": eos,
+    }
+
+
+def build_ogg(
+    packets: list[bytes],
+    *,
+    serial: int = 0x1234,
+    granule_step: int = 960,
+    packets_per_page: int = 2,
+) -> bytes:
+    """Frame opaque packets into a valid Ogg stream: lacing (255-splits
+    for long packets), BOS on the first page, EOS on the last, granule
+    advancing per packet, spec CRC stamped."""
+    pages: list[list[bytes]] = []
+    for i in range(0, len(packets), packets_per_page):
+        pages.append(packets[i : i + packets_per_page])
+    out = bytearray()
+    seq = 0
+    done = 0
+    for pi, page_packets in enumerate(pages):
+        lacing = bytearray()
+        body = bytearray()
+        for p in page_packets:
+            body += p
+            n = len(p)
+            while n >= 255:
+                lacing.append(255)
+                n -= 255
+            lacing.append(n)
+        done += len(page_packets)
+        htype = (0x02 if pi == 0 else 0) | (
+            0x04 if pi == len(pages) - 1 else 0
+        )
+        header = (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack(
+                "<qIIIB",
+                done * granule_step,
+                serial,
+                seq,
+                0,
+                len(lacing),
+            )
+            + bytes(lacing)
+        )
+        page = bytearray(header + body)
+        crc = ogg_crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        out += page
+        seq += 1
+    return bytes(out)
+
+
+# ------------------------------------------------------------------- MP4
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"corrupt MP4 box {btype!r} at {pos}: size {size}"
+            )
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Box walk → ``{"brand", "timescale", "duration_s", "tracks":
+    [{"handler", "codec", "timescale", "duration_s", "n_samples"}]}``.
+    Refuses files without ftyp/moov."""
+    brand = None
+    movie: dict = {}
+    tracks: list[dict] = []
+
+    def walk(start: int, end: int, track: dict | None):
+        nonlocal brand
+        for btype, b0, b1 in _walk_boxes(payload, start, end):
+            if btype == b"ftyp":
+                brand = payload[b0 : b0 + 4].decode("latin1")
+            elif btype == b"mvhd":
+                ver = payload[b0]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, b0 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, b0 + 12)
+                movie["timescale"], movie["duration"] = ts, dur
+            elif btype == b"trak":
+                t: dict = {}
+                tracks.append(t)
+                walk(b0, b1, t)
+            elif btype == b"mdhd" and track is not None:
+                ver = payload[b0]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, b0 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, b0 + 12)
+                track["timescale"], track["duration"] = ts, dur
+            elif btype == b"hdlr" and track is not None:
+                track["handler"] = payload[b0 + 8 : b0 + 12].decode("latin1")
+            elif btype == b"stsd" and track is not None:
+                # version/flags(4) entry_count(4) then sample entries
+                track["codec"] = payload[b0 + 12 : b0 + 16].decode("latin1")
+            elif btype == b"stsz" and track is not None:
+                sample_size, count = struct.unpack_from(">II", payload, b0 + 4)
+                track["n_samples"] = count
+                track["uniform_sample_size"] = sample_size
+            elif btype in _CONTAINERS:
+                walk(b0, b1, track)
+
+    walk(0, len(payload), None)
+    if brand is None or "timescale" not in movie:
+        raise ValueError("not an MP4: missing ftyp or moov/mvhd")
+    out_tracks = []
+    for t in tracks:
+        out_tracks.append(
+            {
+                "handler": t.get("handler"),
+                "codec": t.get("codec"),
+                "timescale": t.get("timescale"),
+                "duration_s": (
+                    round(t["duration"] / t["timescale"], 6)
+                    if t.get("timescale")
+                    else None
+                ),
+                "n_samples": t.get("n_samples"),
+            }
+        )
+    return {
+        "brand": brand,
+        "timescale": movie["timescale"],
+        "duration_s": round(movie["duration"] / movie["timescale"], 6),
+        "tracks": out_tracks,
+    }
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def build_mp4(
+    *,
+    brand: str = "isom",
+    timescale: int = 1000,
+    duration: int = 5000,
+    tracks: list[dict] | None = None,
+) -> bytes:
+    """Minimal valid ISO-BMFF file: ftyp + moov(mvhd + trak(tkhd +
+    mdia(mdhd + hdlr + minf(stbl(stsd + stts + stsz + stco))))) + mdat.
+    ``tracks``: [{"handler": "vide"|"soun", "codec": fourcc,
+    "timescale", "duration", "n_samples"}]."""
+    tracks = tracks or []
+    mvhd = _box(
+        b"mvhd",
+        bytes(4)
+        + bytes(8)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + bytes(80),
+    )
+    trak_boxes = b""
+    for i, t in enumerate(tracks):
+        tkhd = _box(b"tkhd", bytes(4) + bytes(8) + struct.pack(">I", i + 1) + bytes(72))
+        mdhd = _box(
+            b"mdhd",
+            bytes(4)
+            + bytes(8)
+            + struct.pack(">II", t["timescale"], t["duration"])
+            + bytes(4),
+        )
+        hdlr = _box(
+            b"hdlr",
+            bytes(4) + bytes(4) + t["handler"].encode() + bytes(12) + b"\x00",
+        )
+        entry = struct.pack(">I", 16) + t["codec"].encode() + bytes(8)
+        stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stts = _box(
+            b"stts",
+            bytes(4)
+            + struct.pack(">I", 1)
+            + struct.pack(">II", t["n_samples"], 1),
+        )
+        # uniform 64-byte samples: sample_size != 0 ⇒ no per-sample table
+        stsz = _box(
+            b"stsz", bytes(4) + struct.pack(">II", 64, t["n_samples"])
+        )
+        stco = _box(b"stco", bytes(4) + struct.pack(">I", 0))
+        stbl = _box(b"stbl", stsd + stts + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak_boxes += _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak_boxes)
+    ftyp = _box(b"ftyp", brand.encode() + struct.pack(">I", 0) + b"isom")
+    mdat = _box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + mdat

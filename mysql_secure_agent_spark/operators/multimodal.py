@@ -56,7 +56,6 @@ _MAGIC = {
     b"\x89PNG": "image/png",
     b"GIF8": "image/gif",
     b"OggS": "audio/ogg",
-    b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"P6": "image/x-portable-pixmap",
     b"BM": "image/bmp",
 }
@@ -78,6 +77,8 @@ def _sniff_mime(b: bytes | None) -> str | None:
         # RIFF container: bytes 8-12 name the form type (WAVE vs AVI )
         form = b[8:12]
         return "audio/wav" if form == b"WAVE" else "video/avi"
+    if b[4:8] == b"ftyp":  # ISO BMFF: box size varies, type at offset 4
+        return "video/mp4"
     for magic, mime in _MAGIC.items():
         if b[: len(magic)] == magic:
             return mime

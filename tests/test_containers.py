@@ -1,0 +1,100 @@
+"""Ogg (RFC 3533) and MP4 (ISO BMFF) container parsing: page/box walks,
+packet reassembly across lacing and pages, spec CRC, metadata math,
+corruption guards."""
+
+import struct
+
+import pytest
+
+from mysql_secure_agent_spark.operators.containers import (
+    build_mp4,
+    build_ogg,
+    ogg_crc,
+    parse_mp4,
+    parse_ogg,
+)
+
+
+def test_ogg_packet_reassembly_and_flags():
+    # lengths straddle the 255-lacing boundary and cross pages
+    pkts = [b"a" * 10, b"b" * 255, b"c" * 600, b"d" * 3, b"e" * 1]
+    data = build_ogg(pkts, serial=77, granule_step=480, packets_per_page=2)
+    info = parse_ogg(data)
+    assert info["packets"] == pkts
+    assert info["serials"] == [77]
+    assert info["bos_pages"] == 1 and info["eos_pages"] == 1
+    assert info["final_granule"] == len(pkts) * 480
+
+
+def test_ogg_crc_is_the_spec_crc_not_zlib():
+    import zlib
+
+    data = b"OggS payload bytes for crc"
+    assert ogg_crc(data) != zlib.crc32(data)
+    assert ogg_crc(b"") == 0
+    # tamper detection: flip one body byte
+    stream = bytearray(build_ogg([b"x" * 50]))
+    stream[40] ^= 1
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg(bytes(stream))
+    # verify_crc=False tolerates it (salvage mode)
+    parse_ogg(bytes(stream), verify_crc=False)
+
+
+def test_ogg_guards():
+    with pytest.raises(ValueError, match="capture"):
+        parse_ogg(b"NotOgg" + bytes(30))
+    # a stream that ends mid-packet (255-lacing with no continuation)
+    data = bytearray(build_ogg([b"y" * 255 + b"z" * 10]))
+    # truncate to the first page only keeping its header intact is hard to
+    # fabricate by slicing; instead corrupt the version byte
+    data[4] = 9
+    with pytest.raises(ValueError, match="version"):
+        parse_ogg(bytes(data))
+
+
+def test_mp4_two_track_metadata():
+    m = build_mp4(
+        timescale=1000,
+        duration=7500,
+        tracks=[
+            {"handler": "vide", "codec": "avc1", "timescale": 30000,
+             "duration": 225000, "n_samples": 225},
+            {"handler": "soun", "codec": "mp4a", "timescale": 48000,
+             "duration": 360000, "n_samples": 352},
+        ],
+    )
+    out = parse_mp4(m)
+    assert out["brand"] == "isom"
+    assert out["duration_s"] == 7.5
+    assert [t["codec"] for t in out["tracks"]] == ["avc1", "mp4a"]
+    assert [t["handler"] for t in out["tracks"]] == ["vide", "soun"]
+    assert out["tracks"][0]["duration_s"] == 7.5
+    assert out["tracks"][1]["n_samples"] == 352
+
+
+def test_mp4_largesize_box_and_guards():
+    m = bytearray(build_mp4(tracks=[]))
+    # rewrite mdat as a 64-bit largesize box: size=1 + 8-byte largesize
+    i = bytes(m).find(b"mdat") - 4
+    body = m[i + 8 :]
+    large = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(body))
+        + bytes(body)
+    )
+    out = parse_mp4(bytes(m[:i]) + large)
+    assert out["brand"] == "isom"
+    with pytest.raises(ValueError, match="missing ftyp|corrupt"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    # truncated box size past end
+    bad = bytearray(build_mp4(tracks=[]))
+    bad[0:4] = struct.pack(">I", 1 << 30)
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_mp4(bytes(bad))
+
+
+def test_sniffer_routes_containers():
+    from mysql_secure_agent_spark.operators.multimodal import _sniff_mime
+
+    assert _sniff_mime(build_mp4(tracks=[])) == "video/mp4"
+    assert _sniff_mime(build_ogg([b"p" * 9])) == "audio/ogg"

@@ -139,6 +139,8 @@ HEADLINE = [
     "events_time_rollup",
     "dedup_cluster_keep",
     "multimodal_decode",
+    "media_jpeg_roundtrip",
+    "media_container_meta",
     "cdc_stmt_lineage",
     "cdc_txn_payload",
     "cdc_partial_json",

@@ -1624,12 +1624,9 @@ def q_cdc_txn_payload(spark, sf_dir):
             XID_EVENT, packets_to_changelog,
         )
 
-        def packed(n: int) -> bytes:  # test-side packed-int encoder
-            if n < 0xFB:
-                return bytes([n])
-            if n < 1 << 16:
-                return b"\xfc" + n.to_bytes(2, "little")
-            return b"\xfd" + n.to_bytes(3, "little")
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            _packed_int_bytes as packed,
+        )
 
         # table t: (user_id LONGLONG, slot LONG, event_type VARCHAR(20),
         # value DOUBLE, lsn LONGLONG); metadata = varchar max_len + double
@@ -1749,12 +1746,9 @@ def q_cdc_stmt_lineage(spark, sf_dir):
             packets_to_changelog,
         )
 
-        def packed(n: int) -> bytes:
-            if n < 0xFB:
-                return bytes([n])
-            if n < 1 << 16:
-                return b"\xfc" + n.to_bytes(2, "little")
-            return b"\xfd" + n.to_bytes(3, "little")
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            _packed_int_bytes as packed,
+        )
 
         tmap_body = (
             (7).to_bytes(6, "little") + b"\x00\x00"
@@ -1846,12 +1840,9 @@ def q_cdc_charset_decode(spark, sf_dir):
             EXT_WRITE_ROWS, TABLE_MAP_EVENT, packets_to_changelog,
         )
 
-        def packed(n: int) -> bytes:
-            if n < 0xFB:
-                return bytes([n])
-            if n < 1 << 16:
-                return b"\xfc" + n.to_bytes(2, "little")
-            return b"\xfd" + n.to_bytes(3, "little")
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            _packed_int_bytes as packed,
+        )
 
         # cols: user_id LONGLONG, lsn LONGLONG, name VARCHAR(64 bytes)
         tmap_body = (
@@ -2239,8 +2230,9 @@ def q_cdc_truncate(spark, sf_dir):
             TABLE_MAP_EVENT, packets_to_changelog_and_ddl,
         )
 
-        def packed(n: int) -> bytes:
-            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            _packed_int_bytes as packed,
+        )
 
         tmap_body = (
             (7).to_bytes(6, "little") + b"\x00\x00"
@@ -2382,8 +2374,9 @@ def q_cdc_xa_transactions(spark, sf_dir):
             TABLE_MAP_EVENT, XA_PREPARE_EVENT, packets_to_changelog,
         )
 
-        def packed(n: int) -> bytes:
-            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            _packed_int_bytes as packed,
+        )
 
         tmap_body = (
             (7).to_bytes(6, "little") + b"\x00\x00"
@@ -2515,8 +2508,9 @@ def q_cdc_partial_json(spark, sf_dir):
             packets_to_changelog,
         )
 
-        def packed(n: int) -> bytes:
-            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            _packed_int_bytes as packed,
+        )
 
         TMAP = (
             (9).to_bytes(6, "little") + b"\x00\x00"
@@ -2662,8 +2656,9 @@ def q_cdc_partial_json_minimal(spark, sf_dir):
             packets_to_changelog,
         )
 
-        def packed(n: int) -> bytes:
-            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            _packed_int_bytes as packed,
+        )
 
         TMAP = (
             (9).to_bytes(6, "little") + b"\x00\x00"
@@ -2817,8 +2812,9 @@ def q_cdc_wire_ddl(spark, sf_dir):
             TABLE_MAP_EVENT, packets_to_changelog_and_ddl,
         )
 
-        def packed(n: int) -> bytes:
-            return bytes([n]) if n < 0xFB else b"\xfc" + n.to_bytes(2, "little")
+        from mysql_secure_agent_spark.sources.binlog_packets import (
+            _packed_int_bytes as packed,
+        )
 
         # column wire specs: (type_code, metadata, packer)
         def p_i64(v):

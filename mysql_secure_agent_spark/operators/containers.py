@@ -69,7 +69,11 @@ def parse_ogg(payload: bytes, *, verify_crc: bool = True) -> dict:
     n_pages = 0
     serials: list[int] = []
     packets: list[bytes] = []
-    pending = b""
+    # packet reassembly is PER LOGICAL BITSTREAM: a multiplexed (grouped)
+    # file interleaves pages of different serials, and a packet may
+    # continue across its own serial's pages while other serials' pages
+    # sit in between
+    pending: dict[int, bytes] = {}
     final_granule = 0
     bos = eos = 0
     while pos < len(payload):
@@ -92,27 +96,29 @@ def parse_ogg(payload: bytes, *, verify_crc: bool = True) -> dict:
             page[22:26] = b"\x00\x00\x00\x00"
             if ogg_crc(bytes(page)) != crc:
                 raise ValueError(f"Ogg page CRC mismatch at {pos}")
-        if not (htype & 0x01) and pending:
-            # new page does not continue a packet but one is pending
+        if not (htype & 0x01) and pending.get(serial):
+            # new page of THIS serial does not continue its pending packet
             raise ValueError("Ogg continued-packet flag inconsistency")
         if htype & 0x02:
             bos += 1
         if htype & 0x04:
             eos += 1
         off = 0
+        buf = pending.get(serial, b"")
         for seg in lacing:
-            pending += body[off : off + seg]
+            buf += body[off : off + seg]
             off += seg
             if seg < 255:  # packet ends here
-                packets.append(pending)
-                pending = b""
+                packets.append(buf)
+                buf = b""
+        pending[serial] = buf
         n_pages += 1
         if serial not in serials:
             serials.append(serial)
         if granule != -1:
             final_granule = granule
         pos = header_end + body_len
-    if pending:
+    if any(pending.values()):
         raise ValueError("Ogg stream ends mid-packet")
     return {
         "n_pages": n_pages,
@@ -132,46 +138,54 @@ def build_ogg(
     packets_per_page: int = 2,
 ) -> bytes:
     """Frame opaque packets into a valid Ogg stream: lacing (255-splits
-    for long packets), BOS on the first page, EOS on the last, granule
-    advancing per packet, spec CRC stamped."""
-    pages: list[list[bytes]] = []
-    for i in range(0, len(packets), packets_per_page):
-        pages.append(packets[i : i + packets_per_page])
+    for long packets), PAGE splits at the 255-segments-per-page limit
+    (continuation pages carry the 0x01 flag and granule −1 when no packet
+    completes on them), BOS on the first page, EOS on the last, granule
+    advancing per completed packet, spec CRC stamped."""
+    # segment stream: (lacing value, chunk, index of the packet this
+    # segment COMPLETES — None for 255-continuations)
+    segs: list[tuple[int, bytes, int | None]] = []
+    for pkt_no, p in enumerate(packets, start=1):
+        n, off = len(p), 0
+        while n >= 255:
+            segs.append((255, p[off : off + 255], None))
+            off += 255
+            n -= 255
+        segs.append((n, p[off:], pkt_no))
+    pages: list[list[tuple[int, bytes, int | None]]] = []
+    cur: list[tuple[int, bytes, int | None]] = []
+    completed = 0
+    for s in segs:
+        cur.append(s)
+        if s[2] is not None:
+            completed += 1
+        if len(cur) == 255 or completed == packets_per_page:
+            pages.append(cur)
+            cur, completed = [], 0
+    if cur:
+        pages.append(cur)
     out = bytearray()
-    seq = 0
-    done = 0
-    for pi, page_packets in enumerate(pages):
-        lacing = bytearray()
-        body = bytearray()
-        for p in page_packets:
-            body += p
-            n = len(p)
-            while n >= 255:
-                lacing.append(255)
-                n -= 255
-            lacing.append(n)
-        done += len(page_packets)
-        htype = (0x02 if pi == 0 else 0) | (
-            0x04 if pi == len(pages) - 1 else 0
+    prev_mid = False
+    for pi, page in enumerate(pages):
+        lacing = bytes(s[0] for s in page)
+        body = b"".join(s[1] for s in page)
+        finished = [s[2] for s in page if s[2] is not None]
+        granule = finished[-1] * granule_step if finished else -1
+        htype = (
+            (0x01 if prev_mid else 0)
+            | (0x02 if pi == 0 else 0)
+            | (0x04 if pi == len(pages) - 1 else 0)
         )
         header = (
             b"OggS\x00"
             + bytes([htype])
-            + struct.pack(
-                "<qIIIB",
-                done * granule_step,
-                serial,
-                seq,
-                0,
-                len(lacing),
-            )
-            + bytes(lacing)
+            + struct.pack("<qIIIB", granule, serial, pi, 0, len(lacing))
+            + lacing
         )
-        page = bytearray(header + body)
-        crc = ogg_crc(bytes(page))
-        page[22:26] = struct.pack("<I", crc)
-        out += page
-        seq += 1
+        pg = bytearray(header + body)
+        pg[22:26] = struct.pack("<I", ogg_crc(bytes(pg)))
+        out += pg
+        prev_mid = page[-1][0] == 255
     return bytes(out)
 
 
@@ -292,7 +306,12 @@ def build_mp4(
     )
     trak_boxes = b""
     for i, t in enumerate(tracks):
-        tkhd = _box(b"tkhd", bytes(4) + bytes(8) + struct.pack(">I", i + 1) + bytes(72))
+        # v0 tkhd body is exactly 84 bytes: ver/flags 4 + creation 4 +
+        # modification 4 + track_ID 4 + reserved 4 + duration 4 +
+        # reserved 8 + layer/group/volume/reserved 8 + matrix 36 + w/h 8
+        tkhd = _box(
+            b"tkhd", bytes(4) + bytes(8) + struct.pack(">I", i + 1) + bytes(68)
+        )
         mdhd = _box(
             b"mdhd",
             bytes(4)

@@ -104,16 +104,20 @@ class _BitReader:
                 continue
             b = self.data[self.pos]
             if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError(
+                        "truncated JPEG: entropy data ends on a bare 0xFF"
+                    )
                 nxt = self.data[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                else:
+                    # ANY marker ends the entropy segment (RSTn mid-scan,
+                    # EOI, or the next scan's/table's marker when the
+                    # lookahead reaches a scan boundary) — the scan loop
+                    # decides what it means
                     self.marker = nxt
                     continue
-                else:
-                    raise ValueError(
-                        f"unexpected marker FF{nxt:02X} inside entropy data"
-                    )
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -133,17 +137,21 @@ class _BitReader:
         self.acc = 0
         if self.marker is None:
             # marker not reached through _fill yet: scan forward
-            while self.pos < len(self.data):
+            while self.pos + 1 < len(self.data):
                 if (
                     self.data[self.pos] == 0xFF
                     and 0xD0 <= self.data[self.pos + 1] <= 0xD7
                 ):
                     break
                 self.pos += 1
-            if self.pos >= len(self.data):
+            if self.pos + 1 >= len(self.data):
                 raise ValueError("expected RST marker, hit end of stream")
             self.marker = self.data[self.pos + 1]
         m = self.marker
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(
+                f"expected RST marker at restart boundary, got FF{m:02X}"
+            )
         self.marker = None
         self.pos += 2
         return m
@@ -175,6 +183,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     huffv: dict[tuple[int, int], list[int]] = {}
     frame = None
+    planes = None
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -206,6 +215,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 16
                 n = sum(bits)
                 values = list(seg[p : p + n])
+                if len(bits) < 16 or len(values) < n:
+                    raise ValueError("truncated DHT segment")
                 p += n
                 _, dec = _canonical_codes(bits, values)
                 huff[(tc, th)] = dec
@@ -229,7 +240,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:  # SOS: scan header then entropy data
+        elif marker == 0xDA:  # SOS: one scan's header + entropy data
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
@@ -237,59 +248,119 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tt >> 4, tt & 0x0F)
-            data_start = pos + seg_len
-            return _decode_scan(
-                payload, data_start, frame, scan, qt, huff, huffv,
-                restart_interval,
+            if planes is None:
+                planes = _alloc_planes(frame)
+            pos = _decode_scan_into(
+                payload, pos + seg_len, frame, planes, scan, qt, huff,
+                huffv, restart_interval,
             )
+            continue  # pos now points at the next marker's 0xFF
         pos += seg_len
-    raise ValueError("no SOS scan in JPEG payload")
+    if planes is None:
+        raise ValueError("no SOS scan in JPEG payload")
+    return _planes_to_rgb(frame, planes)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, huffv, ri):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _alloc_planes(frame) -> list[np.ndarray]:
+    comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for c in comps:
-        cw, ch = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ch, cw), dtype=np.float64))
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    return [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+
+
+def _decode_scan_into(data, pos, frame, planes, scan, qt, huff, huffv, ri):
+    """Decode ONE scan's entropy data into the persistent planes and
+    return the byte position of the NEXT marker. Handles interleaved
+    scans (MCU = one sampling cluster of every scan component) and
+    non-interleaved single-component scans (T.81 A.2.2: the MCU is one
+    data unit over the component's OWN block grid)."""
+    comps = frame["comps"]
     br = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if ri and mcu_count and mcu_count % ri == 0:
-                br.restart()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_dec = huff[(0, scan[c["id"]][0])]
-                dc_vals = huffv[(0, scan[c["id"]][0])]
-                ac_dec = huff[(1, scan[c["id"]][1])]
-                ac_vals = huffv[(1, scan[c["id"]][1])]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _decode_block(
-                            br, dc_dec, dc_vals, ac_dec, ac_vals
-                        )
-                        pred[ci] += blk[0]
-                        coeffs = np.zeros(64)
-                        coeffs[_ZZ] = blk
-                        coeffs[0] = pred[ci]
-                        f = coeffs.reshape(8, 8) * q
-                        px = _C.T @ f @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
-    # upsample to full resolution and crop
+    scomps = [(ci, c) for ci, c in enumerate(comps) if c["id"] in scan]
+    if not scomps:
+        raise ValueError("SOS names no frame component")
+
+    def tables(c):
+        return (
+            huff[(0, scan[c["id"]][0])],
+            huffv[(0, scan[c["id"]][0])],
+            huff[(1, scan[c["id"]][1])],
+            huffv[(1, scan[c["id"]][1])],
+            qt[c["tq"]],
+        )
+
+    def place(ci, c, by, bx, blk, pred_val):
+        coeffs = np.zeros(64)
+        coeffs[_ZZ] = blk
+        coeffs[0] = pred_val
+        f = coeffs.reshape(8, 8) * tables(c)[4]
+        px = _C.T @ f @ _C + 128.0
+        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+
+    if len(scomps) == 1:
+        ci, c = scomps[0]
+        dc_dec, dc_vals, ac_dec, ac_vals, _q = tables(c)
+        # the component's own dimensions, scaled by its sampling factors
+        cw = -(-(frame["w"] * c["h"]) // frame["hmax"])
+        chh = -(-(frame["h"] * c["v"]) // frame["vmax"])
+        bw_, bh_ = -(-cw // 8), -(-chh // 8)
+        pred = 0
+        n = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                if ri and n and n % ri == 0:
+                    br.restart()
+                    pred = 0
+                blk = _decode_block(br, dc_dec, dc_vals, ac_dec, ac_vals)
+                pred += blk[0]
+                place(ci, c, by, bx, blk, pred)
+                n += 1
+    else:
+        pred = [0] * len(comps)
+        n = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if ri and n and n % ri == 0:
+                    br.restart()
+                    pred = [0] * len(comps)
+                for ci, c in scomps:
+                    dc_dec, dc_vals, ac_dec, ac_vals, _q = tables(c)
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = _decode_block(
+                                br, dc_dec, dc_vals, ac_dec, ac_vals
+                            )
+                            pred[ci] += blk[0]
+                            place(
+                                ci, c,
+                                my * c["v"] + by, mx * c["h"] + bx,
+                                blk, pred[ci],
+                            )
+                n += 1
+    # locate the next marker for the caller's segment walk
+    if br.marker is not None:
+        return br.pos
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _planes_to_rgb(frame, planes) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
     full = []
     for c, pl in zip(comps, planes):
-        pl = np.repeat(pl, hmax // c["h"], axis=1)
-        pl = np.repeat(pl, vmax // c["v"], axis=0)
+        pl = np.repeat(pl, frame["hmax"] // c["h"], axis=1)
+        pl = np.repeat(pl, frame["vmax"] // c["v"], axis=0)
         full.append(pl[:h, :w])
     if len(full) == 1:
         g = np.clip(full[0], 0, 255).astype(np.uint8)
@@ -366,11 +437,14 @@ def encode_jpeg(
     q: int = 2,
     subsample: bool = False,
     restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes. ``q`` is the flat
     quantization step (2 ≈ visually lossless on smooth content);
     ``subsample=True`` emits 4:2:0 (2x2-mean chroma); DRI/RSTn written
-    when ``restart_interval`` MCUs > 0."""
+    when ``restart_interval`` MCUs > 0. ``interleaved=False`` writes the
+    spec's other legal baseline shape — one single-component SOS per
+    component (T.81 A.2.2), each over the component's own block grid."""
     h, w, _ = img.shape
     f = img.astype(np.float64)
     y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
@@ -438,26 +512,63 @@ def encode_jpeg(
             c, ln = ac_enc[0x00]  # EOB
             bw.bits(c, ln)
 
-    mcu_count = 0
-    rst_no = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + (rst_no & 7)])
-                rst_no += 1
-                pred[:] = [0, 0, 0]
-            for by in range(sv):
-                for bx in range(sh):
-                    block(yp, my * sv + by, mx * sh + bx, 0)
-            block(cbp, my, mx, 1)
-            block(crp, my, mx, 2)
-            mcu_count += 1
-    bw.flush()
+    scans: list[tuple[bytes, bytes]] = []  # (SOS component spec, entropy)
+    if interleaved:
+        mcu_count = 0
+        rst_no = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (rst_no & 7)])
+                    rst_no += 1
+                    pred[:] = [0, 0, 0]
+                for by in range(sv):
+                    for bx in range(sh):
+                        block(yp, my * sv + by, mx * sh + bx, 0)
+                block(cbp, my, mx, 1)
+                block(crp, my, mx, 2)
+                mcu_count += 1
+        bw.flush()
+        scans.append(
+            (bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]), bytes(bw.out))
+        )
+    else:
+        # one single-component scan per component, each over the
+        # component's TRUE block grid (ceil of the scaled dims — NOT the
+        # MCU-padded plane grid)
+        specs = [
+            (yp, 0, 1, -(-w // 8), -(-h // 8)),
+            (cbp, 1, 2, -(-(-(-w // sh)) // 8), -(-(-(-h // sv)) // 8)),
+            (crp, 2, 3, -(-(-(-w // sh)) // 8), -(-(-(-h // sv)) // 8)),
+        ]
+        for plane, ci, comp_id, bwb, bhb in specs:
+            bw = _BitWriter()
+            pred[:] = [0, 0, 0]
+            n = 0
+            rst_no = 0
+            for by in range(bhb):
+                for bx in range(bwb):
+                    if (
+                        restart_interval
+                        and n
+                        and n % restart_interval == 0
+                    ):
+                        bw.flush()
+                        bw.out += bytes([0xFF, 0xD0 + (rst_no & 7)])
+                        rst_no += 1
+                        pred[:] = [0, 0, 0]
+                    block(plane, by, bx, ci)
+                    n += 1
+            bw.flush()
+            scans.append(
+                (bytes([1, comp_id, 0x00 if ci == 0 else 0x11]),
+                 bytes(bw.out))
+            )
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -478,7 +589,8 @@ def encode_jpeg(
     out += seg(0xC4, dht)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    out += bw.out
+    for comp_spec, entropy in scans:
+        out += seg(0xDA, comp_spec + bytes([0, 63, 0]))
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

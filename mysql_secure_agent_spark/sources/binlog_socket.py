@@ -461,10 +461,17 @@ class BinlogSocketClient:
                     body = raw[19:]
                     before = self.position
                     self._track_position(header.type_code, header, body)
-                    if self.position != before:
-                        # only POSITION ADVANCEMENT resets the reconnect
-                        # budget — a server that replays the same FDE and
-                        # drops would otherwise loop forever
+                    if (
+                        self.position != before
+                        or header.type_code == HEARTBEAT_EVENT
+                    ):
+                        # position ADVANCEMENT or a live heartbeat resets
+                        # the reconnect budget. Heartbeats don't move the
+                        # cursor but prove a healthy idle upstream — an
+                        # hourly LB drop on a quiet table must never
+                        # exhaust the budget cumulatively over days. A
+                        # server looping on FDE-replay-then-drop still
+                        # exhausts it (neither signal fires).
                         attempts = 0
                     yield header.type_code, raw[:19], body
             except (socket.timeout, ConnectionError, EOFError, OSError) as e:

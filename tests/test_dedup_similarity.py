@@ -262,13 +262,14 @@ def test_extract_media_meta(spark):
     assert out[1]["sha256"] == hashlib.sha256(png).hexdigest()
 
 
-def test_decode_image_batch_envblocked_formats_raise(spark):
-    # PNG decodes for real now (stdlib zlib); JPEG remains env-blocked
+def test_decode_image_batch_torn_payload_raises(spark):
+    # JPEG decodes for real now too (operators/jpeg.py) — a torn payload
+    # must fail loudly out of the batch, never yield fabricated pixels
     df = spark.createDataFrame(
         [(1, "image", b"\xff\xd8\xff\xe0fakejpeg", None)],
         "media_id long, kind string, payload binary, meta map<string,string>",
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception):
         decode_image_batch(df).collect()
 
 

@@ -82,3 +82,30 @@ def test_decode_image_batch_includes_jpeg(spark):
     # lossy: pix_sum within (max_err * n_samples) of the exact content sum
     exact = int(img.astype(np.int64).sum())
     assert abs(row["pix_sum"] - exact) <= 3 * img.size
+
+
+def test_non_interleaved_multi_scan():
+    """T.81 A.2.2: baseline files may carry one single-component scan per
+    component (three SOS segments) — the review-flagged spec shape."""
+    img = _gradient(40, 56)
+    for kw in (
+        dict(interleaved=False),
+        dict(interleaved=False, subsample=True),
+        dict(interleaved=False, restart_interval=4),
+        dict(interleaved=False, subsample=True, restart_interval=2),
+    ):
+        out = decode_jpeg(encode_jpeg(img, q=2, **kw))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 16, kw
+    noise = np.random.default_rng(3).integers(0, 256, (33, 47, 3)).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(noise, q=1, interleaved=False))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 4
+
+
+def test_truncated_entropy_raises_valueerror():
+    img = _gradient(16, 16)
+    data = encode_jpeg(img)
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(data[: len(data) // 2] + b"\xff")

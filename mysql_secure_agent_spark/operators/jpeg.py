@@ -32,6 +32,10 @@ __all__ = ["decode_jpeg", "encode_jpeg"]
 
 
 # ----------------------------------------------------------------- tables
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def _zigzag_order() -> np.ndarray:
     """(row, col) visit order of the zigzag scan, as 64 flat indices."""
     out = []
@@ -87,14 +91,22 @@ def _canonical_codes(bits: list[int], values: list[int]):
 
 # ------------------------------------------------------------ bit streams
 class _BitReader:
-    """Entropy-segment bit reader: FF00 unstuffing, RSTn surfacing."""
+    """Entropy-segment bit reader: FF00 unstuffing, FF fill-byte
+    skipping, RSTn/scan-boundary marker surfacing, and PAD ACCOUNTING —
+    once the segment ends (marker or EOF), reads are satisfied from
+    injected zero padding; T.81 allows at most 7 pad bits to finish the
+    final data unit, so consuming a full byte of padding means the scan
+    wants more data than the stream holds (truncation) and must raise
+    instead of 'decoding' fabricated blocks from zeros."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
-        self.nbits = 0
-        self.marker: int | None = None  # pending RST/EOI marker
+        self.nbits = 0  # total bits in acc (real + pad)
+        self.real = 0  # how many of them are real stream bits
+        self.pad_consumed = 0
+        self.marker: int | None = None  # pending marker past the segment
 
     def _fill(self) -> None:
         while self.nbits <= 24:
@@ -111,8 +123,13 @@ class _BitReader:
                 nxt = self.data[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
+                elif nxt == 0xFF:
+                    # T.81 B.1.1.2: any number of FF fill bytes may pad
+                    # before a marker — skip, keep looking at the next FF
+                    self.pos += 1
+                    continue
                 else:
-                    # ANY marker ends the entropy segment (RSTn mid-scan,
+                    # a marker ends the entropy segment (RSTn mid-scan,
                     # EOI, or the next scan's/table's marker when the
                     # lookahead reaches a scan boundary) — the scan loop
                     # decides what it means
@@ -122,6 +139,7 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+            self.real += 8
 
     def bits(self, n: int) -> int:
         if n == 0:
@@ -129,12 +147,23 @@ class _BitReader:
         self._fill()
         out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
+        # real bits sit at the HIGH end (pad is appended after them)
+        from_real = min(n, self.real)
+        self.real -= from_real
+        self.pad_consumed += n - from_real
+        if self.pad_consumed > 7:
+            raise ValueError(
+                "truncated JPEG: scan needs more entropy data than the "
+                "stream holds (decoding ran into padding)"
+            )
         return out
 
     def restart(self) -> int:
         """Consume the pending RSTn marker at a restart boundary."""
         self.nbits = 0  # discard pad bits
         self.acc = 0
+        self.real = 0
+        self.pad_consumed = 0  # ≤7 pad bits per interval tail are legal
         if self.marker is None:
             # marker not reached through _fill yet: scan forward
             while self.pos + 1 < len(self.data):
@@ -188,6 +217,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: FF fill bytes before a marker
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG: stream ends inside a marker")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -296,21 +329,21 @@ def _decode_scan_into(data, pos, frame, planes, scan, qt, huff, huffv, ri):
             qt[c["tq"]],
         )
 
-    def place(ci, c, by, bx, blk, pred_val):
+    def place(ci, q, by, bx, blk, pred_val):
         coeffs = np.zeros(64)
         coeffs[_ZZ] = blk
         coeffs[0] = pred_val
-        f = coeffs.reshape(8, 8) * tables(c)[4]
+        f = coeffs.reshape(8, 8) * q
         px = _C.T @ f @ _C + 128.0
         planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
 
     if len(scomps) == 1:
         ci, c = scomps[0]
-        dc_dec, dc_vals, ac_dec, ac_vals, _q = tables(c)
+        dc_dec, dc_vals, ac_dec, ac_vals, q = tables(c)
         # the component's own dimensions, scaled by its sampling factors
-        cw = -(-(frame["w"] * c["h"]) // frame["hmax"])
-        chh = -(-(frame["h"] * c["v"]) // frame["vmax"])
-        bw_, bh_ = -(-cw // 8), -(-chh // 8)
+        cw = _ceil_div(frame["w"] * c["h"], frame["hmax"])
+        chh = _ceil_div(frame["h"] * c["v"], frame["vmax"])
+        bw_, bh_ = _ceil_div(cw, 8), _ceil_div(chh, 8)
         pred = 0
         n = 0
         for by in range(bh_):
@@ -320,9 +353,10 @@ def _decode_scan_into(data, pos, frame, planes, scan, qt, huff, huffv, ri):
                     pred = 0
                 blk = _decode_block(br, dc_dec, dc_vals, ac_dec, ac_vals)
                 pred += blk[0]
-                place(ci, c, by, bx, blk, pred)
+                place(ci, q, by, bx, blk, pred)
                 n += 1
     else:
+        ctabs = {ci: tables(c) for ci, c in scomps}
         pred = [0] * len(comps)
         n = 0
         for my in range(frame["mcuy"]):
@@ -331,7 +365,7 @@ def _decode_scan_into(data, pos, frame, planes, scan, qt, huff, huffv, ri):
                     br.restart()
                     pred = [0] * len(comps)
                 for ci, c in scomps:
-                    dc_dec, dc_vals, ac_dec, ac_vals, _q = tables(c)
+                    dc_dec, dc_vals, ac_dec, ac_vals, q = ctabs[ci]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             blk = _decode_block(
@@ -339,7 +373,7 @@ def _decode_scan_into(data, pos, frame, planes, scan, qt, huff, huffv, ri):
                             )
                             pred[ci] += blk[0]
                             place(
-                                ci, c,
+                                ci, q,
                                 my * c["v"] + by, mx * c["h"] + bx,
                                 blk, pred[ci],
                             )
@@ -541,10 +575,12 @@ def encode_jpeg(
         # one single-component scan per component, each over the
         # component's TRUE block grid (ceil of the scaled dims — NOT the
         # MCU-padded plane grid)
+        cbw = _ceil_div(_ceil_div(w, sh), 8)
+        cbh = _ceil_div(_ceil_div(h, sv), 8)
         specs = [
-            (yp, 0, 1, -(-w // 8), -(-h // 8)),
-            (cbp, 1, 2, -(-(-(-w // sh)) // 8), -(-(-(-h // sv)) // 8)),
-            (crp, 2, 3, -(-(-(-w // sh)) // 8), -(-(-(-h // sv)) // 8)),
+            (yp, 0, 1, _ceil_div(w, 8), _ceil_div(h, 8)),
+            (cbp, 1, 2, cbw, cbh),
+            (crp, 2, 3, cbw, cbh),
         ]
         for plane, ci, comp_id, bwb, bhb in specs:
             bw = _BitWriter()

@@ -407,6 +407,7 @@ class BinlogSocketClient:
         gtid_executed=None,
         reconnect: bool = True,
         max_reconnects: int = 8,
+        reconnect_backoff: float = 0.05,
     ) -> Iterator[tuple[int, bytes, bytes]]:
         """The replication stream as ``(type_code, raw_header, body)``
         triples; ``body`` INCLUDES the negotiated checksum tail (strip with
@@ -436,6 +437,15 @@ class BinlogSocketClient:
         attempts = 0
         use_gtid = gtid_executed is not None
         while True:
+            if attempts:
+                # exponential backoff between reconnects: a
+                # heartbeat-then-drop upstream (alive but flaky — its
+                # heartbeats keep resetting the budget, which is correct:
+                # the reference reconnects such streams forever too) must
+                # retry slowly, never busy-spin through connect/auth
+                import time as _time
+
+                _time.sleep(min(reconnect_backoff * (2 ** attempts), 2.0))
             ch = None
             try:
                 # connect() inside the try: a refused/reset RE-connection

@@ -269,7 +269,7 @@ def test_decode_image_batch_torn_payload_raises(spark):
         [(1, "image", b"\xff\xd8\xff\xe0fakejpeg", None)],
         "media_id long, kind string, payload binary, meta map<string,string>",
     )
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="ValueError|no SOS|truncated|marker"):
         decode_image_batch(df).collect()
 
 

@@ -109,3 +109,27 @@ def test_truncated_entropy_raises_valueerror():
     data = encode_jpeg(img)
     with pytest.raises(ValueError, match="truncated|marker"):
         decode_jpeg(data[: len(data) // 2] + b"\xff")
+
+
+def test_torn_entropy_never_fabricates_pixels():
+    """Review finding: a stray marker mid-entropy used to end the scan
+    silently and the remaining blocks 'decoded' from injected zero
+    padding — fabricated pixels. Pad accounting must raise instead."""
+    img = _gradient(32, 32)
+    data = encode_jpeg(img, q=2)
+    sos = data.find(b"\xff\xda")
+    cut = sos + 40  # inside entropy data
+    torn = data[:cut] + b"\xff\xfe\x00\x04ab" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated|padding"):
+        decode_jpeg(torn)
+
+
+def test_ff_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: markers may be preceded by any number of FF fill
+    bytes — both inside the entropy tail and between segments."""
+    img = _gradient(24, 24)
+    data = encode_jpeg(img, q=2)
+    ref = decode_jpeg(data)
+    filled = data[:-2] + b"\xff\xff" + data[-2:]  # FF fill before EOI
+    out = decode_jpeg(filled)
+    assert (out == ref).all()

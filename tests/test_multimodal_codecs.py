@@ -128,7 +128,7 @@ def test_torn_jpeg_fails_loudly_not_garbage(spark):
         [(1, "image", b"\xff\xd8\xff\xe0fakejpeg", None)],
         "media_id long, kind string, payload binary, meta map<string,string>",
     )
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="ValueError|no SOS|truncated|marker"):
         decode_image_batch(df).collect()
 
 

@@ -3934,21 +3934,25 @@ def q_multimodal_meta(spark, sf_dir):
 def q_media_container_meta(spark, sf_dir):
     """Media CONTAINER metadata under the driver hash (operators/
     containers.py): per doc a real Ogg stream (RFC 3533 pages, 255-lacing
-    packet splits, spec CRC-32 — poly 0x04C11DB7 unreflected, NOT zlib's)
-    or a real MP4 (ISO-BMFF box tree: ftyp/moov/mvhd/trak/mdhd/hdlr/stbl)
-    is SYNTHESIZED, then PARSED back — page/box walks, CRC verification,
-    packet reassembly, per-track duration math all under the oracle hash,
-    which states the expected metadata in closed form. The codec payloads
-    stay opaque by design: cataloging/filtering media at corpus scale
-    needs the container layer, not a decoder."""
+    packet splits, spec CRC-32 — poly 0x04C11DB7 unreflected, NOT zlib's,
+    leading Vorbis identification header), a real MP4 (ISO-BMFF box tree:
+    ftyp/moov/mvhd/trak/mdhd/hdlr/stbl), or a real AVI (RIFF hdrl walk:
+    avih dims/fps, per-strl strh rate/scale/length) is SYNTHESIZED, then
+    PARSED back — page/box/chunk walks, CRC verification, packet
+    reassembly, codec identification, and per-track duration math all
+    under the oracle hash, which states the expected metadata in closed
+    form. The codec payloads stay opaque by design: cataloging/filtering
+    media at corpus scale needs the container layer, not a decoder."""
     import pandas as pd
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
 
     def rt(batches):
         from mysql_secure_agent_spark.operators.containers import (
+            build_avi,
             build_mp4,
             build_ogg,
+            parse_avi,
             parse_mp4,
             parse_ogg,
         )
@@ -3957,9 +3961,14 @@ def q_media_container_meta(spark, sf_dir):
             rows = []
             for did in pdf["doc_id"].astype("int64"):
                 did = int(did)
-                if did % 2 == 0:
+                fmt = did % 3
+                if fmt == 0:
                     n_pkts = 3 + did % 5
-                    pkts = [
+                    vorbis_id = (
+                        b"\x01vorbis" + bytes(4) + bytes([2])
+                        + (44100).to_bytes(4, "little") + bytes(13)
+                    )
+                    pkts = [vorbis_id] + [
                         bytes([i % 251]) * (40 + 100 * (did % 7) + i)
                         for i in range(n_pkts)
                     ]
@@ -3967,6 +3976,7 @@ def q_media_container_meta(spark, sf_dir):
                         pkts, serial=did % 1000, granule_step=480
                     )
                     info = parse_ogg(data, verify_crc=True)
+                    stream = info["streams"][did % 1000]
                     rows.append(
                         (
                             did,
@@ -3974,10 +3984,10 @@ def q_media_container_meta(spark, sf_dir):
                             len(info["serials"]),
                             len(info["packets"]),
                             round(info["final_granule"] / 48000.0, 6),
+                            stream["codec"],
                         )
                     )
-                else:
-                    n_tracks = 1 + did % 2
+                elif fmt == 1:
                     dur_ms = 1000 + did % 500
                     tracks = [
                         {
@@ -3986,18 +3996,15 @@ def q_media_container_meta(spark, sf_dir):
                             "timescale": 30000,
                             "duration": dur_ms * 30,
                             "n_samples": 30 + did % 20,
-                        }
+                        },
+                        {
+                            "handler": "soun",
+                            "codec": "mp4a",
+                            "timescale": 48000,
+                            "duration": dur_ms * 48,
+                            "n_samples": 43 + did % 9,
+                        },
                     ]
-                    if n_tracks == 2:
-                        tracks.append(
-                            {
-                                "handler": "soun",
-                                "codec": "mp4a",
-                                "timescale": 48000,
-                                "duration": dur_ms * 48,
-                                "n_samples": 43 + did % 9,
-                            }
-                        )
                     data = build_mp4(
                         timescale=1000, duration=dur_ms, tracks=tracks
                     )
@@ -4009,12 +4016,40 @@ def q_media_container_meta(spark, sf_dir):
                             len(info["tracks"]),
                             sum(t["n_samples"] for t in info["tracks"]),
                             info["duration_s"],
+                            info["tracks"][0]["codec"],
+                        )
+                    )
+                else:
+                    n_frames = 100 + did % 50
+                    n_audio = 1000 + did % 100
+                    data = build_avi(
+                        width=320 + did % 16,
+                        height=240,
+                        n_frames=n_frames,
+                        fps=25.0,
+                        streams=[
+                            {"type": "vids", "handler": "MJPG",
+                             "scale": 1, "rate": 25, "length": n_frames},
+                            {"type": "auds", "handler": "\x01\x00\x00\x00",
+                             "scale": 1, "rate": 100, "length": n_audio},
+                        ],
+                    )
+                    info = parse_avi(data)
+                    rows.append(
+                        (
+                            did,
+                            "avi",
+                            len(info["streams"]),
+                            info["n_frames"] + info["streams"][1]["length"],
+                            info["streams"][0]["duration_s"],
+                            info["streams"][0]["handler"],
                         )
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "kind", "n_tracks", "n_units", "duration_s"
+                    "media_id", "kind", "n_tracks", "n_units",
+                    "duration_s", "codec",
                 ],
             )
 
@@ -4026,7 +4061,7 @@ def q_media_container_meta(spark, sf_dir):
         rt,
         schema=(
             "media_id long, kind string, n_tracks int, n_units int, "
-            "duration_s double"
+            "duration_s double, codec string"
         ),
     )
 
@@ -6763,17 +6798,21 @@ FROM documents
         # WAV sample k = s+k so the sum is n*s + n(n-1)/2
         "media_container_meta": """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'ogg' ELSE 'mp4' END AS kind,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
-                 ELSE 1 + doc_id % 2 END AS INTEGER) AS n_tracks,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 5
-                 ELSE (30 + doc_id % 20)
-                      + CASE WHEN doc_id % 2 = 1 AND 1 + doc_id % 2 = 2
-                             THEN 43 + doc_id % 9 ELSE 0 END
+       CASE doc_id % 3 WHEN 0 THEN 'ogg' WHEN 1 THEN 'mp4'
+            ELSE 'avi' END AS kind,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 2 END AS INTEGER)
+         AS n_tracks,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 4 + doc_id % 5
+            WHEN 1 THEN (30 + doc_id % 20) + (43 + doc_id % 9)
+            ELSE (100 + doc_id % 50) + (1000 + doc_id % 100)
             END AS INTEGER) AS n_units,
-       round(CASE WHEN doc_id % 2 = 0
-                  THEN (3 + doc_id % 5) * 480 / 48000.0
-                  ELSE (1000 + doc_id % 500) / 1000.0 END, 6) AS duration_s
+       round(CASE doc_id % 3
+             WHEN 0 THEN (4 + doc_id % 5) * 480 / 48000.0
+             WHEN 1 THEN (1000 + doc_id % 500) / 1000.0
+             ELSE (100 + doc_id % 50) / 25.0 END, 6) AS duration_s,
+       CASE doc_id % 3 WHEN 0 THEN 'vorbis' WHEN 1 THEN 'avc1'
+            ELSE 'MJPG' END AS codec
 FROM documents
 """,
         "media_jpeg_roundtrip": """

@@ -60,11 +60,43 @@ def ogg_crc(data: bytes) -> int:
     return r
 
 
+def identify_ogg_codec(first_packet: bytes) -> dict:
+    """Codec identification from a logical bitstream's FIRST packet —
+    the header structs are plain bytes (public specs: Vorbis I §4.2.2,
+    RFC 7845 OpusHead, Theora §6.2, Ogg-FLAC mapping). Returns
+    ``{"codec", "channels", "sample_rate"}`` (fields None when the
+    mapping doesn't carry them); unknown codecs come back as
+    ``{"codec": "unknown", ...}`` rather than raising — a cataloger must
+    keep walking."""
+    p = first_packet
+    if p[:7] == b"\x01vorbis" and len(p) >= 16:
+        return {
+            "codec": "vorbis",
+            "channels": p[11],
+            "sample_rate": int.from_bytes(p[12:16], "little"),
+        }
+    if p[:8] == b"OpusHead" and len(p) >= 16:
+        return {
+            "codec": "opus",
+            "channels": p[9],
+            # RFC 7845: the original input rate, informational; Opus
+            # itself always decodes at 48 kHz
+            "sample_rate": int.from_bytes(p[12:16], "little"),
+        }
+    if p[:7] == b"\x80theora" and len(p) >= 26:
+        return {"codec": "theora", "channels": None, "sample_rate": None}
+    if p[:5] == b"\x7fFLAC":
+        return {"codec": "flac", "channels": None, "sample_rate": None}
+    return {"codec": "unknown", "channels": None, "sample_rate": None}
+
+
 def parse_ogg(payload: bytes, *, verify_crc: bool = True) -> dict:
     """Walk every page, verify CRCs, reassemble packets. Returns
     ``{"n_pages", "serials": [..], "final_granule", "packets":
-    [bytes, ...], "bos_pages", "eos_pages"}``. Raises on a bad capture
-    pattern, version, truncation, or CRC mismatch."""
+    [bytes, ...], "bos_pages", "eos_pages", "streams": {serial:
+    codec-id dict}}`` — per-bitstream codec identification from each
+    serial's first packet. Raises on a bad capture pattern, version,
+    truncation, or CRC mismatch."""
     pos = 0
     n_pages = 0
     serials: list[int] = []
@@ -74,6 +106,7 @@ def parse_ogg(payload: bytes, *, verify_crc: bool = True) -> dict:
     # continue across its own serial's pages while other serials' pages
     # sit in between
     pending: dict[int, bytes] = {}
+    streams: dict[int, dict] = {}
     final_granule = 0
     bos = eos = 0
     while pos < len(payload):
@@ -110,6 +143,8 @@ def parse_ogg(payload: bytes, *, verify_crc: bool = True) -> dict:
             off += seg
             if seg < 255:  # packet ends here
                 packets.append(buf)
+                if serial not in streams:
+                    streams[serial] = identify_ogg_codec(buf)
                 buf = b""
         pending[serial] = buf
         n_pages += 1
@@ -127,6 +162,7 @@ def parse_ogg(payload: bytes, *, verify_crc: bool = True) -> dict:
         "packets": packets,
         "bos_pages": bos,
         "eos_pages": eos,
+        "streams": streams,
     }
 
 
@@ -344,3 +380,109 @@ def build_mp4(
     ftyp = _box(b"ftyp", brand.encode() + struct.pack(">I", 0) + b"isom")
     mdat = _box(b"mdat", b"\x00" * 16)
     return ftyp + moov + mdat
+
+
+# ------------------------------------------------------------------- AVI
+def _riff_chunks(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body0 = pos + 8
+        if body0 + size > end:
+            raise ValueError(f"corrupt RIFF chunk {fourcc!r} at {pos}")
+        yield fourcc, body0, body0 + size
+        pos = body0 + size + (size & 1)  # chunks pad to even
+
+
+def parse_avi(payload: bytes) -> dict:
+    """RIFF-AVI header walk (public: OpenDML / MS AVI file format):
+    ``hdrl``'s ``avih`` (frame period, frame count, dims) and each
+    ``strl``'s ``strh`` (fccType vids/auds, handler fourcc, rate/scale,
+    length → duration). Returns ``{"width", "height", "n_frames", "fps",
+    "streams": [{"type", "handler", "duration_s", "length"}]}``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    out: dict = {"streams": []}
+
+    def walk(start: int, end: int):
+        for fourcc, b0, b1 in _riff_chunks(payload, start, end):
+            if fourcc == b"LIST":
+                walk(b0 + 4, b1)  # skip the list type fourcc
+            elif fourcc == b"avih":
+                (usec_pf, _mbps, _pad, _flags, frames, _init, _nstreams,
+                 _bufsz, w, h) = struct.unpack_from("<10I", payload, b0)
+                out["width"], out["height"] = w, h
+                out["n_frames"] = frames
+                out["fps"] = (
+                    round(1_000_000 / usec_pf, 6) if usec_pf else None
+                )
+            elif fourcc == b"strh":
+                ftype = payload[b0 : b0 + 4].decode("latin1")
+                handler = payload[b0 + 4 : b0 + 8].decode("latin1")
+                scale, rate, _start, length = struct.unpack_from(
+                    "<IIII", payload, b0 + 20
+                )
+                out["streams"].append(
+                    {
+                        "type": ftype,
+                        "handler": handler,
+                        "length": length,
+                        "duration_s": (
+                            round(length * scale / rate, 6) if rate else None
+                        ),
+                    }
+                )
+
+    walk(12, len(payload))
+    if "width" not in out:
+        raise ValueError("AVI payload has no avih header")
+    return out
+
+
+def _riff(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def build_avi(
+    *,
+    width: int = 320,
+    height: int = 240,
+    n_frames: int = 100,
+    fps: float = 25.0,
+    streams: list[dict] | None = None,
+) -> bytes:
+    """Minimal valid RIFF-AVI: hdrl(avih + one strl per stream) + movi.
+    ``streams``: [{"type": "vids"|"auds", "handler": fourcc, "scale",
+    "rate", "length"}]."""
+    streams = streams if streams is not None else [
+        {"type": "vids", "handler": "MJPG", "scale": 1,
+         "rate": int(fps), "length": n_frames}
+    ]
+    avih = _riff(
+        b"avih",
+        struct.pack(
+            "<10I", int(1_000_000 / fps), 0, 0, 0, n_frames, 0,
+            len(streams), 0, width, height,
+        )
+        + bytes(16),
+    )
+    strls = b""
+    for st in streams:
+        strh = _riff(
+            b"strh",
+            st["type"].encode()
+            + st["handler"].encode()
+            + bytes(12)
+            + struct.pack(
+                "<IIII", st["scale"], st["rate"], 0, st["length"]
+            )
+            + bytes(16),
+        )
+        strf = _riff(b"strf", bytes(40))
+        strls += _riff(b"LIST", b"strl" + strh + strf)
+    hdrl = _riff(b"LIST", b"hdrl" + avih + strls)
+    movi = _riff(b"LIST", b"movi" + _riff(b"00dc", b"\x00" * 8))
+    return _riff(b"RIFF", b"AVI " + hdrl + movi)

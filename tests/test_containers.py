@@ -139,3 +139,63 @@ def test_ogg_page_split_and_multiplexed_streams():
     info = parse_ogg(mux)
     assert sorted(len(p) for p in info["packets"]) == [10, 70000]
     assert sorted(info["serials"]) == [1, 2]
+
+
+def test_ogg_codec_identification():
+    from mysql_secure_agent_spark.operators.containers import (
+        identify_ogg_codec,
+    )
+
+    vorbis_id = (
+        b"\x01vorbis" + bytes(4) + bytes([2]) + (44100).to_bytes(4, "little")
+        + bytes(13)
+    )
+    opus_id = (
+        b"OpusHead\x01" + bytes([2]) + bytes(2) + (48000).to_bytes(4, "little")
+        + bytes(3)
+    )
+    assert identify_ogg_codec(vorbis_id) == {
+        "codec": "vorbis", "channels": 2, "sample_rate": 44100
+    }
+    assert identify_ogg_codec(opus_id) == {
+        "codec": "opus", "channels": 2, "sample_rate": 48000
+    }
+    assert identify_ogg_codec(b"\x80theora" + bytes(20))["codec"] == "theora"
+    assert identify_ogg_codec(b"\x7fFLAC..")["codec"] == "flac"
+    assert identify_ogg_codec(b"whatever")["codec"] == "unknown"
+
+    # through the page walk: first packet of the stream identifies it
+    data = build_ogg([vorbis_id, b"payload1", b"payload2"], serial=9)
+    info = parse_ogg(data)
+    assert info["streams"][9]["codec"] == "vorbis"
+    assert info["streams"][9]["sample_rate"] == 44100
+
+
+def test_avi_roundtrip_and_guards():
+    from mysql_secure_agent_spark.operators.containers import (
+        build_avi,
+        parse_avi,
+    )
+
+    a = build_avi(
+        width=640, height=480, n_frames=250, fps=25.0,
+        streams=[
+            {"type": "vids", "handler": "MJPG", "scale": 1, "rate": 25,
+             "length": 250},
+            {"type": "auds", "handler": "\x01\x00\x00\x00", "scale": 1,
+             "rate": 44100, "length": 441000},
+        ],
+    )
+    out = parse_avi(a)
+    assert (out["width"], out["height"], out["n_frames"]) == (640, 480, 250)
+    assert out["fps"] == 25.0
+    assert [s["type"] for s in out["streams"]] == ["vids", "auds"]
+    assert out["streams"][0]["duration_s"] == 10.0
+    assert out["streams"][1]["duration_s"] == 10.0
+    with pytest.raises(ValueError, match="not an AVI"):
+        parse_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    # corrupt chunk size past end
+    bad = bytearray(a)
+    bad[16:20] = (1 << 30).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_avi(bytes(bad))

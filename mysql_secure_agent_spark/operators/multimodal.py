@@ -592,32 +592,107 @@ def encode_wav(n_samples: int, start: int, rate: int = 8000) -> bytes:
     )
 
 
-def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_media_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    container_meta: bool = False,
+) -> DataFrame:
     """binary → (mime, size, digest) via mapInPandas (Arrow batches; the
-    per-element work is numpy/hashlib over memoryviews, not row-Python-in-Spark)."""
+    per-element work is numpy/hashlib over memoryviews, not
+    row-Python-in-Spark).
+
+    ``container_meta=True`` additionally walks recognized A/V containers
+    (``operators.containers``: Ogg pages incl. per-bitstream codec ID,
+    MP4 box tree, AVI RIFF headers) and emits a ``container`` JSON
+    string column — duration, track count, codec — the catalog row a
+    corpus pipeline filters on without ever decoding payload codecs.
+    Unparseable/foreign payloads yield NULL, never fail the batch."""
     import hashlib
 
     id_col = "media_id"
 
+    def _container(b: bytes | None, mime: str | None):
+        if b is None:
+            return None
+        import json as _json
+
+        from .containers import parse_avi, parse_mp4, parse_ogg
+
+        try:
+            if mime == "audio/ogg":
+                info = parse_ogg(b)
+                return _json.dumps(
+                    {
+                        "kind": "ogg",
+                        "n_streams": len(info["serials"]),
+                        "n_packets": len(info["packets"]),
+                        "final_granule": info["final_granule"],
+                        "codecs": sorted(
+                            s["codec"] for s in info["streams"].values()
+                        ),
+                    },
+                    sort_keys=True,
+                )
+            if mime == "video/mp4":
+                info = parse_mp4(b)
+                return _json.dumps(
+                    {
+                        "kind": "mp4",
+                        "duration_s": info["duration_s"],
+                        "n_tracks": len(info["tracks"]),
+                        "codecs": [t["codec"] for t in info["tracks"]],
+                    },
+                    sort_keys=True,
+                )
+            if mime == "video/avi":
+                info = parse_avi(b)
+                return _json.dumps(
+                    {
+                        "kind": "avi",
+                        "width": info["width"],
+                        "height": info["height"],
+                        "fps": info["fps"],
+                        "n_streams": len(info["streams"]),
+                        "handlers": [
+                            s["handler"] for s in info["streams"]
+                        ],
+                    },
+                    sort_keys=True,
+                )
+        except ValueError:
+            return None  # torn/foreign container: catalog rows survive
+        return None
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "mime": payloads.map(_sniff_mime),
-                    "n_bytes": payloads.map(
-                        lambda b: len(b) if b is not None else None
-                    ).astype("Int64"),
-                    "sha256": payloads.map(
-                        lambda b: hashlib.sha256(b).hexdigest()
-                        if b is not None
-                        else None
-                    ),
-                }
-            )
+            mimes = payloads.map(_sniff_mime)
+            out = {
+                "media_id": pdf[id_col].astype("int64"),
+                "mime": mimes,
+                "n_bytes": payloads.map(
+                    lambda b: len(b) if b is not None else None
+                ).astype("Int64"),
+                "sha256": payloads.map(
+                    lambda b: hashlib.sha256(b).hexdigest()
+                    if b is not None
+                    else None
+                ),
+            }
+            if container_meta:
+                out["container"] = [
+                    _container(b, m) for b, m in zip(payloads, mimes)
+                ]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(fn, schema=MEDIA_META_SCHEMA)
+    schema = MEDIA_META_SCHEMA
+    if container_meta:
+        schema = T.StructType(
+            list(MEDIA_META_SCHEMA.fields)
+            + [T.StructField("container", T.StringType(), True)]
+        )
+    return df.mapInPandas(fn, schema=schema)
 
 
 def _resize_nearest(img: np.ndarray, th: int, tw: int) -> np.ndarray:

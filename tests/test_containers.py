@@ -199,3 +199,51 @@ def test_avi_roundtrip_and_guards():
     bad[16:20] = (1 << 30).to_bytes(4, "little")
     with pytest.raises(ValueError, match="corrupt"):
         parse_avi(bytes(bad))
+
+
+def test_extract_media_meta_container_catalog(spark):
+    """The catalog integration: extract_media_meta(container_meta=True)
+    walks recognized containers into a JSON column; torn payloads yield
+    NULL instead of failing the Arrow batch."""
+    import json
+
+    from mysql_secure_agent_spark.operators.containers import (
+        build_avi,
+        build_mp4,
+        build_ogg,
+    )
+    from mysql_secure_agent_spark.operators.multimodal import (
+        extract_media_meta,
+    )
+
+    vorbis_id = (
+        b"\x01vorbis" + bytes(4) + bytes([2]) + (44100).to_bytes(4, "little")
+        + bytes(13)
+    )
+    rows = [
+        (1, "audio", build_ogg([vorbis_id, b"pkt"]), None),
+        (2, "video", build_mp4(
+            duration=2500,
+            tracks=[{"handler": "vide", "codec": "avc1", "timescale": 30000,
+                     "duration": 75000, "n_samples": 75}],
+        ), None),
+        (3, "video", build_avi(n_frames=50, fps=25.0), None),
+        (4, "video", b"RIFF\x00\x00\x00\x00AVI torn", None),  # torn
+        (5, "image", b"P6\n1 1\n255\n\x00\x00\x00", None),  # not a container
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = {r["media_id"]: r for r in
+           extract_media_meta(df, container_meta=True).collect()}
+    ogg = json.loads(out[1]["container"])
+    assert ogg["codecs"] == ["vorbis"] and ogg["n_packets"] == 2
+    mp4 = json.loads(out[2]["container"])
+    assert mp4["duration_s"] == 2.5 and mp4["codecs"] == ["avc1"]
+    avi = json.loads(out[3]["container"])
+    assert avi["fps"] == 25.0 and avi["handlers"] == ["MJPG"]
+    assert out[4]["container"] is None  # torn: NULL, batch survived
+    assert out[5]["container"] is None  # image: not a container
+    # the base columns are unchanged
+    assert out[1]["mime"] == "audio/ogg" and out[1]["sha256"]
